@@ -1,0 +1,292 @@
+"""LM_S2GP: satellite->ground projection + unrolled LM pose solver (KITTI).
+
+TPU-native re-design of the reference's flagship model
+(reference: /root/reference/models_kitti.py:598-1492).
+
+Architecture (differs from the torch reference on purpose — SURVEY.md §7.1):
+  * pure functional forward under ``jit``: the (N_iters x levels) solver is a
+    ``lax.scan`` over iterations with the level sequence unrolled inside the
+    scan body (per-level shapes are static);
+  * channel-last [B, H, W, C] features; pose is one [B, P, 3] array vmapped
+    over P multi-start hypotheses (reference is always P=1, batch-1);
+  * randomness (LM pixel dropout, out-of-range pose re-init) threads explicit
+    PRNG keys via the flax 'lm' RNG collection;
+  * optional ``jax.checkpoint`` (remat) around each solver round bounds the
+    memory of backprop through the unrolled loop.
+
+Behavioral parity notes:
+  * ground rays are precomputed per level with the reference's fixed K
+    (models_kitti.py:655-682) — the per-drive K is NOT used in S2GP, a
+    reference quirk preserved (SURVEY.md §7.4);
+  * geo projection keeps only the bottom half of ground rows (sky crop,
+    models_kitti.py:1194-1199);
+  * gt-pose projections (for loss methods 1-3 / visualization) are computed
+    once per level, outside the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from highlyaccurate_tpu.config import Config
+from highlyaccurate_tpu.geometry import kitti as geom
+from highlyaccurate_tpu.losses.losses import LossDiagnostics, loss_func
+from highlyaccurate_tpu.models.nnrefine import NNrefine
+from highlyaccurate_tpu.models.vggunet import VGGUnet
+from highlyaccurate_tpu.ops.grid_sample import grid_sample
+from highlyaccurate_tpu.solver.updates import LMConfig, adam_update, lm_update, sgd_update
+from highlyaccurate_tpu.utils import geo
+
+ORI_GRD_H, ORI_GRD_W = 256, 1024
+
+
+def _level_hw(level_idx: int):
+    """Feature map H, W of pyramid slot ``level_idx`` (0 coarse ... 3 fine)."""
+    f = 2 ** (3 - level_idx)
+    return ORI_GRD_H // f, ORI_GRD_W // f
+
+
+def precompute_rays(cfg: Config):
+    """Host-side per-level ground-plane rays (reference models_kitti.py:622-635)."""
+    rays = []
+    for lvl in range(4):
+        h, w = _level_hw(lvl)
+        if cfg.proj == "geo":
+            xyz, mask, xyz_w = geom.grd_img2cam(h, w, ORI_GRD_H, ORI_GRD_W)
+            rays.append((xyz, mask, xyz_w))
+        else:
+            xyz, mask = geom.grd_img2cam_polar(h, w)
+            rays.append((xyz, mask, None))
+    return rays
+
+
+def level_slots(cfg: Config):
+    """Map config.level to pyramid slot indices (coarse->fine), matching
+    VGGUnet's slice selection (reference VGG.py:178-203)."""
+    return {
+        -1: [0], -2: [1], -3: [2],
+        2: [1, 2], 3: [0, 1, 2], 4: [0, 1, 2, 3],
+    }[cfg.level]
+
+
+class LMS2GP(nn.Module):
+    """Flagship KITTI model, direction S2GP."""
+    cfg: Config
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.SatFeatureNet = VGGUnet(level=cfg.level, dtype=dt)
+        self.GrdFeatureNet = VGGUnet(level=cfg.level, dtype=dt)
+        # damping parameter (reference models_kitti.py:615-620)
+        shape = (1, 3) if cfg.rotation_range > 0 else ()
+        self.damping = self.param("damping", nn.initializers.zeros, shape)
+        if cfg.Optimizer == "NN":
+            self.nn_refine = NNrefine(dtype=dt)
+
+        self._rays = precompute_rays(cfg)
+        self._slots = level_slots(cfg)
+
+    # -- geometry + sampling for one level ---------------------------------
+    def _project(self, sat_feat, sat_conf, pose, slot: int, with_jac: bool,
+                 gt_depth=None):
+        """Project satellite features into the ground view at ``pose``.
+
+        Reference models_kitti.py:803-937 (project_map_to_grd).
+        Returns (sat_feat_proj, sat_conf_proj, jac, uv_masked, mask).
+        """
+        cfg = self.cfg
+        A = sat_feat.shape[1]
+        if cfg.use_gt_depth and gt_depth is not None:
+            h, w = _level_hw(slot)
+            xyz_w = jnp.asarray(self._rays[slot][2])  # [H, W, 3]
+            depth = jax.image.resize(gt_depth[..., None], (gt_depth.shape[0], h, w, 1),
+                                     method="linear")
+            xyz = xyz_w[None] * depth
+            mask2d = jax.image.resize((gt_depth != -1).astype(jnp.float32)[..., None],
+                                      (gt_depth.shape[0], h, w, 1), method="nearest")[..., 0]
+        else:
+            xyz = jnp.asarray(self._rays[slot][0])  # [H, W, 3]
+            mask2d = jnp.asarray(self._rays[slot][1])[None]  # [1, H, W]
+
+        if with_jac:
+            uv, duv = geom.s2gp_uv_jac(pose, xyz, A, cfg.rotation_range,
+                                       cfg.shift_range_lat, cfg.shift_range_lon)
+        else:
+            uv = geom.s2gp_uv(pose, xyz, A, cfg.rotation_range,
+                              cfg.shift_range_lat, cfg.shift_range_lon)
+            duv = None
+
+        feat_proj, jac = grid_sample(sat_feat, uv, duv)
+        m = jnp.broadcast_to(mask2d, feat_proj.shape[:3])
+        feat_proj = feat_proj * m[..., None]
+        if jac is not None:
+            jac = jac * m[..., None, None]
+        conf_proj = None
+        if sat_conf is not None:
+            conf_proj, _ = grid_sample(sat_conf, uv)
+            conf_proj = conf_proj * m[..., None]
+        return feat_proj, conf_proj, jac, uv * m[..., None], m
+
+    def _solver_round(self, pose, level_pos: int, slot: int, sat_feat, sat_conf,
+                      grd_feat, grd_conf, key, adam_state, t, gt_depth=None,
+                      collect: bool = False):
+        """One (iteration, level) solver round. Returns (pose', adam', aux)."""
+        cfg = self.cfg
+        grd_H = grd_feat.shape[1]
+
+        sat_fp, sat_cp, jac, uv, m = self._project(
+            sat_feat, sat_conf, pose, slot, with_jac=cfg.Optimizer != "NN",
+            gt_depth=gt_depth)
+
+        g_feat = grd_feat * m[..., None]
+        g_conf = grd_conf * m[..., None]
+
+        if cfg.proj == "geo":  # sky crop (reference models_kitti.py:1194-1199)
+            half = grd_H // 2
+            sat_f_n, sat_c_n = sat_fp[:, half:], sat_cp[:, half:]
+            grd_f_n, grd_c_n = g_feat[:, half:], g_conf[:, half:]
+            jac_n = jac[:, half:] if jac is not None else None
+        else:
+            sat_f_n, sat_c_n, grd_f_n, grd_c_n, jac_n = sat_fp, sat_cp, g_feat, g_conf, jac
+
+        lm_cfg = LMConfig(
+            active_dims=cfg.active_pose_dims,
+            using_weight=bool(cfg.using_weight),
+            train_damping=bool(cfg.train_damping),
+            damping=cfg.damping,
+            use_hessian=bool(cfg.use_hessian),
+            dropout=cfg.dropout,
+            normalize=True,
+        )
+
+        if cfg.Optimizer == "LM":
+            new_pose = lm_update(pose, sat_f_n, sat_c_n, grd_f_n, grd_c_n,
+                                 jac_n, self.damping, lm_cfg, key)
+        elif cfg.Optimizer == "SGD":
+            new_pose = sgd_update(pose, sat_f_n, sat_c_n, grd_f_n, grd_c_n,
+                                  jac_n, lm_cfg)
+        elif cfg.Optimizer == "ADAM":
+            m_acc, v_acc = adam_state
+            new_pose, m_acc, v_acc = adam_update(
+                pose, sat_f_n, grd_f_n, jac_n, m_acc, v_acc, t, lm_cfg,
+                cfg.beta1, cfg.beta2)
+            adam_state = (m_acc, v_acc)
+        elif cfg.Optimizer == "NN":
+            delta = self.nn_refine(sat_f_n, grd_f_n)  # [B, 3]
+            new_pose = pose + delta
+        else:
+            raise ValueError(f"unknown Optimizer {cfg.Optimizer}")
+
+        aux = None
+        if collect:
+            A = sat_feat.shape[1]
+            aux = (sat_fp, uv / A)
+        return new_pose, adam_state, aux
+
+    def extract_features(self, sat_map, grd_img):
+        sat_feats, sat_confs = self.SatFeatureNet(sat_map)
+        grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
+        return sat_feats, sat_confs, grd_feats, grd_confs
+
+    def __call__(self, sat_map, grd_img, gt_pose=None, mode: str = "train",
+                 gt_depth=None):
+        """Run feature extraction + unrolled solver.
+
+        Args:
+          sat_map: [B, A, A, 3]; grd_img: [B, H, W, 3] (channel-last).
+          gt_pose: [B, 3] normalized (shift_u, shift_v, heading); train only.
+          mode: 'train' -> LossDiagnostics, 'test' -> final [B, 3] pose.
+        """
+        cfg = self.cfg
+        B = sat_map.shape[0]
+        sat_feats, sat_confs, grd_feats, grd_confs = self.extract_features(
+            sat_map, grd_img)
+
+        collect_aux = mode == "train" and cfg.loss_method > 0
+        base_key = self.make_rng("lm") if (cfg.dropout > 0 or
+                                           len(cfg.active_pose_dims) == 3) \
+            else jax.random.PRNGKey(0)
+
+        pose0 = jnp.zeros((B, 3), dtype=jnp.float32)
+        n_levels = len(self._slots)
+        adam0 = (jnp.zeros((B, len(cfg.active_pose_dims))),
+                 jnp.zeros((B, len(cfg.active_pose_dims))))
+
+        def round_fn(pose, adam_state, it, lvl_pos):
+            slot = self._slots[lvl_pos]
+            t = it * n_levels + lvl_pos if not cfg.level_first \
+                else lvl_pos * cfg.N_iters + it
+            key = jax.random.fold_in(base_key, t)
+            return self._solver_round(
+                pose, lvl_pos, slot, sat_feats[lvl_pos], sat_confs[lvl_pos],
+                grd_feats[lvl_pos], grd_confs[lvl_pos], key, adam_state, t,
+                gt_depth=gt_depth, collect=collect_aux)
+
+        trajectories = []  # list over rounds of pose [B, 3]
+        aux_feats = {lvl: [] for lvl in range(n_levels)}
+        aux_uvs = {lvl: [] for lvl in range(n_levels)}
+
+        pose, adam_state = pose0, adam0
+        if cfg.level_first:
+            # for level: for iter (reference models_kitti.py:1318-1492)
+            order = [(it, lvl) for lvl in range(n_levels)
+                     for it in range(cfg.N_iters)]
+        else:
+            order = [(it, lvl) for it in range(cfg.N_iters)
+                     for lvl in range(n_levels)]
+
+        for (it, lvl) in order:
+            fn = round_fn
+            # remat each round to bound unrolled-backprop memory; skip for the
+            # NN optimizer (flax submodule call inside jax.checkpoint).
+            if cfg.remat and mode == "train" and cfg.Optimizer != "NN":
+                fn = jax.checkpoint(round_fn, static_argnums=(2, 3))
+            pose, adam_state, aux = fn(pose, adam_state, it, lvl)
+            trajectories.append(pose)
+            if collect_aux:
+                aux_feats[lvl].append(aux[0])
+                aux_uvs[lvl].append(aux[1])
+
+        traj = jnp.stack(trajectories, axis=1)  # [B, rounds, 3]
+        if cfg.level_first:
+            traj = traj.reshape(B, n_levels, cfg.N_iters, 3).transpose(0, 2, 1, 3)
+        else:
+            traj = traj.reshape(B, cfg.N_iters, n_levels, 3)
+        shift_lats = traj[..., 1]
+        shift_lons = traj[..., 0]
+        thetas = traj[..., 2]
+
+        if mode != "train":
+            return shift_lats[:, -1, -1], shift_lons[:, -1, -1], thetas[:, -1, -1]
+
+        ref_feat_list = pred_feat_list = gt_feat_list = None
+        pred_uv_list = gt_uv_list = None
+        if collect_aux:
+            ref_feat_list = grd_feats
+            pred_feat_list = [jnp.stack(aux_feats[l], axis=1) for l in range(n_levels)]
+            pred_uv_list = [jnp.stack(aux_uvs[l], axis=1) for l in range(n_levels)]
+            gt_feat_list, gt_uv_list = [], []
+            for lvl in range(n_levels):
+                slot = self._slots[lvl]
+                gfp, _, _, guv, _ = self._project(
+                    sat_feats[lvl], None, gt_pose, slot, with_jac=False,
+                    gt_depth=gt_depth)
+                A = sat_feats[lvl].shape[1]
+                gt_feat_list.append(gfp)
+                gt_uv_list.append(guv / A)
+
+        coe_heading = 0.0 if cfg.rotation_range == 0 else cfg.coe_heading
+        return loss_func(
+            cfg.loss_method, shift_lats, shift_lons, thetas,
+            gt_pose[:, 1], gt_pose[:, 0], gt_pose[:, 2],
+            cfg.coe_shift_lat, cfg.coe_shift_lon, coe_heading,
+            ref_feat_list, pred_feat_list, gt_feat_list,
+            pred_uv_list, gt_uv_list,
+            cfg.coe_L1, cfg.coe_L2, cfg.coe_L3, cfg.coe_L4)

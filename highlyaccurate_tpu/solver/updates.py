@@ -1,0 +1,209 @@
+"""Pose-update inner-loop optimizers as pure functions.
+
+TPU-native re-design of the reference's update rules:
+  * S2GP LM:  /root/reference/models_kitti.py:939-1041
+  * G2SP LM:  /root/reference/models_kitti.py:333-379
+  * SGD:      /root/reference/models_kitti.py:1056-1084
+  * ADAM:     /root/reference/models_kitti.py:1086-1124
+  * GN (Ford):/root/reference/models_ford.py:534-...
+
+Design notes (TPU-first):
+  * pose is [B, 3]; features channel-last [B, H, W, C]; Jacobian [B, H, W, C, 3].
+  * the frozen-DoF logic (reference models_kitti.py:954-957, 1015-1026) is
+    *static*: ``active_dims`` comes from the config, so XLA compiles a solve
+    of exactly the right size (3x3 / 2x2 / 1x1).
+  * the 3x3 damped solve runs in float32 regardless of the feature dtype
+    (numerical-conditioning note, SURVEY.md §7.3-8).
+  * randomness (pixel dropout, out-of-range pose re-init) is explicit via
+    jax.random keys instead of global RNG state.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class LMConfig(NamedTuple):
+    """Static solver knobs (subset of Config relevant to the update rules)."""
+    active_dims: tuple = (0, 1, 2)
+    using_weight: bool = False
+    train_damping: bool = False
+    damping: float = 0.1
+    use_hessian: bool = False
+    dropout: int = 0
+    normalize: bool = True      # S2GP normalizes features; G2SP does not
+    reinit_range: float = 2.5   # out-of-bounds re-init threshold (S2GP only)
+    reinit: bool = True
+
+
+def _flatten_residual_system(sat_feat, grd_feat, grd_conf, jac, active_dims,
+                             dropout_key=None):
+    """Flatten [B, H, W, C] tensors into the LM residual system.
+
+    Returns J [B, D, N], r-pieces (sat [B, D], grd [B, D]), weight base
+    (conf [B, H*W] flattened pixels repeated later), with optional random
+    half-pixel dropout (reference models_kitti.py:968-974).
+    """
+    B, H, W, C = sat_feat.shape
+    n = len(active_dims)
+    jac = jac[..., jnp.array(active_dims)]  # [B, H, W, C, n]
+
+    sat = sat_feat.reshape(B, H * W, C)
+    grd = grd_feat.reshape(B, H * W, C)
+    conf = grd_conf.reshape(B, H * W)
+    J = jac.reshape(B, H * W, C, n)
+
+    if dropout_key is not None:
+        keep = (H * W) // 2
+        inds = jax.random.permutation(dropout_key, H * W)[:keep]
+        sat = sat[:, inds, :]
+        grd = grd[:, inds, :]
+        conf = conf[:, inds]
+        J = J[:, inds, :, :]
+
+    D = sat.shape[1] * C
+    sat = sat.reshape(B, D)
+    grd = grd.reshape(B, D)
+    # conf repeats across channels: weight[b, p*C + c] = conf[b, p]
+    weight = jnp.repeat(conf, C, axis=-1)
+    J = J.reshape(B, D, n)
+    return J, sat, grd, weight
+
+
+def compute_damping(damping_param, cfg: LMConfig, n_active: int):
+    """Per-DoF damping vector [n_active] (float32).
+
+    Trained damping uses the reference's log-parameterization
+    10^(-6 + 11*sigmoid(d)) (models_kitti.py:962-963); otherwise a constant.
+    """
+    if cfg.train_damping:
+        d = damping_param.reshape(-1).astype(jnp.float32)
+        if d.shape[0] == 1:
+            d = jnp.broadcast_to(d, (3,))
+        d = 10.0 ** (-6.0 + jax.nn.sigmoid(d) * 11.0)
+        return d[jnp.array(cfg.active_dims)][:n_active]
+    return jnp.full((n_active,), cfg.damping, dtype=jnp.float32)
+
+
+def lm_update(pose, sat_feat, sat_conf, grd_feat, grd_conf, jac,
+              damping_param, cfg: LMConfig, key: Optional[jax.Array] = None):
+    """One damped Gauss-Newton (Levenberg-Marquardt) pose update.
+
+    Mirrors reference models_kitti.py:939-1041 (S2GP, ``normalize=True``) and
+    models_kitti.py:333-379 (G2SP, ``normalize=False, use eye damping``).
+
+    Args:
+      pose: [B, 3] normalized pose.
+      sat_feat: projected source features [B, H, W, C] (the "moving" image).
+      grd_feat: target features [B, H, W, C].
+      grd_conf: target confidence [B, H, W, 1].
+      jac: d(sat_feat)/d(pose) [B, H, W, C, 3].
+      damping_param: learned damping parameter (any shape; see compute_damping).
+      key: PRNG key; consumed when cfg.dropout>0 (pixel dropout) and for the
+        out-of-range re-init draw.
+    Returns:
+      new pose [B, 3].
+    """
+    B = pose.shape[0]
+    active = cfg.active_dims
+    n = len(active)
+
+    dropout_key = reinit_key = None
+    if key is not None:
+        dropout_key, reinit_key = jax.random.split(key)
+    if not (cfg.dropout > 0):
+        dropout_key = None
+
+    J, sat, grd, weight = _flatten_residual_system(
+        sat_feat, grd_feat, grd_conf, jac, active, dropout_key)
+    J = J.astype(jnp.float32)
+    sat = sat.astype(jnp.float32)
+    grd = grd.astype(jnp.float32)
+
+    if cfg.normalize:
+        # feature-norm scaling, floors at 1e-6 (reference :982-989)
+        sat_norm = jnp.maximum(jnp.linalg.norm(sat, axis=-1), 1e-6)
+        sat = sat / sat_norm[:, None]
+        J = J / sat_norm[:, None, None]
+        grd_norm = jnp.maximum(jnp.linalg.norm(grd, axis=-1), 1e-6)
+        grd = grd / grd_norm[:, None]
+
+    r = sat - grd  # [B, D]
+
+    if cfg.using_weight:
+        w = weight.astype(jnp.float32)
+    else:
+        w = jnp.ones_like(r)
+
+    # Hessian = J^T W J  [B, n, n];  g = J^T W r  [B, n]
+    Jw = J * w[..., None]
+    hess = jnp.einsum("bdn,bdm->bnm", Jw, J)
+    g = jnp.einsum("bdn,bd->bn", Jw, r)
+
+    damping = compute_damping(damping_param, cfg, n)  # [n]
+    if cfg.use_hessian:
+        diag = jnp.einsum("bnn->bn", hess)  # Hessian diagonal (reference :1005-1010)
+    else:
+        diag = jnp.ones((B, n), dtype=jnp.float32)
+    # The reference multiplies damping column-wise into diag_H; for a diagonal
+    # diag_H that equals scaling the diagonal entries, done here explicitly.
+    lhs = hess + _diag_embed(damping[None, :] * diag)
+
+    delta = -jnp.linalg.solve(lhs, g[..., None])[..., 0]  # [B, n]
+
+    pose = pose.astype(jnp.float32)
+    new = pose.at[:, jnp.array(active)].add(delta)
+
+    # out-of-range uniform re-init, full-3-DoF branch only (reference :1028-1033)
+    if cfg.reinit and n == 3 and reinit_key is not None:
+        k1, k2 = jax.random.split(reinit_key)
+        rand_u = jax.random.uniform(k1, (B,), minval=-1.0, maxval=1.0)
+        rand_v = jax.random.uniform(k2, (B,), minval=-1.0, maxval=1.0)
+        lim = cfg.reinit_range
+        su, sv = new[:, 0], new[:, 1]
+        new = new.at[:, 0].set(jnp.where((su > -lim) & (su < lim), su, rand_u))
+        new = new.at[:, 1].set(jnp.where((sv > -lim) & (sv < lim), sv, rand_v))
+    return new
+
+
+def _diag_embed(x):
+    """[..., n] -> [..., n, n] diagonal matrices."""
+    n = x.shape[-1]
+    return x[..., None] * jnp.eye(n, dtype=x.dtype)
+
+
+def sgd_update(pose, sat_feat, sat_conf, grd_feat, grd_conf, jac,
+               cfg: LMConfig, lr: float = 0.01):
+    """Plain gradient step on the L2 residual (reference models_kitti.py:1056-1084).
+
+    grad = sum(2r * dfeat/dpose) over (H, W, C); pose -= lr * grad.
+    """
+    active = cfg.active_dims
+    r = (sat_feat - grd_feat).astype(jnp.float32)
+    grad = jnp.einsum("bhwc,bhwcn->bn", 2 * r,
+                      jac[..., jnp.array(active)].astype(jnp.float32))
+    return pose.at[:, jnp.array(active)].add(-lr * grad)
+
+
+def adam_update(pose, sat_feat, grd_feat, jac, m, v, t,
+                cfg: LMConfig, beta1: float = 0.9, beta2: float = 0.999,
+                lr: float = 0.01):
+    """Adam-style inner-loop update (reference models_kitti.py:1086-1124).
+
+    m, v: [B, n] accumulators; t: python int step index (static).
+    Returns (pose, m, v).
+    """
+    active = cfg.active_dims
+    r = (sat_feat - grd_feat).astype(jnp.float32)
+    grad = jnp.einsum("bhwc,bhwcn->bn", 2 * r,
+                      jac[..., jnp.array(active)].astype(jnp.float32))
+    m = beta1 * m + (1 - beta1) * grad
+    v = beta2 * v + (1 - beta2) * grad * grad
+    m_hat = m / (1 - beta1 ** (t + 1))
+    v_hat = v / (1 - beta2 ** (t + 1))
+    delta = m_hat / (jnp.sqrt(v_hat) + 1e-8)
+    pose = pose.at[:, jnp.array(active)].add(-lr * delta)
+    return pose, m, v
