@@ -72,6 +72,9 @@ class Config:
 
     # --- new, TPU-framework-only knobs (do not affect save-path) ---
     dataset_root: Optional[str] = None  # lifts the reference's hardcoded root
+    grd_h: int = 256   # ground image H (reference KITTI_dataset.py:28)
+    grd_w: int = 1024  # ground image W
+    sat_size: int = 512  # satellite patch side (utils.py:10-11)
     pose_hypotheses: int = 1  # vmapped multi-start LM (reference is always 1)
     compute_dtype: str = "float32"  # "float32" | "bfloat16" feature compute
     remat: int = 1  # jax.checkpoint each (iter, level) round in training

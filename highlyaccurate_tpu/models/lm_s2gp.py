@@ -42,27 +42,38 @@ from highlyaccurate_tpu.ops.grid_sample import grid_sample
 from highlyaccurate_tpu.solver.updates import LMConfig, adam_update, lm_update, sgd_update
 from highlyaccurate_tpu.utils import geo
 
-ORI_GRD_H, ORI_GRD_W = 256, 1024
-
-
-def _level_hw(level_idx: int):
+def _level_hw(cfg: Config, level_idx: int):
     """Feature map H, W of pyramid slot ``level_idx`` (0 coarse ... 3 fine)."""
     f = 2 ** (3 - level_idx)
-    return ORI_GRD_H // f, ORI_GRD_W // f
+    return cfg.grd_h // f, cfg.grd_w // f
 
 
 def precompute_rays(cfg: Config):
-    """Host-side per-level ground-plane rays (reference models_kitti.py:622-635)."""
+    """Host-side per-level ground-plane rays (reference models_kitti.py:622-635).
+
+    The reference's fixed K was calibrated for a 1242x375 original frame; we
+    scale it by the configured ground image size exactly as the reference
+    scales to its 1024x256 (models_kitti.py:664-667).
+    """
     rays = []
     for lvl in range(4):
-        h, w = _level_hw(lvl)
+        h, w = _level_hw(cfg, lvl)
         if cfg.proj == "geo":
-            xyz, mask, xyz_w = geom.grd_img2cam(h, w, ORI_GRD_H, ORI_GRD_W)
+            xyz, mask, xyz_w = geom.grd_img2cam(h, w, cfg.grd_h, cfg.grd_w,
+                                                camera_k=_scaled_default_k(cfg))
             rays.append((xyz, mask, xyz_w))
         else:
             xyz, mask = geom.grd_img2cam_polar(h, w)
             rays.append((xyz, mask, None))
     return rays
+
+
+def _scaled_default_k(cfg: Config):
+    """Reference fixed K (for 1024x256 inputs), rescaled to cfg.grd_{h,w}."""
+    k = geom.DEFAULT_CAMERA_K.copy()
+    k[0, :] *= cfg.grd_w / 1024.0
+    k[1, :] *= cfg.grd_h / 256.0
+    return k
 
 
 def level_slots(cfg: Config):
@@ -104,7 +115,7 @@ class LMS2GP(nn.Module):
         cfg = self.cfg
         A = sat_feat.shape[1]
         if cfg.use_gt_depth and gt_depth is not None:
-            h, w = _level_hw(slot)
+            h, w = _level_hw(cfg, slot)
             xyz_w = jnp.asarray(self._rays[slot][2])  # [H, W, 3]
             depth = jax.image.resize(gt_depth[..., None], (gt_depth.shape[0], h, w, 1),
                                      method="linear")
