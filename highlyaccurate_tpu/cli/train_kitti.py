@@ -1,0 +1,269 @@
+"""KITTI train/eval CLI — flag-compatible with the reference driver.
+
+Reference: /root/reference/train_kitti.py (argparse flags :426-485, save-path
+scheme :488-521, train loop :319-423, eval protocol :34-315).
+
+TPU-native deltas:
+  * one jitted train step / eval step over a data-parallel device mesh (the
+    reference is single-GPU python loops);
+  * orbax checkpoints (+ ``--import_pth`` to evaluate released reference
+    checkpoints);
+  * ``--dataset_root`` lifts the reference's hardcoded path; with
+    ``--synthetic N`` the pipeline runs on generated data (smoke/benchmark).
+
+Quirks preserved on purpose (SURVEY.md §7.4): Adam is re-created every epoch
+with poly-decayed lr; ``--test 1`` loads ``model_1`` like the reference loads
+``model_1.pth``.  The eval-time ``loss.backward()`` graph-release hack has no
+JAX analogue and is dropped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from highlyaccurate_tpu.config import Config, config_from_args
+from highlyaccurate_tpu.eval.metrics import EvalResults, denormalize
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    # reference flags (train_kitti.py:426-485)
+    p.add_argument("--resume", type=int, default=0)
+    p.add_argument("--test", type=int, default=1)
+    p.add_argument("--debug", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--stereo", type=int, default=0)
+    p.add_argument("--sequence", type=int, default=1)
+    p.add_argument("--rotation_range", type=float, default=10.0)
+    p.add_argument("--shift_range_lat", type=float, default=20.0)
+    p.add_argument("--shift_range_lon", type=float, default=20.0)
+    p.add_argument("--coe_shift_lat", type=float, default=100.0)
+    p.add_argument("--coe_shift_lon", type=float, default=100.0)
+    p.add_argument("--coe_heading", type=float, default=100.0)
+    p.add_argument("--coe_L1", type=float, default=100.0)
+    p.add_argument("--coe_L2", type=float, default=100.0)
+    p.add_argument("--coe_L3", type=float, default=100.0)
+    p.add_argument("--coe_L4", type=float, default=100.0)
+    p.add_argument("--metric_distance", type=float, default=5.0)
+    p.add_argument("--batch_size", type=int, default=3)
+    p.add_argument("--loss_method", type=int, default=0)
+    p.add_argument("--level", type=int, default=3)
+    p.add_argument("--N_iters", type=int, default=5)
+    p.add_argument("--using_weight", type=int, default=0)
+    p.add_argument("--damping", type=float, default=0.1)
+    p.add_argument("--train_damping", type=int, default=0)
+    p.add_argument("--negative_samples", type=int, default=32)
+    p.add_argument("--use_conf_metric", type=int, default=0)
+    p.add_argument("--direction", type=str, default="S2GP")
+    p.add_argument("--Load", type=int, default=0)
+    p.add_argument("--Optimizer", type=str, default="LM")
+    p.add_argument("--level_first", type=int, default=0)
+    p.add_argument("--proj", type=str, default="geo")
+    p.add_argument("--use_gt_depth", type=int, default=0)
+    p.add_argument("--dropout", type=int, default=0)
+    p.add_argument("--use_hessian", type=int, default=0)
+    p.add_argument("--visualize", type=int, default=0)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.999)
+    # TPU-framework flags
+    p.add_argument("--dataset_root", type=str, default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="run on N synthetic samples instead of disk data")
+    p.add_argument("--import_pth", type=str, default=None,
+                   help="path to a reference .pth checkpoint to evaluate")
+    p.add_argument("--save_root", type=str, default=".")
+    p.add_argument("--compute_dtype", type=str, default="float32")
+    p.add_argument("--keep_optimizer_state", type=int, default=0)
+    p.add_argument("--seed", type=int, default=2022)
+    return p.parse_args(argv)
+
+
+def build_model(cfg: Config):
+    from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
+    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+    return {"S2GP": LMS2GP, "G2SP": LMG2SP}[cfg.direction](cfg=cfg)
+
+
+def make_loaders(cfg: Config, args, split: str):
+    from highlyaccurate_tpu.data.kitti import KittiDataset, Loader, SyntheticKitti
+    if args.synthetic:
+        ds = SyntheticKitti(n=args.synthetic, grd_h=cfg.grd_h, grd_w=cfg.grd_w,
+                            sat_size=cfg.sat_size,
+                            seed={"train": 0, "test1": 1, "test2": 2}[split])
+    else:
+        ds = KittiDataset(cfg.dataset_root, split,
+                          shift_range_lat=cfg.shift_range_lat,
+                          shift_range_lon=cfg.shift_range_lon,
+                          rotation_range=cfg.rotation_range,
+                          grd_h=cfg.grd_h, grd_w=cfg.grd_w,
+                          sat_size=cfg.sat_size)
+    return Loader(ds, cfg.batch_size, shuffle=(split == "train"),
+                  drop_last=(split == "train"))
+
+
+def init_model(cfg: Config, model):
+    import jax
+    import jax.numpy as jnp
+    sat = jnp.zeros((1, cfg.sat_size, cfg.sat_size, 3))
+    grd = jnp.zeros((1, cfg.grd_h, cfg.grd_w, 3))
+    gt = jnp.zeros((1, 3))
+    if cfg.direction == "G2SP":
+        k = jnp.zeros((1, 3, 3))
+        return model.init({"params": jax.random.PRNGKey(0),
+                           "lm": jax.random.PRNGKey(1)},
+                          sat, grd, k, gt, mode="train")
+    return model.init({"params": jax.random.PRNGKey(0),
+                       "lm": jax.random.PRNGKey(1)}, sat, grd, gt, mode="train")
+
+
+def evaluate(model, cfg: Config, params, args, split: str, save_path: str,
+             epoch: int, best_rank: float, eval_step=None, mesh=None):
+    """Reference test1/test2 protocol (train_kitti.py:34-172)."""
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.train import step as step_lib
+    from highlyaccurate_tpu.train.checkpoint import save_params
+
+    loader = make_loaders(cfg, args, split)
+    if eval_step is None:
+        eval_step = step_lib.make_eval_step(model, cfg, mesh)
+
+    preds_lat, preds_lon, preds_th = [], [], []
+    gts = []
+    t0 = time.time()
+    n_images = 0
+    for i, batch in enumerate(loader):
+        sat = jnp.asarray(batch["sat"])
+        grd = jnp.asarray(batch["grd"])
+        rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        if cfg.direction == "G2SP":
+            k = jnp.asarray(batch["camera_k"])
+            lat, lon, th = eval_step(params, sat, grd, k, rng)
+        else:
+            lat, lon, th = eval_step(params, sat, grd, rng)
+        preds_lat.append(np.asarray(lat))
+        preds_lon.append(np.asarray(lon))
+        preds_th.append(np.asarray(th))
+        gts.append(batch["gt_pose"])
+        n_images += sat.shape[0]
+        if i % 20 == 0:
+            print(i)
+    duration = (time.time() - t0) / max(len(loader), 1)
+
+    gt = np.concatenate(gts)
+    pred_shifts, pred_headings = denormalize(
+        np.concatenate(preds_lat), np.concatenate(preds_lon),
+        np.concatenate(preds_th), cfg.shift_range_lat, cfg.shift_range_lon,
+        cfg.rotation_range)
+    gt_shifts, gt_headings = denormalize(gt[:, 1], gt[:, 0], gt[:, 2],
+                                         cfg.shift_range_lat,
+                                         cfg.shift_range_lon,
+                                         cfg.rotation_range)
+    res = EvalResults(pred_shifts=pred_shifts, pred_headings=pred_headings,
+                      gt_shifts=gt_shifts, gt_headings=gt_headings,
+                      time_per_image=duration)
+    m = res.compute()
+    res.write(save_path, split.capitalize(), epoch)
+
+    rank = m["rank_result"]
+    if split == "test1" and rank > best_rank:
+        save_params(save_path, "Model_best", params)
+    return rank
+
+
+def train(model, cfg: Config, args, save_path: str):
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.train import step as step_lib
+    from highlyaccurate_tpu.train.checkpoint import (epoch_ckpt_name,
+                                                     load_params, save_params)
+    from highlyaccurate_tpu.train.state import create_train_state, reset_for_epoch
+
+    mesh = step_lib.make_mesh()
+    variables = init_model(cfg, model)
+    params = variables["params"]
+    if args.resume:
+        params = load_params(save_path, epoch_ckpt_name(args.resume - 1), params)
+        print(f"resume from {epoch_ckpt_name(args.resume - 1)}")
+
+    state = create_train_state(cfg, params)
+    state = step_lib.replicate(mesh, state)
+    train_step = step_lib.make_train_step(model, cfg, mesh)
+    eval_step = step_lib.make_eval_step(model, cfg, mesh)
+
+    best_rank = 0.0
+    for epoch in range(args.resume, cfg.epochs):
+        state = reset_for_epoch(state, cfg, epoch)
+        loader = make_loaders(cfg, args, "train")
+        print("batch_size:", cfg.batch_size, "num batches:", len(loader))
+        for loop, batch in enumerate(loader):
+            b = step_lib.shard_batch(mesh, {
+                "sat": batch["sat"], "grd": batch["grd"],
+                "gt_pose": batch["gt_pose"],
+                **({"camera_k": batch["camera_k"]}
+                   if cfg.direction == "G2SP" else {})})
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(args.seed), epoch * 100000 + loop)
+            if cfg.direction == "G2SP":
+                state, metrics = train_step(state, b["sat"], b["grd"],
+                                            b["camera_k"], b["gt_pose"], rng)
+            else:
+                state, metrics = train_step(state, b["sat"], b["grd"],
+                                            b["gt_pose"], rng)
+            if loop % 10 == 9:
+                lvl = cfg.n_levels - 1
+                print(f"Epoch: {epoch} Loop: {loop} Delta: Level-{lvl}"
+                      f" loss: {np.round(float(metrics['loss_decrease'][lvl]), 4)}"
+                      f" lat: {np.round(float(metrics['shift_lat_decrease'][lvl]), 2)}"
+                      f" lon: {np.round(float(metrics['shift_lon_decrease'][lvl]), 2)}"
+                      f" rot: {np.round(float(metrics['thetas_decrease'][lvl]), 2)}")
+                print(f"Epoch: {epoch} Loop: {loop} Last: Level-{lvl}"
+                      f" loss: {np.round(float(metrics['loss_last'][lvl]), 4)}"
+                      f" lat: {np.round(float(metrics['shift_lat_last'][lvl]), 2)}"
+                      f" lon: {np.round(float(metrics['shift_lon_last'][lvl]), 2)}"
+                      f" rot: {np.round(float(metrics['theta_last'][lvl]), 2)}")
+
+        print("taking snapshot ...")
+        save_params(save_path, epoch_ckpt_name(epoch),
+                    jax.device_get(state.params))
+        cur = evaluate(model, cfg, state.params, args, "test1", save_path,
+                       epoch, best_rank, eval_step, mesh)
+        best_rank = max(best_rank, cur)
+        evaluate(model, cfg, state.params, args, "test2", save_path, epoch,
+                 best_rank, eval_step, mesh)
+    print("Finished Training")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    np.random.seed(args.seed)
+    cfg = config_from_args(args)
+    save_path = cfg.save_path(args.save_root)
+    os.makedirs(save_path, exist_ok=True)
+    print("save_path:", save_path)
+
+    model = build_model(cfg)
+
+    if args.test:
+        from highlyaccurate_tpu.train.checkpoint import (epoch_ckpt_name,
+                                                         import_pth, load_params)
+        variables = init_model(cfg, model)
+        params = variables["params"]
+        if args.import_pth:
+            params = import_pth(args.import_pth, cfg)
+        else:
+            # reference quirk: --test 1 loads model_1.pth (train_kitti.py:546)
+            params = load_params(save_path, "model_1", params)
+        evaluate(model, cfg, params, args, "test1", save_path, 0, 1e9)
+        evaluate(model, cfg, params, args, "test2", save_path, 0, 1e9)
+    else:
+        train(model, cfg, args, save_path)
+
+
+if __name__ == "__main__":
+    main()

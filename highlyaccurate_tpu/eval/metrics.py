@@ -129,6 +129,55 @@ class EvalResults:
         print("\n".join(lines))
 
 
+def write_ford(res: "EvalResults", save_path: str, test_log_ind: int,
+               epoch: int) -> float:
+    """Ford per-log results writer (reference train_ford.py:100-176).
+
+    Writes ``<ind>_result.mat`` / ``<ind>_results.txt`` and returns the Ford
+    best-model criterion: recall of (dist < 5 m) & (angle < 1 deg).
+    """
+    os.makedirs(save_path, exist_ok=True)
+    if not res.metrics:
+        res.compute()
+    m = res.metrics
+
+    try:
+        import scipy.io as scio
+        scio.savemat(os.path.join(save_path, f"{test_log_ind}_result.mat"),
+                     {"gt_shifts": res.gt_shifts, "gt_headings": res.gt_headings,
+                      "pred_shifts": res.pred_shifts,
+                      "pred_headings": res.pred_headings})
+    except ImportError:
+        pass
+
+    lines = ["====================================",
+             f"       EPOCH: {epoch}",
+             f"Time per image (second): {res.time_per_image}"]
+    for t in THRESHOLDS_M:
+        lines.append(f"within {t} meters pred: {m[f'distance_recall_{t}m']}")
+        lines.append(f"within {t} meters init: {m[f'distance_recall_{t}m_init']}")
+    lines.append("------------------------")
+    for t in THRESHOLDS_M:
+        lines.append(f"lateral within {t} meters pred: {m[f'lateral_recall_{t}m']}")
+        lines.append(f"lateral within {t} meters init: {m[f'lateral_recall_{t}m_init']}")
+        lines.append(f"longitudinal within {t} meters pred: {m[f'longitudinal_recall_{t}m']}")
+        lines.append(f"longitudinal within {t} meters init: {m[f'longitudinal_recall_{t}m_init']}")
+    lines.append("------------------------")
+    for a in THRESHOLDS_DEG:
+        lines.append(f"within {a} degrees pred: {m[f'angle_recall_{a}deg']}")
+        lines.append(f"within {a} degrees init: {m[f'angle_recall_{a}deg_init']}")
+    lines.append("====================================")
+    with open(os.path.join(save_path, f"{test_log_ind}_results.txt"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+    distance = np.sqrt(np.sum((res.pred_shifts - res.gt_shifts) ** 2, axis=1))
+    angle_diff = np.remainder(np.abs(res.pred_headings - res.gt_headings), 360)
+    angle_diff = np.where(angle_diff > 180, 360 - angle_diff, angle_diff)
+    return float(np.sum((distance < 5) & (angle_diff[:, 0] < 1))
+                 / distance.shape[0] * 100)
+
+
 def denormalize(shifts_lat, shifts_lon, headings, shift_range_lat: float,
                 shift_range_lon: float, rotation_range: float):
     """Normalized model outputs -> meters / degrees

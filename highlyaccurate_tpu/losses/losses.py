@@ -41,7 +41,7 @@ def normalize_feature(x):
     [..., H, W, C].
     """
     flat = x.reshape(x.shape[:-3] + (-1,))
-    norm = jnp.linalg.norm(flat, axis=-1)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(flat * flat, axis=-1), 1e-24))
     return x / norm[..., None, None, None]
 
 

@@ -1,0 +1,207 @@
+"""LM_S2GP_Ford: Ford-AV satellite->ground model with calibration extrinsics.
+
+TPU-native re-design of the reference Ford model
+(reference: /root/reference/models_ford.py:21-1036).
+
+Structure mirrors LMS2GP with Ford deltas preserved:
+  * camera->body extrinsics (R_FL, T_FL from the calibration YAML) feed the
+    cam2body2world2sat chain (models_ford.py:173-264);
+  * projected confidence is transformed 1/(1+c) (models_ford.py:716);
+  * optional learned per-pixel height lift (``estimate_depth``,
+    models_ford.py:192-200) via VGGUnet depth heads;
+  * optimizer variants LM / GN / SGD(L1) / NN (models_ford.py:380-634);
+    Ford's LM re-init is NOT gated on the DoF freeze (models_ford.py:453-458);
+  * Ford's trajectory naming: shift_u is LATERAL, shift_v LONGITUDINAL
+    (models_ford.py:823-824).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from highlyaccurate_tpu.config import Config
+from highlyaccurate_tpu.geometry import ford as fgeom
+from highlyaccurate_tpu.losses.losses import loss_func
+from highlyaccurate_tpu.models.nnrefine import NNrefine
+from highlyaccurate_tpu.models.vggunet import VGGUnet
+from highlyaccurate_tpu.ops.grid_sample import grid_sample
+from highlyaccurate_tpu.solver.updates import (LMConfig, gn_update, lm_update,
+                                               sgd_update_l1)
+
+
+class LMS2GPFord(nn.Module):
+    cfg: Config
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.SatFeatureNet = VGGUnet(level=cfg.level, dtype=dt)
+        self.GrdFeatureNet = VGGUnet(level=cfg.level, dtype=dt,
+                                     estimate_depth=bool(cfg.estimate_depth))
+        self.damping = self.param("damping", nn.initializers.zeros, (1, 3))
+        if cfg.Optimizer == "NN":
+            self.nn_refine = NNrefine(dtype=dt)
+
+        # built locally then assigned once — flax freezes setup attributes
+        self._rays = tuple(
+            fgeom.grd_img2cam_ford(cfg.grd_h // (2 ** (3 - lvl)),
+                                   cfg.grd_w // (2 ** (3 - lvl)),
+                                   cfg.grd_h, cfg.grd_w)
+            for lvl in range(4))
+        self._slots = {
+            -1: [0], -2: [1], -3: [2],
+            2: [1, 2], 3: [0, 1, 2], 4: [0, 1, 2, 3],
+        }[cfg.level]
+
+    def _project(self, sat_feat, sat_conf, pose, slot: int, R_FL, T_FL,
+                 satmap_sidelength_meters, with_jac: bool, depth=None):
+        """Reference models_ford.py:266-378 (project_map_to_grd)."""
+        cfg = self.cfg
+        A = sat_feat.shape[1]
+        if cfg.estimate_depth and depth is not None:
+            xyz_w = jnp.asarray(self._rays[slot][2])
+            Xc, mask2d = fgeom.depth_lift(xyz_w, depth)
+        else:
+            Xc = jnp.asarray(self._rays[slot][0])
+            mask2d = jnp.asarray(self._rays[slot][1])[None]
+
+        uv, duv = fgeom.ford_uv_jac(
+            pose, R_FL, T_FL, Xc, satmap_sidelength_meters, A,
+            cfg.rotation_range, cfg.shift_range_lat, cfg.shift_range_lon,
+            require_jac=with_jac)
+        feat_proj, jac = grid_sample(sat_feat, uv, duv)
+        m = jnp.broadcast_to(mask2d, feat_proj.shape[:3])
+        feat_proj = feat_proj * m[..., None]
+        if jac is not None:
+            jac = jac * m[..., None, None]
+        conf_proj = None
+        if sat_conf is not None:
+            conf_proj, _ = grid_sample(sat_conf, uv)
+            conf_proj = conf_proj * m[..., None]
+        return feat_proj, conf_proj, jac, uv * m[..., None], m
+
+    def __call__(self, sat_map, grd_img, satmap_sidelength_meters, R_FL, T_FL,
+                 gt_pose=None, mode: str = "train"):
+        """sat_map [B,A,A,3]; grd_img [B,H,W,3]; R_FL [B,3,3]; T_FL [B,3]."""
+        cfg = self.cfg
+        B = sat_map.shape[0]
+        sat_feats, sat_confs = self.SatFeatureNet(sat_map)
+        if cfg.estimate_depth:
+            grd_feats, grd_confs, grd_depths = self.GrdFeatureNet(grd_img)
+        else:
+            grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
+            grd_depths = [None] * len(grd_feats)
+
+        lm_cfg = LMConfig(
+            active_dims=(0, 1, 2),
+            using_weight=bool(cfg.using_weight),
+            train_damping=bool(cfg.train_damping),
+            damping=cfg.damping,
+            use_hessian=bool(cfg.use_hessian),
+            dropout=cfg.dropout,
+            normalize=True,
+            reinit=True,
+        )
+        base_key = self.make_rng("lm") if cfg.Optimizer in ("LM", "GN") \
+            else jax.random.PRNGKey(0)
+
+        collect_aux = mode == "train" and cfg.loss_method > 0
+        n_levels = len(self._slots)
+        pose = jnp.zeros((B, 3), dtype=jnp.float32)
+        traj = []
+        aux_feats = {l: [] for l in range(n_levels)}
+        aux_uvs = {l: [] for l in range(n_levels)}
+
+        if cfg.level_first:
+            order = [(it, lvl) for lvl in range(n_levels)
+                     for it in range(cfg.N_iters)]
+        else:
+            order = [(it, lvl) for it in range(cfg.N_iters)
+                     for lvl in range(n_levels)]
+
+        for t, (it, lvl) in enumerate(order):
+            def round_fn(p):
+                slot = self._slots[lvl]
+                sat_fp, sat_cp, jac, uv, m = self._project(
+                    sat_feats[lvl], sat_confs[lvl], p, slot, R_FL, T_FL,
+                    satmap_sidelength_meters,
+                    with_jac=cfg.Optimizer != "NN", depth=grd_depths[lvl])
+                sat_cp = 1.0 / (1.0 + sat_cp)  # models_ford.py:716
+                g_feat = grd_feats[lvl] * m[..., None]
+                g_conf = grd_confs[lvl] * m[..., None]
+                grd_H = g_feat.shape[1]
+                if cfg.proj == "geo":
+                    half = grd_H // 2
+                    s_f, s_c = sat_fp[:, half:], sat_cp[:, half:]
+                    g_f, g_c = g_feat[:, half:], g_conf[:, half:]
+                    j = jac[:, half:] if jac is not None else None
+                else:
+                    s_f, s_c, g_f, g_c, j = sat_fp, sat_cp, g_feat, g_conf, jac
+
+                key = jax.random.fold_in(base_key, t)
+                if cfg.Optimizer == "LM":
+                    new_p = lm_update(p, s_f, s_c, g_f, g_c, j, self.damping,
+                                      lm_cfg, key)
+                elif cfg.Optimizer == "GN":
+                    new_p = gn_update(p, s_f, g_f, g_c, j, lm_cfg, key)
+                elif cfg.Optimizer == "SGD":
+                    new_p = sgd_update_l1(p, s_f, g_f, j, lm_cfg)
+                elif cfg.Optimizer == "NN":
+                    new_p = p + self.nn_refine(s_f, g_f)
+                else:
+                    raise ValueError(cfg.Optimizer)
+                A = sat_feats[lvl].shape[1]
+                return new_p, (sat_fp, uv / A)
+
+            fn = round_fn
+            if cfg.remat and mode == "train" and cfg.Optimizer != "NN":
+                fn = jax.checkpoint(round_fn)
+            pose, aux = fn(pose)
+            traj.append(pose)
+            if collect_aux:
+                aux_feats[lvl].append(aux[0])
+                aux_uvs[lvl].append(aux[1])
+
+        t_arr = jnp.stack(traj, axis=1)
+        if cfg.level_first:
+            t_arr = t_arr.reshape(B, n_levels, cfg.N_iters, 3).transpose(0, 2, 1, 3)
+        else:
+            t_arr = t_arr.reshape(B, cfg.N_iters, n_levels, 3)
+        # Ford: u is lateral, v longitudinal (models_ford.py:823-824)
+        shift_lats = t_arr[..., 0]
+        shift_lons = t_arr[..., 1]
+        thetas = t_arr[..., 2]
+
+        if mode != "train":
+            return shift_lats[:, -1, -1], shift_lons[:, -1, -1], thetas[:, -1, -1]
+
+        ref_feat_list = pred_feat_list = gt_feat_list = None
+        pred_uv_list = gt_uv_list = None
+        if collect_aux:
+            ref_feat_list = grd_feats
+            pred_feat_list = [jnp.stack(aux_feats[l], 1) for l in range(n_levels)]
+            pred_uv_list = [jnp.stack(aux_uvs[l], 1) for l in range(n_levels)]
+            gt_feat_list, gt_uv_list = [], []
+            for lvl in range(n_levels):
+                slot = self._slots[lvl]
+                gfp, _, _, guv, _ = self._project(
+                    sat_feats[lvl], None, gt_pose, slot, R_FL, T_FL,
+                    satmap_sidelength_meters, with_jac=False,
+                    depth=grd_depths[lvl])
+                A = sat_feats[lvl].shape[1]
+                gt_feat_list.append(gfp)
+                gt_uv_list.append(guv / A)
+
+        coe_heading = 0.0 if cfg.rotation_range == 0 else cfg.coe_heading
+        return loss_func(
+            cfg.loss_method, shift_lats, shift_lons, thetas,
+            gt_pose[:, 0], gt_pose[:, 1], gt_pose[:, 2],
+            cfg.coe_shift_lat, cfg.coe_shift_lon, coe_heading,
+            ref_feat_list, pred_feat_list, gt_feat_list,
+            pred_uv_list, gt_uv_list,
+            cfg.coe_L1, cfg.coe_L2, cfg.coe_L3, cfg.coe_L4)

@@ -1,0 +1,224 @@
+"""LM_G2SP: ground->satellite projection + unrolled LM pose solver (KITTI).
+
+TPU-native re-design of the reference's G2SP model
+(reference: /root/reference/models_kitti.py:22-595).
+
+Differences from LM_S2GP preserved from the reference:
+  * projects *ground* features into the satellite frame via the perspective
+    map P = K [R|T] over ground-plane points under each sat pixel
+    (models_kitti.py:54-161), or the in-plane SE(2) warp for proj='nn'
+    (:289-331) with the VGGUnet_G2S re-laid-out ground branch (:36-39);
+  * LM update without feature normalization, identity damping matrix, raw
+    trained damping initialized at cfg.damping, no frozen-DoF/re-init logic
+    (:333-379);
+  * residual direction r = grd_proj - sat (the S2GP residual is sat_proj -
+    grd);
+  * no sky crop (the projection targets the satellite grid).
+
+Also hosts the dense-correlation localization head ``corr``
+(models_kitti.py:501-576) with its soft-margin triplet training loss.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from highlyaccurate_tpu.config import Config
+from highlyaccurate_tpu.geometry import kitti as geom
+from highlyaccurate_tpu.losses.losses import loss_func, soft_margin_triplet
+from highlyaccurate_tpu.models.vggunet import VGGUnet
+from highlyaccurate_tpu.ops.grid_sample import grid_sample
+from highlyaccurate_tpu.solver.updates import LMConfig, lm_update
+from highlyaccurate_tpu.utils import geo
+
+
+class LMG2SP(nn.Module):
+    """KITTI model, direction G2SP."""
+    cfg: Config
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.SatFeatureNet = VGGUnet(level=cfg.level, dtype=dt)
+        self.GrdFeatureNet = VGGUnet(level=cfg.level, dtype=dt,
+                                     g2s_rearrange=(cfg.proj == "nn"))
+        # raw damping parameter init at cfg.damping (models_kitti.py:41)
+        self.damping = self.param(
+            "damping", lambda k, s: jnp.full(s, cfg.damping, jnp.float32),
+            (1, 3))
+        # per-level ground-plane points under sat pixels (models_kitti.py:54-84)
+        # NOTE: built locally then assigned once — flax freezes setup attrs.
+        self._xyz1 = {cfg.sat_size // (2 ** (3 - lvl)):
+                      geom.warp_sat2real(cfg.sat_size // (2 ** (3 - lvl)))
+                      for lvl in range(4)}
+        self._slots = {
+            -1: [0], -2: [1], -3: [2],
+            2: [1, 2], 3: [0, 1, 2], 4: [0, 1, 2, 3],
+        }[cfg.level]
+        self.meters_per_pixel = [
+            geo.get_meter_per_pixel() * (2 ** (3 - lvl)) for lvl in range(4)]
+
+    def _project_grd_to_map(self, grd_feat, grd_conf, pose, camera_k, A: int,
+                            with_jac: bool = True):
+        """Reference models_kitti.py:163-287 (project_grd_to_map)."""
+        cfg = self.cfg
+        gh, gw = grd_feat.shape[1:3]
+        if cfg.proj == "nn":
+            uv, duv, mask = geom.inplane_uv_jac(
+                pose, A, cfg.rotation_range, cfg.shift_range_lat,
+                cfg.shift_range_lon)
+        else:
+            XYZ1 = jnp.asarray(self._xyz1[A])
+            uv, duv, mask = geom.g2sp_uv_jac(
+                pose, XYZ1, camera_k, gh, gw, cfg.grd_h, cfg.grd_w,
+                cfg.rotation_range, cfg.shift_range_lat, cfg.shift_range_lon)
+        if not with_jac:
+            duv = None
+        feat_proj, jac = grid_sample(grd_feat, uv, duv)
+        conf_proj = None
+        if grd_conf is not None:
+            conf_proj, _ = grid_sample(grd_conf, uv)
+        return feat_proj, conf_proj, jac
+
+    def __call__(self, sat_map, grd_img, camera_k, gt_pose=None,
+                 mode: str = "train"):
+        """sat_map [B,A,A,3], grd_img [B,H,W,3], camera_k [B,3,3]."""
+        cfg = self.cfg
+        B = sat_map.shape[0]
+        sat_feats, sat_confs = self.SatFeatureNet(sat_map)
+        grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
+
+        lm_cfg = LMConfig(
+            active_dims=(0, 1, 2),
+            using_weight=bool(cfg.using_weight),
+            train_damping=bool(cfg.train_damping),
+            damping=cfg.damping,
+            use_hessian=False,
+            dropout=0,
+            normalize=False,
+            reinit=False,
+            raw_damping=True,
+        )
+
+        pose = jnp.zeros((B, 3), dtype=jnp.float32)
+        traj = []
+        collect_aux = mode == "train" and cfg.loss_method > 0
+        aux_feats = {lvl: [] for lvl in range(len(self._slots))}
+
+        order = [(it, lvl) for it in range(cfg.N_iters)
+                 for lvl in range(len(self._slots))]
+        for it, lvl in order:
+            def round_fn(p):
+                A = sat_feats[lvl].shape[1]
+                g_proj, c_proj, jac = self._project_grd_to_map(
+                    grd_feats[lvl], grd_confs[lvl], p, camera_k, A)
+                # residual grd_proj - sat; weight grd_conf_proj
+                # (reference models_kitti.py:354-364)
+                new_p = lm_update(p, g_proj, c_proj, sat_feats[lvl],
+                                  c_proj, jac, self.damping, lm_cfg)
+                return new_p, g_proj
+
+            fn = round_fn
+            if cfg.remat and mode == "train":
+                fn = jax.checkpoint(round_fn)
+            pose, g_proj = fn(pose)
+            traj.append(pose)
+            if collect_aux:
+                aux_feats[lvl].append(g_proj)
+
+        n_levels = len(self._slots)
+        t = jnp.stack(traj, axis=1).reshape(B, cfg.N_iters, n_levels, 3)
+        shift_lats, shift_lons, thetas = t[..., 1], t[..., 0], t[..., 2]
+
+        if mode != "train":
+            return shift_lats[:, -1, -1], shift_lons[:, -1, -1], thetas[:, -1, -1]
+
+        if cfg.loss_method != 0:
+            raise ValueError(
+                "G2SP supports loss_method 0 only (the reference passes None "
+                "feature dicts for G2SP, models_kitti.py:488-492)")
+        coe_heading = cfg.coe_heading
+        return loss_func(
+            cfg.loss_method, shift_lats, shift_lons, thetas,
+            gt_pose[:, 1], gt_pose[:, 0], gt_pose[:, 2],
+            cfg.coe_shift_lat, cfg.coe_shift_lon, coe_heading)
+
+    # -- dense-correlation localization head --------------------------------
+    def corr(self, sat_map, grd_img, camera_k, gt_pose=None,
+             mode: str = "train"):
+        """Exhaustive translation search by normalized correlation.
+
+        Reference models_kitti.py:501-576: project ground features at zero
+        pose, center-crop to the shift search window, correlate against the
+        satellite feature map (grouped conv), argmin of the L2 surface.
+        TPU-native: the grouped conv2d becomes one
+        ``lax.conv_general_dilated`` with feature_group_count=B over a
+        [1, B*C] layout — a single big MXU matmul.
+        """
+        cfg = self.cfg
+        B = sat_map.shape[0]
+        sat_feats, _ = self.SatFeatureNet(sat_map)
+        grd_feats, _ = self.GrdFeatureNet(grd_img)
+        pose0 = jnp.zeros((B, 3), dtype=jnp.float32)
+
+        corr_maps = []
+        pred_u = pred_v = None
+        for lvl in range(len(self._slots)):
+            slot = self._slots[lvl]
+            mpp = self.meters_per_pixel[slot]
+            sat_feat = sat_feats[lvl]
+            A = sat_feat.shape[1]
+            g_proj, _, _ = self._project_grd_to_map(
+                grd_feats[lvl], None, pose0, camera_k, A, with_jac=False)
+
+            crop_h = int(A - cfg.shift_range_lat * 2 / mpp)
+            crop_w = int(A - cfg.shift_range_lon * 2 / mpp)
+            t0 = (A - crop_h) // 2
+            l0 = (A - crop_w) // 2
+            kernel = g_proj[:, t0:t0 + crop_h, l0:l0 + crop_w, :]  # [B,h,w,C]
+            kflat = kernel.reshape(B, -1)
+            knorm = jnp.sqrt(jnp.maximum(jnp.sum(kflat * kflat, -1), 1e-24))
+            kernel = kernel / knorm[:, None, None, None]
+
+            C = sat_feat.shape[-1]
+            # grouped correlation: inputs [1, A, A, B*C], kernel HWIO
+            # [h, w, C, B] with feature_group_count=B -> [1, H', W', B]
+            x = jnp.transpose(sat_feat, (1, 2, 0, 3)).reshape(1, A, A, B * C)
+            k = jnp.transpose(kernel, (1, 2, 3, 0))  # [h, w, C, B]
+            corr = jax.lax.conv_general_dilated(
+                x, k, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=B)[0]  # [H', W', B]
+            corr = jnp.transpose(corr, (2, 0, 1))  # [B, H', W']
+
+            # normalized L2 distance surface (models_kitti.py:554-557)
+            sq = jnp.sum(sat_feat ** 2, axis=-1, keepdims=True)  # [B, A, A, 1]
+            denom = jax.lax.reduce_window(
+                sq, 0.0, jax.lax.add, (1, crop_h, crop_w, 1), (1, 1, 1, 1),
+                "VALID")[..., 0]
+            denom = jnp.maximum(jnp.sqrt(denom), 1e-6)
+            corr = 2 - 2 * corr / denom
+
+            corr_maps.append(corr)
+            ch, cw = corr.shape[1:]
+            flat_idx = jnp.argmin(corr.reshape(B, -1), axis=1)
+            pred_u = (flat_idx % cw - cw / 2) * mpp
+            pred_v = -(flat_idx // cw - ch / 2) * mpp
+
+        if mode == "train":
+            losses = []
+            for lvl, corr in enumerate(corr_maps):
+                slot = self._slots[lvl]
+                mpp = self.meters_per_pixel[slot]
+                ch, cw = corr.shape[1:]
+                w = jnp.round(cw / 2 + gt_pose[:, 0] * cfg.shift_range_lon / mpp)
+                h = jnp.round(ch / 2 - gt_pose[:, 1] * cfg.shift_range_lat / mpp)
+                losses.append(soft_margin_triplet(corr, w, h))
+            return jnp.sum(jnp.stack(losses))
+        return pred_u, pred_v

@@ -36,7 +36,8 @@ def l2_norm_wholemap(x):
     """
     B = x.shape[0]
     flat = x.reshape(B, -1).astype(jnp.float32)
-    norm = jnp.maximum(jnp.linalg.norm(flat, axis=-1), 1e-12)
+    # sqrt(max(sum_sq, eps)) keeps the backward NaN-free at exactly-zero maps
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(flat * flat, axis=-1), 1e-24))
     return (x / norm.reshape(B, 1, 1, 1).astype(x.dtype))
 
 

@@ -37,6 +37,9 @@ class LMConfig(NamedTuple):
     normalize: bool = True      # S2GP normalizes features; G2SP does not
     reinit_range: float = 2.5   # out-of-bounds re-init threshold (S2GP only)
     reinit: bool = True
+    raw_damping: bool = False   # G2SP uses the raw damping param
+                                # (reference models_kitti.py:356-359), not the
+                                # S2GP 10^(-6+11*sigmoid) parameterization
 
 
 def _flatten_residual_system(sat_feat, grd_feat, grd_conf, jac, active_dims,
@@ -83,7 +86,8 @@ def compute_damping(damping_param, cfg: LMConfig, n_active: int):
         d = damping_param.reshape(-1).astype(jnp.float32)
         if d.shape[0] == 1:
             d = jnp.broadcast_to(d, (3,))
-        d = 10.0 ** (-6.0 + jax.nn.sigmoid(d) * 11.0)
+        if not cfg.raw_damping:
+            d = 10.0 ** (-6.0 + jax.nn.sigmoid(d) * 11.0)
         return d[jnp.array(cfg.active_dims)][:n_active]
     return jnp.full((n_active,), cfg.damping, dtype=jnp.float32)
 
@@ -124,11 +128,14 @@ def lm_update(pose, sat_feat, sat_conf, grd_feat, grd_conf, jac,
     grd = grd.astype(jnp.float32)
 
     if cfg.normalize:
-        # feature-norm scaling, floors at 1e-6 (reference :982-989)
-        sat_norm = jnp.maximum(jnp.linalg.norm(sat, axis=-1), 1e-6)
+        # feature-norm scaling, floors at 1e-6 (reference :982-989).
+        # _safe_norm instead of linalg.norm: an all-masked projection gives an
+        # exactly-zero vector, whose norm backward is 0/0=NaN (the reference
+        # instead hard-asserts sum(mask)>0, jacobian.py:172 — not jittable).
+        sat_norm = _safe_norm(sat, 1e-6)
         sat = sat / sat_norm[:, None]
         J = J / sat_norm[:, None, None]
-        grd_norm = jnp.maximum(jnp.linalg.norm(grd, axis=-1), 1e-6)
+        grd_norm = _safe_norm(grd, 1e-6)
         grd = grd / grd_norm[:, None]
 
     r = sat - grd  # [B, D]
@@ -175,6 +182,16 @@ def _diag_embed(x):
     return x[..., None] * jnp.eye(n, dtype=x.dtype)
 
 
+def _safe_norm(x, floor: float):
+    """L2 norm over the last axis, floored, with a NaN-free backward at 0.
+
+    sqrt(max(sum_sq, floor^2)) — the max's select gates the sqrt backward, so
+    a zero vector yields gradient 0 instead of 0/0.
+    """
+    sq = jnp.sum(x * x, axis=-1)
+    return jnp.sqrt(jnp.maximum(sq, floor * floor))
+
+
 def sgd_update(pose, sat_feat, sat_conf, grd_feat, grd_conf, jac,
                cfg: LMConfig, lr: float = 0.01):
     """Plain gradient step on the L2 residual (reference models_kitti.py:1056-1084).
@@ -184,6 +201,60 @@ def sgd_update(pose, sat_feat, sat_conf, grd_feat, grd_conf, jac,
     active = cfg.active_dims
     r = (sat_feat - grd_feat).astype(jnp.float32)
     grad = jnp.einsum("bhwc,bhwcn->bn", 2 * r,
+                      jac[..., jnp.array(active)].astype(jnp.float32))
+    return pose.at[:, jnp.array(active)].add(-lr * grad)
+
+
+def gn_update(pose, sat_feat, grd_feat, grd_conf, jac, cfg: LMConfig,
+              key: Optional[jax.Array] = None):
+    """Undamped Gauss-Newton step (Ford variant, models_ford.py:534-598).
+
+    Normalizes by the sat-feature whole-map norm, weights by grd confidence,
+    solves H delta = -J^T W r with NO damping, then applies the out-of-range
+    uniform re-init.
+    """
+    B = pose.shape[0]
+    active = cfg.active_dims
+    J, sat, grd, weight = _flatten_residual_system(
+        sat_feat, grd_feat, grd_conf, jac, active, None)
+    J = J.astype(jnp.float32)
+    sat = sat.astype(jnp.float32)
+    grd = grd.astype(jnp.float32)
+
+    sat_norm = _safe_norm(sat, 1e-6)
+    sat = sat / sat_norm[:, None]
+    J = J / sat_norm[:, None, None]
+
+    r = sat - grd
+    w = weight.astype(jnp.float32) if cfg.using_weight else jnp.ones_like(r)
+    Jw = J * w[..., None]
+    hess = jnp.einsum("bdn,bdm->bnm", Jw, J)
+    g = jnp.einsum("bdn,bd->bn", Jw, r)
+    # tiny Tikhonov floor keeps the solve finite when H is singular (the
+    # reference would raise on torch.inverse)
+    n = len(active)
+    delta = -jnp.linalg.solve(hess + 1e-8 * jnp.eye(n), g[..., None])[..., 0]
+    new = pose.astype(jnp.float32).at[:, jnp.array(active)].add(delta)
+
+    if key is not None and n == 3:
+        k1, k2 = jax.random.split(key)
+        rand_u = jax.random.uniform(k1, (B,), minval=-1.0, maxval=1.0)
+        rand_v = jax.random.uniform(k2, (B,), minval=-1.0, maxval=1.0)
+        su, sv = new[:, 0], new[:, 1]
+        new = new.at[:, 0].set(jnp.where((su > -2.5) & (su < 2.5), su, rand_u))
+        new = new.at[:, 1].set(jnp.where((sv > -2.5) & (sv < 2.5), sv, rand_v))
+    return new
+
+
+def sgd_update_l1(pose, sat_feat, grd_feat, jac, cfg: LMConfig,
+                  lr: float = 0.001):
+    """L1-subgradient SGD step (Ford variant, models_ford.py:609-634):
+    grad = sum(sign(r)/(C*H*W) * dfeat/dpose)."""
+    active = cfg.active_dims
+    r = (sat_feat - grd_feat).astype(jnp.float32)
+    H, W, C = r.shape[1:]
+    sub = jnp.sign(r) / (C * H * W)
+    grad = jnp.einsum("bhwc,bhwcn->bn", sub,
                       jac[..., jnp.array(active)].astype(jnp.float32))
     return pose.at[:, jnp.array(active)].add(-lr * grad)
 

@@ -1,0 +1,96 @@
+"""Checkpointing: orbax save/restore + reference .pth importer.
+
+Reference behavior (SURVEY.md §5.4): per-epoch ``model_<epoch%100>.pth`` and a
+best-model ``Model_best.pth`` gated on eval recall — both plain torch pickles
+of the state_dict; optimizer state never saved.  Here:
+
+  * native format: orbax ``model_<n>`` / ``Model_best`` directories with
+    params (+ optionally opt state);
+  * ``import_pth`` converts a released reference checkpoint to flax params so
+    the released pretrained models can be evaluated (BASELINE.md requirement);
+  * same file-name scheme inside the same save-path directory layout, so the
+    experiment-directory lookup is drop-in compatible.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from highlyaccurate_tpu.config import Config
+from highlyaccurate_tpu.models.vggunet import torch_branch_to_flax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer()
+
+
+def save_params(save_path: str, name: str, params: Any) -> str:
+    """Save params under ``<save_path>/<name>`` (orbax directory)."""
+    path = os.path.abspath(os.path.join(save_path, name))
+    ckpt = _checkpointer()
+    params = jax.device_get(params)
+    ckpt.save(path, params, force=True)
+    ckpt.wait_until_finished()
+    return path
+
+
+def load_params(save_path: str, name: str, like: Any) -> Any:
+    path = os.path.abspath(os.path.join(save_path, name))
+    ckpt = _checkpointer()
+    like = jax.tree_util.tree_map(np.asarray, jax.device_get(like))
+    return ckpt.restore(path, like)
+
+
+def epoch_ckpt_name(epoch: int) -> str:
+    """model_<epoch%100> (reference train_kitti.py:409-414)."""
+    return f"model_{epoch % 100}"
+
+
+def import_pth(path: str, cfg: Config) -> dict:
+    """Convert a reference ``state_dict`` .pth into LMS2GP flax params.
+
+    Maps (reference key prefix -> flax param subtree):
+      SatFeatureNet.* -> SatFeatureNet, GrdFeatureNet.* -> GrdFeatureNet,
+      damping -> damping, NNrefine.* -> nn_refine.
+    Conv kernels are transposed OIHW -> HWIO.
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+
+    params: dict = {}
+    params["SatFeatureNet"] = torch_branch_to_flax(
+        sd, "SatFeatureNet.", estimate_depth=bool(cfg.estimate_depth))
+    params["GrdFeatureNet"] = torch_branch_to_flax(
+        sd, "GrdFeatureNet.", estimate_depth=bool(cfg.estimate_depth))
+    if "damping" in sd:
+        params["damping"] = np.asarray(sd["damping"].detach().cpu().numpy())
+    if any(k.startswith("NNrefine.") for k in sd):
+        params["nn_refine"] = _import_nnrefine(sd, "NNrefine.")
+    return params
+
+
+def _import_nnrefine(sd, prefix: str) -> dict:
+    """NNrefine (reference RNNs.py:93-126): 4 convs + 2-layer MLP."""
+
+    def t(name):
+        return np.asarray(sd[prefix + name].detach().cpu().numpy())
+
+    out = {}
+    for i in range(4):
+        w = t(f"linear{i}.1.weight")
+        out[f"linear{i}"] = {"kernel": np.transpose(w, (2, 3, 1, 0)),
+                             "bias": t(f"linear{i}.1.bias")}
+    # torch Linear weight is [out, in] -> flax Dense kernel [in, out]
+    out["mapping0"] = {"kernel": t("mapping.1.weight").T,
+                       "bias": t("mapping.1.bias")}
+    out["mapping1"] = {"kernel": t("mapping.3.weight").T,
+                       "bias": t("mapping.3.bias")}
+    return out

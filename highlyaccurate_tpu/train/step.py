@@ -1,0 +1,119 @@
+"""Jitted, mesh-sharded train / eval steps.
+
+The reference is single-GPU with no distributed path (SURVEY.md §2.2 P1-P10);
+this module is the new TPU-native scale-out layer:
+
+  * 1-D device mesh over axis 'data' (model is VGG16-scale — weights are
+    replicated, batch is sharded; XLA emits the gradient psum over ICI);
+  * ``jax.jit`` with explicit NamedSharding in/out specs — no hand-written
+    collectives anywhere;
+  * multi-host: call ``jax.distributed.initialize()`` before building the
+    mesh and feed per-host batch shards via ``make_array_from_process_data``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from highlyaccurate_tpu.config import Config
+from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+from highlyaccurate_tpu.train.state import TrainState
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D data-parallel mesh (SURVEY.md §2.2 P1)."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch on the mesh, sharded along the leading axis."""
+    s = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    s = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def make_train_step(model, cfg: Config, mesh: Optional[Mesh] = None):
+    """Build the jitted train step: grads of loss_method over the full
+    unrolled solver, Adam update, loss diagnostics out.
+
+    Signature: S2GP ``step(state, sat, grd, gt_pose, rng)``;
+    G2SP ``step(state, sat, grd, camera_k, gt_pose, rng)``.
+    """
+    g2sp = cfg.direction == "G2SP"
+
+    def step(state: TrainState, sat, grd, *rest):
+        if g2sp:
+            camera_k, gt_pose, rng = rest
+        else:
+            gt_pose, rng = rest
+
+        def loss_fn(params):
+            if g2sp:
+                out = model.apply({"params": params}, sat, grd, camera_k,
+                                  gt_pose, mode="train", rngs={"lm": rng})
+            else:
+                out = model.apply({"params": params}, sat, grd, gt_pose,
+                                  mode="train", rngs={"lm": rng})
+            return out.loss, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        metrics = {
+            "loss": loss,
+            "loss_decrease": out.loss_decrease,
+            "shift_lat_decrease": out.shift_lat_decrease,
+            "shift_lon_decrease": out.shift_lon_decrease,
+            "thetas_decrease": out.thetas_decrease,
+            "loss_last": out.loss_last,
+            "shift_lat_last": out.shift_lat_last,
+            "shift_lon_last": out.shift_lon_last,
+            "theta_last": out.theta_last,
+        }
+        return new_state, metrics
+
+    n_data_args = 4 if g2sp else 3
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(repl,) + (data,) * n_data_args + (repl,),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
+    """Jitted inference: final (shift_lat, shift_lon, theta)."""
+    g2sp = cfg.direction == "G2SP"
+
+    def step(params, sat, grd, *rest):
+        if g2sp:
+            camera_k, rng = rest
+            return model.apply({"params": params}, sat, grd, camera_k,
+                               mode="test", rngs={"lm": rng})
+        (rng,) = rest
+        return model.apply({"params": params}, sat, grd, mode="test",
+                           rngs={"lm": rng})
+
+    n_data_args = 3 if g2sp else 2
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step,
+                   in_shardings=(repl,) + (data,) * n_data_args + (repl,),
+                   out_shardings=(data, data, data))

@@ -1,0 +1,117 @@
+"""Loss library and eval-metric protocol tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from highlyaccurate_tpu.eval.metrics import EvalResults, denormalize
+from highlyaccurate_tpu.losses.losses import (loss_func, normalize_feature,
+                                              soft_margin_triplet)
+
+
+def _traj(B=4, I=3, L=2, seed=0):
+    rng = np.random.RandomState(seed)
+    lats = jnp.asarray(rng.randn(B, I, L).astype(np.float32))
+    lons = jnp.asarray(rng.randn(B, I, L).astype(np.float32))
+    ths = jnp.asarray(rng.randn(B, I, L).astype(np.float32))
+    gt = [jnp.asarray(rng.randn(B).astype(np.float32)) for _ in range(3)]
+    return lats, lons, ths, gt
+
+
+def test_loss0_matches_manual():
+    lats, lons, ths, (gl, go, gt) = _traj()
+    out = loss_func(0, lats, lons, ths, gl, go, gt, 100.0, 100.0, 100.0)
+    lat_d = np.mean(np.abs(np.asarray(lats) - np.asarray(gl)[:, None, None]), 0)
+    lon_d = np.mean(np.abs(np.asarray(lons) - np.asarray(go)[:, None, None]), 0)
+    th_d = np.mean(np.abs(np.asarray(ths) - np.asarray(gt)[:, None, None]), 0)
+    want = np.mean(100 * lat_d + 100 * lon_d + 100 * th_d)
+    np.testing.assert_allclose(float(out.loss), want, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.shift_lat_last), lat_d[-1], rtol=1e-5)
+
+
+def test_loss0_zero_at_gt():
+    B, I, L = 2, 3, 2
+    gt = jnp.asarray(np.random.RandomState(0).randn(B).astype(np.float32))
+    traj = jnp.broadcast_to(gt[:, None, None], (B, I, L))
+    out = loss_func(0, traj, traj, traj, gt, gt, gt)
+    np.testing.assert_allclose(float(out.loss), 0.0, atol=1e-6)
+
+
+def test_loss_methods_1_2_3_finite():
+    B, I, L, H, W, C = 2, 3, 2, 4, 6, 3
+    rng = np.random.RandomState(1)
+    lats, lons, ths, (gl, go, gth) = _traj(B, I, L, seed=1)
+    ref = [jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+           for _ in range(L)]
+    pred = [jnp.asarray(rng.randn(B, I, H, W, C).astype(np.float32))
+            for _ in range(L)]
+    gtf = [jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+           for _ in range(L)]
+    puv = [jnp.asarray(rng.rand(B, I, H, W, 2).astype(np.float32))
+           for _ in range(L)]
+    guv = [jnp.asarray(rng.rand(B, H, W, 2).astype(np.float32))
+           for _ in range(L)]
+    for method in (1, 2, 3):
+        out = loss_func(method, lats, lons, ths, gl, go, gth,
+                        ref_feat_list=ref, pred_feat_list=pred,
+                        gt_feat_list=gtf, pred_uv_list=puv, gt_uv_list=guv)
+        assert np.isfinite(float(out.loss)), method
+
+
+def test_normalize_feature():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 4, 5, 6).astype(np.float32))
+    y = np.asarray(normalize_feature(x))
+    norms = np.linalg.norm(y.reshape(2, 3, -1), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+def test_soft_margin_triplet_prefers_gt_min():
+    corr = jnp.asarray(np.ones((1, 5, 5), np.float32))
+    corr = corr.at[0, 2, 3].set(0.0)  # gt cell is the minimum
+    good = float(soft_margin_triplet(corr, jnp.array([3]), jnp.array([2])))
+    bad = float(soft_margin_triplet(corr, jnp.array([0]), jnp.array([0])))
+    assert good < bad
+
+
+def test_metrics_protocol():
+    rng = np.random.RandomState(0)
+    N = 100
+    gt_shifts = rng.uniform(-20, 20, (N, 2))
+    gt_headings = rng.uniform(-10, 10, (N, 1))
+    # predictions: first 50 exact, last 50 off by 10 m / 20 deg
+    pred_shifts = gt_shifts.copy()
+    pred_headings = gt_headings.copy()
+    pred_shifts[50:] += 10.0
+    pred_headings[50:] += 20.0
+    res = EvalResults(pred_shifts, pred_headings, gt_shifts, gt_headings)
+    m = res.compute()
+    np.testing.assert_allclose(m["distance_recall_1m"], 50.0)
+    np.testing.assert_allclose(m["angle_recall_1deg"], 50.0)
+    np.testing.assert_allclose(m["lateral_recall_5m"], 50.0)
+    np.testing.assert_allclose(m["rank_result"], 50.0)
+    assert m["pred_dis_mean"] > m["init_dis_mean"] * 0  # defined
+
+
+def test_metrics_angle_wrap():
+    """Angle differences wrap to [0, 180] (reference train_kitti.py:86-88)."""
+    res = EvalResults(np.zeros((1, 2)), np.array([[350.0]]),
+                      np.zeros((1, 2)), np.array([[0.0]]))
+    m = res.compute()
+    np.testing.assert_allclose(m["pred_angle_mean"], 10.0)
+
+
+def test_metrics_writer(tmp_path):
+    res = EvalResults(np.zeros((4, 2)), np.zeros((4, 1)),
+                      np.ones((4, 2)), np.ones((4, 1)), time_per_image=0.01)
+    res.write(str(tmp_path), "Test1", epoch=3)
+    txt = (tmp_path / "Test1_results.txt").read_text()
+    assert "EPOCH: 3" in txt and "lateral" in txt and "angle within" in txt
+    assert (tmp_path / "Test1_results.mat").exists()
+
+
+def test_denormalize():
+    lat = np.array([0.5, -0.5])
+    lon = np.array([1.0, 0.0])
+    th = np.array([0.1, -1.0])
+    shifts, headings = denormalize(lat, lon, th, 20.0, 10.0, 10.0)
+    np.testing.assert_allclose(shifts, [[10.0, 10.0], [-10.0, 0.0]])
+    np.testing.assert_allclose(headings, [[1.0], [-10.0]])
