@@ -85,6 +85,24 @@ def level_slots(cfg: Config):
     }[cfg.level]
 
 
+def polar_grid(sat_size: int, slot: int, max_radius_m: float = 40.0):
+    """Polar satellite->panorama sampling grid (reference
+    models_kitti.py:1518-1541): [grd_H, 4*grd_W, 2] pixel coords."""
+    A = sat_size // (2 ** (3 - slot))
+    # meters-per-pixel ladder (reference models_kitti.py:637-640), adjusted
+    # for non-default sat sizes
+    mpp = geo.get_meter_per_pixel() * (geo.get_process_satmap_sidelength()
+                                       / sat_size) * (2 ** (3 - slot))
+    grd_H, grd_W = A // 2, A * 2
+    v, u = np.meshgrid(np.arange(grd_H, dtype=np.float32),
+                       np.arange(4 * grd_W, dtype=np.float32), indexing="ij")
+    theta = u / grd_W * np.pi * 2
+    radius = (1 - v / grd_H) * max_radius_m / mpp
+    us = A / 2 + radius * np.cos(np.pi / 4 - theta)
+    vs = A / 2 - radius * np.sin(np.pi / 4 - theta)
+    return np.stack([us, vs], axis=-1).astype(np.float32)
+
+
 class LMS2GP(nn.Module):
     """Flagship KITTI model, direction S2GP."""
     cfg: Config
@@ -103,6 +121,10 @@ class LMS2GP(nn.Module):
 
         self._rays = precompute_rays(cfg)
         self._slots = level_slots(cfg)
+        self._polar_grids = tuple(polar_grid(cfg.sat_size, s)
+                                  for s in range(4))
+        self._meters_per_pixel = tuple(
+            geo.get_meter_per_pixel() * (2 ** (3 - s)) for s in range(4))
 
     # -- geometry + sampling for one level ---------------------------------
     def _project(self, sat_feat, sat_conf, pose, slot: int, with_jac: bool,
@@ -205,6 +227,85 @@ class LMS2GP(nn.Module):
         sat_feats, sat_confs = self.SatFeatureNet(sat_map)
         grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
         return sat_feats, sat_confs, grd_feats, grd_confs
+
+    def polar_transform(self, sat_feat, slot: int):
+        """Polar warp of satellite features (reference models_kitti.py:1494-1516).
+        sat_feat [B, A, A, C] -> [B, A/2, 8A, C]."""
+        B = sat_feat.shape[0]
+        grids = jnp.broadcast_to(jnp.asarray(self._polar_grids[slot])[None],
+                                 (B,) + self._polar_grids[slot].shape)
+        polar, _ = grid_sample(sat_feat, grids)
+        return polar
+
+    def orien_corr(self, sat_map, grd_img, gt_pose=None, mode: str = "train"):
+        """Orientation-only dense correlation head
+        (reference models_kitti.py:1543-1624).
+
+        Circularly correlates the ground panorama against a polar-warped
+        satellite feature map over heading candidates within
+        +-rotation_range; TPU-native grouped conv on the MXU.
+        """
+        cfg = self.cfg
+        sat_feats, _, grd_feats, _ = self.extract_features(sat_map, grd_img)
+        B = sat_map.shape[0]
+
+        corr_list = []
+        orien = None
+        for lvl in range(len(self._slots)):
+            slot = self._slots[lvl]
+            grd_feat = grd_feats[lvl]  # [B, H, W, C]
+            H, W, C = grd_feat.shape[1:]
+            flat = grd_feat.reshape(B, -1)
+            norm = jnp.sqrt(jnp.maximum(jnp.sum(flat * flat, -1), 1e-24))
+            grd_feat = grd_feat / norm[:, None, None, None]
+
+            polar = self.polar_transform(sat_feats[lvl], slot)  # [B,H,4W',C]
+            degree_per_pixel = 90.0 / W
+            n = int(np.ceil(cfg.rotation_range / degree_per_pixel))
+            sat_W = polar.shape[2]
+            if sat_W - W < n:
+                polar1 = jnp.concatenate(
+                    [polar[:, :, -n:], polar, polar[:, :, : (n - sat_W + W)]],
+                    axis=2)
+            else:
+                polar1 = jnp.concatenate(
+                    [polar[:, :, -n:], polar[:, :, : (W + n)]], axis=2)
+
+            # grouped 1-row correlation: [1, H, L, B*C] vs kernel [H, W, C, B]
+            L = polar1.shape[2]
+            x = jnp.transpose(polar1, (1, 2, 0, 3)).reshape(1, H, L, B * C)
+            k = jnp.transpose(grd_feat, (1, 2, 3, 0))  # [H, W, C, B]
+            corr = jax.lax.conv_general_dilated(
+                x, k, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=B)[0, 0]  # [L-W+1, B]
+            corr = jnp.transpose(corr)  # [B, L-W+1]
+
+            sq = jnp.sum(polar1 ** 2, axis=-1, keepdims=True)  # [B,H,L,1]
+            denom = jax.lax.reduce_window(
+                sq, 0.0, jax.lax.add, (1, H, W, 1), (1, 1, 1, 1),
+                "VALID")[:, 0, :, 0]  # [B, L-W+1]
+            denom = jnp.maximum(jnp.sqrt(denom), 1e-6)
+            corr = 2 - 2 * corr / denom
+
+            idx = jnp.argmin(corr, axis=-1)
+            orien = (idx - n) * degree_per_pixel
+            corr_list.append((corr, degree_per_pixel))
+
+        if mode != "train":
+            return orien
+
+        # heading triplet loss (reference models_kitti.py:1607-1624)
+        gt_deg = gt_pose[:, 2] * cfg.rotation_range
+        losses = []
+        for corr, dpp in corr_list:
+            Wc = corr.shape[1]
+            gt_idx = ((Wc - 1) / 2 + jnp.round(gt_deg / dpp)).astype(jnp.int32)
+            pos = corr[jnp.arange(B), gt_idx]
+            pos_neg = pos[:, None] - corr
+            losses.append(jnp.sum(jnp.log1p(jnp.exp(pos_neg * 10.0)))
+                          / (B * (Wc - 1)))
+        return jnp.sum(jnp.stack(losses))
 
     def __call__(self, sat_map, grd_img, gt_pose=None, mode: str = "train",
                  gt_depth=None):

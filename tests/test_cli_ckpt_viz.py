@@ -1,0 +1,136 @@
+"""CLI end-to-end (synthetic), checkpoint roundtrip + .pth import, viz tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_kitti_cli_synthetic_eval(tmp_path, monkeypatch):
+    """Full eval path: synthetic data -> metrics files in the reference
+    save-path layout."""
+    from highlyaccurate_tpu.cli import train_kitti as cli
+    from highlyaccurate_tpu.config import config_from_args
+
+    argv = ["--test", "1", "--synthetic", "4", "--batch_size", "2",
+            "--level", "-1", "--N_iters", "1",
+            "--save_root", str(tmp_path)]
+    args = cli.parse_args(argv)
+    cfg = config_from_args(args)
+    # tiny geometry for CPU speed
+    cfg = cfg.__class__(**{**cfg.__dict__, "grd_h": 32, "grd_w": 128,
+                           "sat_size": 64})
+    save_path = cfg.save_path(str(tmp_path))
+    os.makedirs(save_path, exist_ok=True)
+
+    model = cli.build_model(cfg)
+    variables = cli.init_model(cfg, model)
+    cli.evaluate(model, cfg, variables["params"], args, "test1", save_path,
+                 epoch=0, best_rank=1e9)
+    assert os.path.exists(os.path.join(save_path, "Test1_results.txt"))
+    assert os.path.exists(os.path.join(save_path, "Test1_results.mat"))
+
+
+def test_orbax_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.train.checkpoint import load_params, save_params
+
+    params = {"a": {"w": jnp.arange(6.0).reshape(2, 3)},
+              "b": jnp.ones((4,))}
+    save_params(str(tmp_path), "model_0", params)
+    like = jax.tree_util.tree_map(jnp.zeros_like, params)
+    restored = load_params(str(tmp_path), "model_0", like)
+    np.testing.assert_array_equal(np.asarray(restored["a"]["w"]),
+                                  np.asarray(params["a"]["w"]))
+
+
+def test_import_pth_roundtrip(tmp_path):
+    """A synthetic reference-shaped .pth state_dict imports into params whose
+    structure matches a freshly initialized LMS2GP."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.config import Config
+    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+    from highlyaccurate_tpu.train.checkpoint import import_pth
+
+    rng = np.random.RandomState(0)
+
+    def conv(o, i):
+        return torch.from_numpy(rng.randn(o, i, 3, 3).astype(np.float32))
+
+    sd = {}
+    enc = {"conv0": (64, 3), "conv2": (64, 64), "conv5": (128, 64),
+           "conv7": (128, 128), "conv10": (256, 128), "conv12": (256, 256),
+           "conv14": (256, 256)}
+    for branch in ["SatFeatureNet", "GrdFeatureNet"]:
+        for k, (o, i) in enc.items():
+            sd[f"{branch}.{k}.weight"] = conv(o, i)
+            sd[f"{branch}.{k}.bias"] = torch.from_numpy(
+                rng.randn(o).astype(np.float32))
+        for k, (a, b, c) in {"conv_dec1": (384, 128, 128),
+                             "conv_dec2": (192, 64, 64),
+                             "conv_dec3": (128, 32, 16)}.items():
+            sd[f"{branch}.{k}.1.weight"] = conv(b, a)
+            sd[f"{branch}.{k}.3.weight"] = conv(c, b)
+        for k, c in {"conf0": 256, "conf1": 128, "conf2": 64,
+                     "conf3": 16}.items():
+            sd[f"{branch}.{k}.1.weight"] = conv(1, c)
+    sd["damping"] = torch.zeros(1, 3)
+    path = str(tmp_path / "model_1.pth")
+    torch.save(sd, path)
+
+    cfg = Config(grd_h=32, grd_w=128, sat_size=64, level=-1, N_iters=1)
+    imported = import_pth(path, cfg)
+
+    model = LMS2GP(cfg=cfg)
+    init_p = model.init({"params": jax.random.PRNGKey(0),
+                         "lm": jax.random.PRNGKey(1)},
+                        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 32, 128, 3)),
+                        jnp.zeros((1, 3)), mode="train")["params"]
+    want = jax.tree_util.tree_map(lambda a: a.shape, init_p)
+    got = jax.tree_util.tree_map(lambda a: a.shape, imported)
+    assert want == got
+
+    # imported params run
+    out = model.apply({"params": imported}, jnp.zeros((1, 64, 64, 3)),
+                      jnp.zeros((1, 32, 128, 3)), mode="test",
+                      rngs={"lm": jax.random.PRNGKey(0)})
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_features_to_rgb(tmp_path):
+    from highlyaccurate_tpu.viz.visualize import features_to_rgb
+    feats = [np.random.RandomState(0).randn(1, 8, 8, 16).astype(np.float32),
+             np.random.RandomState(1).randn(1, 4, 4, 16).astype(np.float32)]
+    paths = features_to_rgb(feats, str(tmp_path))
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+
+def test_pose_trajectory_plot(tmp_path):
+    from highlyaccurate_tpu.viz.visualize import pose_trajectory_plot
+    sat = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    traj = np.random.RandomState(1).uniform(-1, 1, (1, 2, 3)).astype(np.float32)
+    gt = np.zeros((1, 3), np.float32)
+    p = pose_trajectory_plot(sat, traj, traj, traj, gt, 0.2, 20, 20, 10,
+                             str(tmp_path / "traj.png"))
+    assert os.path.exists(p)
+
+
+def test_cfgnode():
+    from highlyaccurate_tpu.utils.cfgnode import CfgNode
+    c = CfgNode({"transform": {"rotation": {"x": 1.0, "y": 2.0}}, "K": [1, 2]})
+    assert c.transform.rotation.x == 1.0
+    assert c.K == [1, 2]
+    c2 = CfgNode({"transform": {"rotation": {"x": 9.0}}})
+    c.merge_from_other_cfg(c2)
+    assert c.transform.rotation.x == 9.0 and c.transform.rotation.y == 2.0
+    c.merge_from_list(["transform.rotation.x", 5.0])
+    assert c.transform.rotation.x == 5.0
+    c.freeze()
+    with pytest.raises(AttributeError):
+        c.new_key = 1
+    c.defrost()
+    c.new_key = 1
+    assert c.new_key == 1
