@@ -87,3 +87,23 @@ def test_pose_moves_toward_solution():
                                   rngs={"lm": jax.random.PRNGKey(4)})
     # poses stay in the valid normalized range after reinit logic
     assert (np.abs(np.asarray([lat, lon])) <= 2.5).all()
+
+
+def test_orien_corr_head():
+    cfg = Config(grd_h=32, grd_w=128, sat_size=64, N_iters=1, level=-1)
+    model = LMS2GP(cfg=cfg)
+    sat, grd, gt = _data(cfg=cfg, seed=7)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "lm": jax.random.PRNGKey(1)}, sat, grd, gt,
+                        mode="train")
+    loss = model.apply(params, sat, grd, gt, mode="train", method="orien_corr",
+                       rngs={"lm": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(loss))
+    orien = model.apply(params, sat, grd, mode="test", method="orien_corr",
+                        rngs={"lm": jax.random.PRNGKey(2)})
+    # orientation estimates stay within the (grid-quantized) search range:
+    # n = ceil(range / deg_per_px) cells each side
+    W = cfg.grd_w // 8
+    dpp = 90.0 / W
+    bound = np.ceil(cfg.rotation_range / dpp) * dpp
+    assert (np.abs(np.asarray(orien)) <= bound + 1e-4).all()
