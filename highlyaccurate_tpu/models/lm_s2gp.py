@@ -307,26 +307,67 @@ class LMS2GP(nn.Module):
                           / (B * (Wc - 1)))
         return jnp.sum(jnp.stack(losses))
 
-    def __call__(self, sat_map, grd_img, gt_pose=None, mode: str = "train",
-                 gt_depth=None):
-        """Run feature extraction + unrolled solver.
+    def multi_hypothesis_test(self, sat_map, grd_img, n_hyp: int,
+                              gt_depth=None):
+        """Multi-start LM inference (NEW capability; SURVEY.md §2.2 P6).
 
-        Args:
-          sat_map: [B, A, A, 3]; grd_img: [B, H, W, 3] (channel-last).
-          gt_pose: [B, 3] normalized (shift_u, shift_v, heading); train only.
-          mode: 'train' -> LossDiagnostics, 'test' -> final [B, 3] pose.
+        Runs the solver from ``n_hyp`` initial poses per sample (hypothesis 0
+        at the reference's zero init, the rest uniform in [-1, 1]) and picks
+        the hypothesis whose final normalized feature residual at the finest
+        level is smallest.  Hypotheses ride the batch axis, so the whole
+        sweep is one jitted program.
+
+        Returns (shift_lat, shift_lon, theta) each [B].
         """
         cfg = self.cfg
         B = sat_map.shape[0]
+        P = n_hyp
         sat_feats, sat_confs, grd_feats, grd_confs = self.extract_features(
             sat_map, grd_img)
 
-        collect_aux = mode == "train" and cfg.loss_method > 0
-        base_key = self.make_rng("lm") if (cfg.dropout > 0 or
-                                           len(cfg.active_pose_dims) == 3) \
-            else jax.random.PRNGKey(0)
+        tile = lambda x: jnp.repeat(x, P, axis=0)  # [B,...] -> [B*P,...]
+        sat_feats = [tile(f) for f in sat_feats]
+        sat_confs = [tile(c) for c in sat_confs]
+        grd_feats_t = [tile(f) for f in grd_feats]
+        grd_confs_t = [tile(c) for c in grd_confs]
 
-        pose0 = jnp.zeros((B, 3), dtype=jnp.float32)
+        base_key = self.make_rng("lm")
+        init = jax.random.uniform(jax.random.fold_in(base_key, -1),
+                                  (B, P, 3), minval=-1.0, maxval=1.0)
+        init = init.at[:, 0, :].set(0.0)  # hypothesis 0 = reference init
+        if cfg.rotation_range == 0:
+            init = init.at[..., 2].set(0.0)
+        pose0 = init.reshape(B * P, 3)
+
+        traj, _, _ = self._run_rounds(
+            pose0, sat_feats, sat_confs, grd_feats_t, grd_confs_t, base_key,
+            collect_aux=False, gt_depth=gt_depth, mode="test")
+        final = traj[-1]  # [B*P, 3]
+
+        # score: normalized residual at the finest level under the final pose
+        lvl = len(self._slots) - 1
+        slot = self._slots[lvl]
+        sat_fp, _, _, _, m = self._project(
+            sat_feats[lvl], None, final, slot, with_jac=False,
+            gt_depth=gt_depth)
+        g = grd_feats_t[lvl] * m[..., None]
+        half = g.shape[1] // 2 if cfg.proj == "geo" else 0
+        s_f = sat_fp[:, half:].reshape(B * P, -1)
+        g_f = g[:, half:].reshape(B * P, -1)
+        s_n = jnp.sqrt(jnp.maximum(jnp.sum(s_f * s_f, -1), 1e-12))
+        g_n = jnp.sqrt(jnp.maximum(jnp.sum(g_f * g_f, -1), 1e-12))
+        cost = jnp.sum((s_f / s_n[:, None] - g_f / g_n[:, None]) ** 2, axis=-1)
+        best = jnp.argmin(cost.reshape(B, P), axis=1)  # [B]
+
+        final = final.reshape(B, P, 3)[jnp.arange(B), best]
+        return final[:, 1], final[:, 0], final[:, 2]
+
+    def _run_rounds(self, pose0, sat_feats, sat_confs, grd_feats, grd_confs,
+                    base_key, collect_aux: bool, gt_depth, mode: str):
+        """Shared (iteration x level) solver loop; returns (traj list,
+        aux_feats dict, aux_uvs dict)."""
+        cfg = self.cfg
+        B = pose0.shape[0]
         n_levels = len(self._slots)
         adam0 = (jnp.zeros((B, len(cfg.active_pose_dims))),
                  jnp.zeros((B, len(cfg.active_pose_dims))))
@@ -341,13 +382,12 @@ class LMS2GP(nn.Module):
                 grd_feats[lvl_pos], grd_confs[lvl_pos], key, adam_state, t,
                 gt_depth=gt_depth, collect=collect_aux)
 
-        trajectories = []  # list over rounds of pose [B, 3]
+        trajectories = []
         aux_feats = {lvl: [] for lvl in range(n_levels)}
         aux_uvs = {lvl: [] for lvl in range(n_levels)}
 
         pose, adam_state = pose0, adam0
         if cfg.level_first:
-            # for level: for iter (reference models_kitti.py:1318-1492)
             order = [(it, lvl) for lvl in range(n_levels)
                      for it in range(cfg.N_iters)]
         else:
@@ -356,8 +396,6 @@ class LMS2GP(nn.Module):
 
         for (it, lvl) in order:
             fn = round_fn
-            # remat each round to bound unrolled-backprop memory; skip for the
-            # NN optimizer (flax submodule call inside jax.checkpoint).
             if cfg.remat and mode == "train" and cfg.Optimizer != "NN":
                 fn = jax.checkpoint(round_fn, static_argnums=(2, 3))
             pose, adam_state, aux = fn(pose, adam_state, it, lvl)
@@ -365,6 +403,37 @@ class LMS2GP(nn.Module):
             if collect_aux:
                 aux_feats[lvl].append(aux[0])
                 aux_uvs[lvl].append(aux[1])
+        return trajectories, aux_feats, aux_uvs
+
+    def __call__(self, sat_map, grd_img, gt_pose=None, mode: str = "train",
+                 gt_depth=None):
+        """Run feature extraction + unrolled solver.
+
+        Args:
+          sat_map: [B, A, A, 3]; grd_img: [B, H, W, 3] (channel-last).
+          gt_pose: [B, 3] normalized (shift_u, shift_v, heading); train only.
+          mode: 'train' -> LossDiagnostics, 'test' -> final [B, 3] pose.
+        """
+        cfg = self.cfg
+        B = sat_map.shape[0]
+        if mode != "train" and cfg.pose_hypotheses > 1:
+            return self.multi_hypothesis_test(sat_map, grd_img,
+                                              cfg.pose_hypotheses,
+                                              gt_depth=gt_depth)
+        sat_feats, sat_confs, grd_feats, grd_confs = self.extract_features(
+            sat_map, grd_img)
+
+        collect_aux = mode == "train" and cfg.loss_method > 0
+        base_key = self.make_rng("lm") if (cfg.dropout > 0 or
+                                           len(cfg.active_pose_dims) == 3) \
+            else jax.random.PRNGKey(0)
+
+        pose0 = jnp.zeros((B, 3), dtype=jnp.float32)
+        n_levels = len(self._slots)
+
+        trajectories, aux_feats, aux_uvs = self._run_rounds(
+            pose0, sat_feats, sat_confs, grd_feats, grd_confs, base_key,
+            collect_aux=collect_aux, gt_depth=gt_depth, mode=mode)
 
         traj = jnp.stack(trajectories, axis=1)  # [B, rounds, 3]
         if cfg.level_first:

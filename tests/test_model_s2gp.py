@@ -107,3 +107,16 @@ def test_orien_corr_head():
     dpp = 90.0 / W
     bound = np.ceil(cfg.rotation_range / dpp) * dpp
     assert (np.abs(np.asarray(orien)) <= bound + 1e-4).all()
+
+
+def test_multi_hypothesis_inference():
+    cfg = Config(pose_hypotheses=3, **TINY)
+    model = LMS2GP(cfg=cfg)
+    sat, grd, gt = _data(cfg=cfg, seed=9)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "lm": jax.random.PRNGKey(1)}, sat, grd, gt,
+                        mode="train")
+    lat, lon, th = model.apply(params, sat, grd, mode="test",
+                               rngs={"lm": jax.random.PRNGKey(3)})
+    assert lat.shape == lon.shape == th.shape == (2,)
+    assert np.isfinite(np.asarray([lat, lon, th])).all()
