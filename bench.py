@@ -46,22 +46,34 @@ def main():
                            sat, grd, jnp.zeros((batch, 3)), mode="train")
 
     @jax.jit
-    def eval_step(params, sat, grd, key):
-        return model.apply({"params": params}, sat, grd, mode="test",
-                           rngs={"lm": key})
+    def eval_step(params, sat, grd, key, carry):
+        # ``carry`` chains successive calls on-device (forces serial
+        # execution without per-call host syncs); 1e-38 scaling keeps the
+        # data dependency while leaving the inputs numerically unchanged.
+        sat = sat + carry * 1e-38
+        lat, lon, th = model.apply({"params": params}, sat, grd, mode="test",
+                                   rngs={"lm": key})
+        return lat, lon, th, carry + jnp.sum(lat) * 1e-30
 
     params = variables["params"]
     key = jax.random.PRNGKey(0)
 
-    # warmup + compile
-    out = eval_step(params, sat, grd, key)
-    jax.block_until_ready(out)
+    # warmup + compile. NOTE: np.asarray (device->host fetch) is the sync
+    # fence — on the experimental axon platform block_until_ready returns
+    # before execution completes, so only a value fetch is reliable.
+    carry = jnp.zeros(())
+    out = eval_step(params, sat, grd, key, carry)
+    np.asarray(out[0])
 
-    n_iters = 20 if on_tpu else 3
+    # throughput: N chained dispatches, one final fetch (amortizes the
+    # host<->device round-trip, which dominates a per-call fence here)
+    n_iters = 30 if on_tpu else 3
     t0 = time.perf_counter()
+    carry = jnp.zeros(())
     for i in range(n_iters):
-        out = eval_step(params, sat, grd, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
+        lat, lon, th, carry = eval_step(params, sat, grd,
+                                        jax.random.fold_in(key, i), carry)
+    np.asarray(carry)
     dt = time.perf_counter() - t0
 
     fps = batch * n_iters / dt

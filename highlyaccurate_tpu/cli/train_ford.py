@@ -96,9 +96,10 @@ def make_loader(cfg: Config, args, split: str):
                          rotation_range=cfg.rotation_range,
                          whole=bool(args.test_whole),
                          grd_h=cfg.grd_h, grd_w=cfg.grd_w)
+    # batches are produced by _batches() with the Ford collate; Loader here
+    # only carries batch-size/shuffle bookkeeping
     loader = Loader(ds, cfg.batch_size, shuffle=(split == "train"
                                                  and not cfg.visualize))
-    loader.collate_fn = collate_ford  # type: ignore[attr-defined]
     return ds, loader
 
 

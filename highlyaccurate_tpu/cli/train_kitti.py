@@ -215,6 +215,20 @@ def train(model, cfg: Config, args, save_path: str):
             else:
                 state, metrics = train_step(state, b["sat"], b["grd"],
                                             b["gt_pose"], rng)
+            if cfg.visualize and loop % 100 == 0 and cfg.direction == "S2GP":
+                from highlyaccurate_tpu.viz.visualize import pose_trajectory_plot
+                lats, lons, ths = model.apply(
+                    {"params": jax.device_get(state.params)},
+                    jnp.asarray(batch["sat"][:1]), jnp.asarray(batch["grd"][:1]),
+                    mode="trajectory", rngs={"lm": rng})
+                from highlyaccurate_tpu.utils import geo as _geo
+                pose_trajectory_plot(
+                    batch["sat"][0], np.asarray(lats), np.asarray(lons),
+                    np.asarray(ths), batch["gt_pose"],
+                    _geo.get_meter_per_pixel(), cfg.shift_range_lat,
+                    cfg.shift_range_lon, cfg.rotation_range,
+                    os.path.join(f"./visualize_rot{cfg.rotation_range}",
+                                 f"traj_{epoch}_{loop}.png"))
             if loop % 10 == 9:
                 lvl = cfg.n_levels - 1
                 print(f"Epoch: {epoch} Loop: {loop} Delta: Level-{lvl}"

@@ -124,7 +124,8 @@ class KittiDataset:
                  grd_h: int = GRD_IMG_H, grd_w: int = GRD_IMG_W,
                  sat_size: int = geo.SATMAP_PROCESS_SIDELENGTH,
                  file_list: Optional[Sequence[str]] = None,
-                 rng: Optional[np.random.RandomState] = None):
+                 rng: Optional[np.random.RandomState] = None,
+                 use_native_warp: Optional[bool] = None):
         self.root = root
         self.split = split
         self.is_train = split == "train"
@@ -134,6 +135,14 @@ class KittiDataset:
         self.grd_h, self.grd_w = grd_h, grd_w
         self.sat_size = sat_size
         self.rng = rng or np.random.RandomState()
+        # fused single-pass C++ warp: default ON for training (throughput),
+        # OFF for eval (PIL-exact resampling parity, SURVEY.md §7.3-2)
+        if use_native_warp is None:
+            use_native_warp = self.is_train
+        if use_native_warp:
+            from highlyaccurate_tpu import native
+            use_native_warp = native.available()
+        self.use_native_warp = use_native_warp
 
         if file_list is not None:
             self.lines = list(file_list)
@@ -191,11 +200,22 @@ class KittiDataset:
         with Image.open(grd_path) as im:
             grd = _to_float_nhwc(im.convert("RGB"), (self.grd_h, self.grd_w))
 
-        sat_crop = synthesize_sat(sat_map, heading, gt_shift_x, gt_shift_y,
-                                  theta, self.shift_range_lat,
-                                  self.shift_range_lon, self.rotation_range,
-                                  self.sat_size)
-        sat = _to_float_nhwc(sat_crop, (self.sat_size, self.sat_size))
+        if self.use_native_warp:
+            from highlyaccurate_tpu import native
+            m = native.fused_synthesize_matrix(
+                heading, gt_shift_x, gt_shift_y, theta, self.shift_range_lat,
+                self.shift_range_lon, self.rotation_range,
+                sat_map.size[0], sat_map.size[1], self.sat_size,
+                geo.get_meter_per_pixel(scale=1))
+            sat = native.affine_warp(np.asarray(sat_map, np.uint8), m,
+                                     (self.sat_size, self.sat_size),
+                                     normalize=True)
+        else:
+            sat_crop = synthesize_sat(sat_map, heading, gt_shift_x,
+                                      gt_shift_y, theta, self.shift_range_lat,
+                                      self.shift_range_lon,
+                                      self.rotation_range, self.sat_size)
+            sat = _to_float_nhwc(sat_crop, (self.sat_size, self.sat_size))
 
         return Sample(sat=sat, camera_k=camera_k, grd=grd,
                       gt_shift_u=-gt_shift_x, gt_shift_v=-gt_shift_y,

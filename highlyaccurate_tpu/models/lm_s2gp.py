@@ -444,6 +444,10 @@ class LMS2GP(nn.Module):
         shift_lons = traj[..., 0]
         thetas = traj[..., 2]
 
+        if mode == "trajectory":
+            # full [B, N_iters, L] trajectories for visualization
+            # (reference plots inside forward, models_kitti.py:1285-1293)
+            return shift_lats, shift_lons, thetas
         if mode != "train":
             return shift_lats[:, -1, -1], shift_lons[:, -1, -1], thetas[:, -1, -1]
 

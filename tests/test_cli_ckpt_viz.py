@@ -134,3 +134,35 @@ def test_cfgnode():
     c.defrost()
     c.new_key = 1
     assert c.new_key == 1
+
+
+def test_ford_cli_synthetic_eval(tmp_path):
+    """Ford eval path on synthetic data -> per-log results files."""
+    from highlyaccurate_tpu.cli import train_ford as cli
+    from highlyaccurate_tpu.config import config_from_args
+    from highlyaccurate_tpu.models.ford import LMS2GPFord
+
+    argv = ["--test", "1", "--synthetic", "4", "--batch_size", "2",
+            "--level", "-1", "--N_iters", "1", "--save_root", str(tmp_path)]
+    args = cli.parse_args(argv)
+    cfg = config_from_args(args)
+    cfg = cfg.__class__(**{**cfg.__dict__, "grd_h": 32, "grd_w": 128,
+                           "sat_size": 64})
+    save_path = cfg.save_path_ford(str(tmp_path))
+    os.makedirs(save_path, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+    model = LMS2GPFord(cfg=cfg)
+    ds, _ = cli.make_loader(cfg, args, "test")
+    s = ds[0]
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "lm": jax.random.PRNGKey(1)},
+                           jnp.asarray(s.sat[None]), jnp.asarray(s.grd[None]),
+                           ds.satmap_sidelength_meters,
+                           jnp.asarray(s.R_FL[None]), jnp.asarray(s.T_FL[None]),
+                           jnp.zeros((1, 3)), mode="train")
+    rank = cli.evaluate(model, cfg, variables["params"], args, save_path,
+                        epoch=0, best_rank=1e9)
+    assert os.path.exists(os.path.join(save_path, "0_results.txt"))
+    assert 0.0 <= rank <= 100.0
