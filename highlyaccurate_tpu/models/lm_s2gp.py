@@ -332,7 +332,7 @@ class LMS2GP(nn.Module):
         grd_confs_t = [tile(c) for c in grd_confs]
 
         base_key = self.make_rng("lm")
-        init = jax.random.uniform(jax.random.fold_in(base_key, -1),
+        init = jax.random.uniform(jax.random.fold_in(base_key, 0x5EED),
                                   (B, P, 3), minval=-1.0, maxval=1.0)
         init = init.at[:, 0, :].set(0.0)  # hypothesis 0 = reference init
         if cfg.rotation_range == 0:
