@@ -128,10 +128,13 @@ class LMS2GP(nn.Module):
 
     # -- geometry + sampling for one level ---------------------------------
     def _project(self, sat_feat, sat_conf, pose, slot: int, with_jac: bool,
-                 gt_depth=None):
+                 gt_depth=None, row_start: int = 0):
         """Project satellite features into the ground view at ``pose``.
 
         Reference models_kitti.py:803-937 (project_map_to_grd).
+        ``row_start`` restricts sampling to ground rows >= row_start (the LM
+        update only consumes the sky-cropped bottom half — sampling the rest
+        is wasted gather bandwidth; used when the full map isn't needed).
         Returns (sat_feat_proj, sat_conf_proj, jac, uv_masked, mask).
         """
         cfg = self.cfg
@@ -144,9 +147,12 @@ class LMS2GP(nn.Module):
             xyz = xyz_w[None] * depth
             mask2d = jax.image.resize((gt_depth != -1).astype(jnp.float32)[..., None],
                                       (gt_depth.shape[0], h, w, 1), method="nearest")[..., 0]
+            if row_start:
+                xyz = xyz[:, row_start:]
+                mask2d = mask2d[:, row_start:]
         else:
-            xyz = jnp.asarray(self._rays[slot][0])  # [H, W, 3]
-            mask2d = jnp.asarray(self._rays[slot][1])[None]  # [1, H, W]
+            xyz = jnp.asarray(self._rays[slot][0][row_start:])  # [H', W, 3]
+            mask2d = jnp.asarray(self._rays[slot][1][row_start:])[None]
 
         if with_jac:
             uv, duv = geom.s2gp_uv_jac(pose, xyz, A, cfg.rotation_range,
@@ -174,18 +180,24 @@ class LMS2GP(nn.Module):
         cfg = self.cfg
         grd_H = grd_feat.shape[1]
 
+        # When the full projected map isn't collected for aux losses, only
+        # sample the bottom-half rows the sky crop keeps — halves the gather
+        # work of the hot loop with identical LM numerics.
+        half = grd_H // 2 if cfg.proj == "geo" else 0
+        row_start = 0 if collect else half
+
         sat_fp, sat_cp, jac, uv, m = self._project(
             sat_feat, sat_conf, pose, slot, with_jac=cfg.Optimizer != "NN",
-            gt_depth=gt_depth)
+            gt_depth=gt_depth, row_start=row_start)
 
-        g_feat = grd_feat * m[..., None]
-        g_conf = grd_conf * m[..., None]
+        g_feat = grd_feat[:, row_start:] * m[..., None]
+        g_conf = grd_conf[:, row_start:] * m[..., None]
+        crop = half - row_start  # remaining rows to drop before the update
 
         if cfg.proj == "geo":  # sky crop (reference models_kitti.py:1194-1199)
-            half = grd_H // 2
-            sat_f_n, sat_c_n = sat_fp[:, half:], sat_cp[:, half:]
-            grd_f_n, grd_c_n = g_feat[:, half:], g_conf[:, half:]
-            jac_n = jac[:, half:] if jac is not None else None
+            sat_f_n, sat_c_n = sat_fp[:, crop:], sat_cp[:, crop:]
+            grd_f_n, grd_c_n = g_feat[:, crop:], g_conf[:, crop:]
+            jac_n = jac[:, crop:] if jac is not None else None
         else:
             sat_f_n, sat_c_n, grd_f_n, grd_c_n, jac_n = sat_fp, sat_cp, g_feat, g_conf, jac
 
@@ -347,13 +359,14 @@ class LMS2GP(nn.Module):
         # score: normalized residual at the finest level under the final pose
         lvl = len(self._slots) - 1
         slot = self._slots[lvl]
+        gH = grd_feats_t[lvl].shape[1]
+        half = gH // 2 if cfg.proj == "geo" else 0
         sat_fp, _, _, _, m = self._project(
             sat_feats[lvl], None, final, slot, with_jac=False,
-            gt_depth=gt_depth)
-        g = grd_feats_t[lvl] * m[..., None]
-        half = g.shape[1] // 2 if cfg.proj == "geo" else 0
-        s_f = sat_fp[:, half:].reshape(B * P, -1)
-        g_f = g[:, half:].reshape(B * P, -1)
+            gt_depth=gt_depth, row_start=half)
+        g = grd_feats_t[lvl][:, half:] * m[..., None]
+        s_f = sat_fp.reshape(B * P, -1)
+        g_f = g.reshape(B * P, -1)
         s_n = jnp.sqrt(jnp.maximum(jnp.sum(s_f * s_f, -1), 1e-12))
         g_n = jnp.sqrt(jnp.maximum(jnp.sum(g_f * g_f, -1), 1e-12))
         cost = jnp.sum((s_f / s_n[:, None] - g_f / g_n[:, None]) ** 2, axis=-1)
