@@ -186,9 +186,15 @@ class LMS2GP(nn.Module):
         half = grd_H // 2 if cfg.proj == "geo" else 0
         row_start = 0 if collect else half
 
+        # conf maps feed the LM weight only when using_weight=1 — skip the
+        # extra sampling otherwise (reference always samples; wasted work)
+        need_conf = bool(cfg.using_weight)
         sat_fp, sat_cp, jac, uv, m = self._project(
-            sat_feat, sat_conf, pose, slot, with_jac=cfg.Optimizer != "NN",
-            gt_depth=gt_depth, row_start=row_start)
+            sat_feat, sat_conf if need_conf else None, pose, slot,
+            with_jac=cfg.Optimizer != "NN", gt_depth=gt_depth,
+            row_start=row_start)
+        if sat_cp is None:
+            sat_cp = jnp.zeros_like(sat_fp[..., :1])
 
         g_feat = grd_feat[:, row_start:] * m[..., None]
         g_conf = grd_conf[:, row_start:] * m[..., None]

@@ -20,7 +20,9 @@ XLA lowers to native TPU gathers; the Jacobian chain
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def _gather_corners(image, ix, iy):
@@ -29,6 +31,13 @@ def _gather_corners(image, ix, iy):
     image: [B, IH, IW, C]; ix, iy: [B, H, W] float pixel coords.
     Returns corner values (nw, ne, sw, se) each [B, H, W, C] and the clamped
     corner coordinates needed for the weights.
+
+    TPU note: fetched as ONE [2, 2, C] block gather per point (~30% faster
+    than 4 row gathers; scripts/microbench_gather2.py).  Block slice-starts
+    clip to [0, A-2] which can fetch different raw values than the
+    reference's per-corner clamping ONLY at points whose bilinear weights /
+    in-bounds mask are zero — so sampled values are bit-identical (verified
+    against the reference-semantics oracle in tests/test_grid_sample.py).
     """
     B, IH, IW, C = image.shape
 
@@ -37,22 +46,29 @@ def _gather_corners(image, ix, iy):
     ix_se = ix_nw + 1
     iy_se = iy_nw + 1
 
-    # clamp corners (reference jacobian.py:156-166)
+    # clamped corner coords for the weights (reference jacobian.py:156-166)
     cx_nw = jnp.clip(ix_nw, 0, IW - 1)
     cy_nw = jnp.clip(iy_nw, 0, IH - 1)
     cx_se = jnp.clip(ix_se, 0, IW - 1)
     cy_se = jnp.clip(iy_se, 0, IH - 1)
 
-    flat = image.reshape(B, IH * IW, C)
+    y0 = jnp.clip(iy_nw, 0, IH - 2).astype(jnp.int32).reshape(B, -1)
+    x0 = jnp.clip(ix_nw, 0, IW - 2).astype(jnp.int32).reshape(B, -1)
 
-    def take(cy, cx):
-        idx = (cy * IW + cx).astype(jnp.int32).reshape(B, -1, 1)  # [B, H*W, 1]
-        return jnp.take_along_axis(flat, idx, axis=1).reshape(ix.shape + (C,))
+    def per_b(im, ys, xs):
+        starts = jnp.stack([ys, xs], axis=-1)  # [P, 2]
+        dnums = lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+        return lax.gather(im, starts, dnums, slice_sizes=(2, 2, C),
+                          mode=lax.GatherScatterMode.CLIP)  # [P, 2, 2, C]
 
-    nw_val = take(cy_nw, cx_nw)
-    ne_val = take(cy_nw, cx_se)
-    sw_val = take(cy_se, cx_nw)
-    se_val = take(cy_se, cx_se)
+    block = jax.vmap(per_b)(image, y0, x0)  # [B, P, 2, 2, C]
+    shape = ix.shape + (C,)
+    nw_val = block[:, :, 0, 0].reshape(shape)
+    ne_val = block[:, :, 0, 1].reshape(shape)
+    sw_val = block[:, :, 1, 0].reshape(shape)
+    se_val = block[:, :, 1, 1].reshape(shape)
     return (nw_val, ne_val, sw_val, se_val), (cx_nw, cy_nw, cx_se, cy_se)
 
 
@@ -90,15 +106,21 @@ def grid_sample(image, uv, duv_dpose=None):
     if duv_dpose is None:
         return out, None
 
-    # d(out)/d(u), d(out)/d(v) from corner values (reference jacobian.py:190-194)
+    # d(out)/d(u), d(out)/d(v) from corner values (reference jacobian.py:190-194).
+    # dup factors: the reference clamps each corner separately, so at an exact
+    # boundary coordinate both x (or y) corners collapse to the same texel and
+    # the cross-derivative vanishes; the block fetch reads distinct texels, so
+    # (cx_se-cx_nw) / (cy_se-cy_nw) (1 interior, 0 collapsed) restores parity.
+    dup_x = (cx_se - cx_nw)
+    dup_y = (cy_se - cy_nw)
     dout_du = (nw_val * (-(cy_se - iy) * maskf)[..., None]
                + ne_val * ((cy_se - iy) * maskf)[..., None]
                + sw_val * (-(iy - cy_nw) * maskf)[..., None]
-               + se_val * ((iy - cy_nw) * maskf)[..., None])
+               + se_val * ((iy - cy_nw) * maskf)[..., None]) * dup_x[..., None]
     dout_dv = (nw_val * (-(cx_se - ix) * maskf)[..., None]
                + ne_val * (-(ix - cx_nw) * maskf)[..., None]
                + sw_val * ((cx_se - ix) * maskf)[..., None]
-               + se_val * ((ix - cx_nw) * maskf)[..., None])
+               + se_val * ((ix - cx_nw) * maskf)[..., None]) * dup_y[..., None]
 
     dout_duv = jnp.stack([dout_du, dout_dv], axis=-1)  # [B, H, W, C, 2]
     jac = jnp.einsum("bhwcu,bhwup->bhwcp", dout_duv,

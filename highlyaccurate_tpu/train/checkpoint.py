@@ -51,6 +51,46 @@ def epoch_ckpt_name(epoch: int) -> str:
     return f"model_{epoch % 100}"
 
 
+def save_train_state(save_path: str, name: str, state) -> str:
+    """Full-state checkpoint (params + optimizer + step/epoch).
+
+    The reference never checkpoints optimizer state (SURVEY.md §5.4) — this
+    is the fix path used with ``keep_optimizer_state=1``.
+    """
+    payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+        "epoch": int(state.epoch),
+    }
+    path = os.path.abspath(os.path.join(save_path, name + "_full"))
+    ckpt = _checkpointer()
+    ckpt.save(path, payload, force=True)
+    ckpt.wait_until_finished()
+    return path
+
+
+def load_train_state(save_path: str, name: str, state):
+    """Restore a full-state checkpoint onto a template TrainState."""
+    like = {
+        "params": jax.tree_util.tree_map(np.asarray,
+                                         jax.device_get(state.params)),
+        "opt_state": jax.tree_util.tree_map(np.asarray,
+                                            jax.device_get(state.opt_state)),
+        "step": 0,
+        "epoch": 0,
+    }
+    path = os.path.abspath(os.path.join(save_path, name + "_full"))
+    restored = _checkpointer().restore(path, like)
+    import jax.numpy as jnp
+    return state.replace(
+        params=restored["params"],
+        opt_state=jax.tree_util.tree_map(
+            lambda a, b: b, state.opt_state, restored["opt_state"]),
+        step=jnp.asarray(restored["step"], jnp.int32),
+        epoch=jnp.asarray(restored["epoch"], jnp.int32))
+
+
 def import_pth(path: str, cfg: Config) -> dict:
     """Convert a reference ``state_dict`` .pth into LMS2GP flax params.
 
