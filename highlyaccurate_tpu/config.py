@@ -78,6 +78,7 @@ class Config:
     pose_hypotheses: int = 1  # vmapped multi-start LM (reference is always 1)
     compute_dtype: str = "float32"  # "float32" | "bfloat16" feature compute
     remat: int = 1  # jax.checkpoint each (iter, level) round in training
+    use_banded_warp: int = 1  # Pallas banded line sampler in S2GP geo eval
     keep_optimizer_state: int = 0  # fix for the reference's per-epoch Adam reset
 
     @property

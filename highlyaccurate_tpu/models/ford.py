@@ -59,16 +59,20 @@ class LMS2GPFord(nn.Module):
         }[cfg.level]
 
     def _project(self, sat_feat, sat_conf, pose, slot: int, R_FL, T_FL,
-                 satmap_sidelength_meters, with_jac: bool, depth=None):
-        """Reference models_ford.py:266-378 (project_map_to_grd)."""
+                 satmap_sidelength_meters, with_jac: bool, depth=None,
+                 row_start: int = 0):
+        """Reference models_ford.py:266-378 (project_map_to_grd).
+
+        ``row_start`` restricts sampling to ground rows >= row_start (the
+        sky-cropped LM update never reads the top half — see lm_s2gp)."""
         cfg = self.cfg
         A = sat_feat.shape[1]
         if cfg.estimate_depth and depth is not None:
-            xyz_w = jnp.asarray(self._rays[slot][2])
-            Xc, mask2d = fgeom.depth_lift(xyz_w, depth)
+            xyz_w = jnp.asarray(self._rays[slot][2][row_start:])
+            Xc, mask2d = fgeom.depth_lift(xyz_w, depth[:, row_start:])
         else:
-            Xc = jnp.asarray(self._rays[slot][0])
-            mask2d = jnp.asarray(self._rays[slot][1])[None]
+            Xc = jnp.asarray(self._rays[slot][0][row_start:])
+            mask2d = jnp.asarray(self._rays[slot][1][row_start:])[None]
 
         uv, duv = fgeom.ford_uv_jac(
             pose, R_FL, T_FL, Xc, satmap_sidelength_meters, A,
@@ -127,19 +131,24 @@ class LMS2GPFord(nn.Module):
         for t, (it, lvl) in enumerate(order):
             def round_fn(p):
                 slot = self._slots[lvl]
+                grd_H_full = grd_feats[lvl].shape[1]
+                # sample only the sky-cropped rows unless collecting full
+                # aux maps (see lm_s2gp; halves the hot-loop gather work)
+                half = grd_H_full // 2 if cfg.proj == "geo" else 0
+                row_start = 0 if collect_aux else half
                 sat_fp, sat_cp, jac, uv, m = self._project(
                     sat_feats[lvl], sat_confs[lvl], p, slot, R_FL, T_FL,
                     satmap_sidelength_meters,
-                    with_jac=cfg.Optimizer != "NN", depth=grd_depths[lvl])
+                    with_jac=cfg.Optimizer != "NN", depth=grd_depths[lvl],
+                    row_start=row_start)
                 sat_cp = 1.0 / (1.0 + sat_cp)  # models_ford.py:716
-                g_feat = grd_feats[lvl] * m[..., None]
-                g_conf = grd_confs[lvl] * m[..., None]
-                grd_H = g_feat.shape[1]
+                g_feat = grd_feats[lvl][:, row_start:] * m[..., None]
+                g_conf = grd_confs[lvl][:, row_start:] * m[..., None]
+                crop = half - row_start
                 if cfg.proj == "geo":
-                    half = grd_H // 2
-                    s_f, s_c = sat_fp[:, half:], sat_cp[:, half:]
-                    g_f, g_c = g_feat[:, half:], g_conf[:, half:]
-                    j = jac[:, half:] if jac is not None else None
+                    s_f, s_c = sat_fp[:, crop:], sat_cp[:, crop:]
+                    g_f, g_c = g_feat[:, crop:], g_conf[:, crop:]
+                    j = jac[:, crop:] if jac is not None else None
                 else:
                     s_f, s_c, g_f, g_c, j = sat_fp, sat_cp, g_feat, g_conf, jac
 

@@ -42,6 +42,10 @@ from highlyaccurate_tpu.ops.grid_sample import grid_sample
 from highlyaccurate_tpu.solver.updates import LMConfig, adam_update, lm_update, sgd_update
 from highlyaccurate_tpu.utils import geo
 
+# cache of compiled banded samplers keyed by static shape
+_BANDED_CACHE: dict = {}
+
+
 def _level_hw(cfg: Config, level_idx: int):
     """Feature map H, W of pyramid slot ``level_idx`` (0 coarse ... 3 fine)."""
     f = 2 ** (3 - level_idx)
@@ -173,9 +177,57 @@ class LMS2GP(nn.Module):
             conf_proj = conf_proj * m[..., None]
         return feat_proj, conf_proj, jac, uv * m[..., None], m
 
+    def _project_banded(self, sat_feat, pose, slot: int, row_start: int,
+                        with_jac: bool):
+        """Pallas banded line sampler path (ops/pallas/banded_warp.py).
+
+        Exploits the per-row-affine structure of the geo projection; exact
+        bilinear + Jacobian parity with _project (see tests/test_banded_warp).
+        Eval-only (the kernel defines no VJP).
+        """
+        from highlyaccurate_tpu.ops.pallas.banded_warp import (
+            make_banded_sampler, pack_row_coefs)
+        cfg = self.cfg
+        A, C = sat_feat.shape[1], sat_feat.shape[-1]
+        xyz = jnp.asarray(self._rays[slot][0][row_start:])   # [V, W, 3]
+        mask2d = jnp.asarray(self._rays[slot][1][row_start:])[None]
+        V, Wg = xyz.shape[:2]
+        RB = min(A, ((int(A * 0.5) + 15) // 8) * 8)
+
+        # uv and duv at u=0,1 determine the per-row affine maps exactly
+        xyz01 = xyz[:, :2]                                    # [V, 2, 3]
+        if with_jac:
+            uv01, duv01 = geom.s2gp_uv_jac(pose, xyz01, A, cfg.rotation_range,
+                                           cfg.shift_range_lat,
+                                           cfg.shift_range_lon)
+        else:
+            uv01 = geom.s2gp_uv(pose, xyz01, A, cfg.rotation_range,
+                                cfg.shift_range_lat, cfg.shift_range_lon)
+            duv01 = None
+
+        coefs = pack_row_coefs(uv01[:, :, 0], uv01[:, :, 1], A, RB, Wg)
+        key_ = (A, C, V, Wg, RB)
+        sampler = _BANDED_CACHE.get(key_)
+        if sampler is None:
+            sampler = make_banded_sampler(A=A, C=C, V=V, W=Wg, RB=RB)
+            _BANDED_CACHE[key_] = sampler
+        out, dx, dy = sampler(sat_feat, coefs)                # [B, V, W, C]
+
+        jac = None
+        if with_jac:
+            P0 = duv01[:, :, 0]                               # [B, V, 2, 3]
+            dP = duv01[:, :, 1] - P0
+            u = jnp.arange(Wg, dtype=jnp.float32)
+            duv = P0[:, :, None] + u[None, None, :, None, None] * dP[:, :, None]
+            jac = (dx[..., None] * duv[:, :, :, None, 0, :]
+                   + dy[..., None] * duv[:, :, :, None, 1, :])
+            jac = jac * mask2d[..., None, None]
+        out = out * mask2d[..., None]
+        return out, jac, mask2d
+
     def _solver_round(self, pose, level_pos: int, slot: int, sat_feat, sat_conf,
                       grd_feat, grd_conf, key, adam_state, t, gt_depth=None,
-                      collect: bool = False):
+                      collect: bool = False, banded: bool = False):
         """One (iteration, level) solver round. Returns (pose', adam', aux)."""
         cfg = self.cfg
         grd_H = grd_feat.shape[1]
@@ -189,10 +241,19 @@ class LMS2GP(nn.Module):
         # conf maps feed the LM weight only when using_weight=1 — skip the
         # extra sampling otherwise (reference always samples; wasted work)
         need_conf = bool(cfg.using_weight)
-        sat_fp, sat_cp, jac, uv, m = self._project(
-            sat_feat, sat_conf if need_conf else None, pose, slot,
-            with_jac=cfg.Optimizer != "NN", gt_depth=gt_depth,
-            row_start=row_start)
+        use_banded = (banded and cfg.proj == "geo" and not need_conf
+                      and not collect and not cfg.use_gt_depth)
+        if use_banded:
+            sat_fp, jac, m2 = self._project_banded(
+                sat_feat, pose, slot, row_start,
+                with_jac=cfg.Optimizer != "NN")
+            m = jnp.broadcast_to(m2, sat_fp.shape[:3])
+            sat_cp, uv = None, None
+        else:
+            sat_fp, sat_cp, jac, uv, m = self._project(
+                sat_feat, sat_conf if need_conf else None, pose, slot,
+                with_jac=cfg.Optimizer != "NN", gt_depth=gt_depth,
+                row_start=row_start)
         if sat_cp is None:
             sat_cp = jnp.zeros_like(sat_fp[..., :1])
 
@@ -390,6 +451,9 @@ class LMS2GP(nn.Module):
         n_levels = len(self._slots)
         adam0 = (jnp.zeros((B, len(cfg.active_pose_dims))),
                  jnp.zeros((B, len(cfg.active_pose_dims))))
+        # Pallas banded sampler: eval-only (no VJP) and TPU-targeted
+        banded = (mode != "train" and bool(cfg.use_banded_warp)
+                  and jax.default_backend() == "tpu")
 
         def round_fn(pose, adam_state, it, lvl_pos):
             slot = self._slots[lvl_pos]
@@ -399,7 +463,7 @@ class LMS2GP(nn.Module):
             return self._solver_round(
                 pose, lvl_pos, slot, sat_feats[lvl_pos], sat_confs[lvl_pos],
                 grd_feats[lvl_pos], grd_confs[lvl_pos], key, adam_state, t,
-                gt_depth=gt_depth, collect=collect_aux)
+                gt_depth=gt_depth, collect=collect_aux, banded=banded)
 
         trajectories = []
         aux_feats = {lvl: [] for lvl in range(n_levels)}

@@ -1,0 +1,62 @@
+"""TPU check: banded-warp eval parity vs gather path + timing."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from highlyaccurate_tpu.config import Config
+from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+
+B = 8
+
+
+def fence(out):
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+
+
+def run(use_banded, params=None):
+    cfg = Config(level=3, N_iters=5, use_banded_warp=use_banded)
+    model = LMS2GP(cfg=cfg)
+    rng = np.random.RandomState(0)
+    sat = jnp.asarray(rng.rand(B, 512, 512, 3).astype(np.float32))
+    grd = jnp.asarray(rng.rand(B, 256, 1024, 3).astype(np.float32))
+    if params is None:
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "lm": jax.random.PRNGKey(1)}, sat, grd,
+                       jnp.zeros((B, 3)), mode="train")
+        params = v["params"]
+    ev = jax.jit(lambda p, s, g, k: model.apply(
+        {"params": p}, s, g, mode="test", rngs={"lm": k}))
+    out = ev(params, sat, grd, jax.random.PRNGKey(0))
+    fence(out)
+    t0 = time.perf_counter()
+    for i in range(5):
+        out = ev(params, sat, grd, jax.random.PRNGKey(0))
+    fence(out)
+    ms = (time.perf_counter() - t0) / 5 * 1e3
+    return params, np.stack([np.asarray(o) for o in out]), ms
+
+
+def main():
+    params, pose_g, ms_g = run(0)
+    print(f"gather path: {ms_g:.1f} ms/call -> {B / (ms_g / 1e3):.1f} fps",
+          flush=True)
+    _, pose_b, ms_b = run(1, params)
+    print(f"banded path: {ms_b:.1f} ms/call -> {B / (ms_b / 1e3):.1f} fps",
+          flush=True)
+    diff = np.abs(pose_g - pose_b)
+    print("max |pose diff| banded vs gather:", diff.max(), flush=True)
+    assert diff.max() < 1e-3, "banded path diverges from gather path"
+    print("PARITY OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

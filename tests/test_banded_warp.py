@@ -1,0 +1,93 @@
+"""Banded line-sampler parity vs grid_sample (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from highlyaccurate_tpu.ops.grid_sample import grid_sample
+from highlyaccurate_tpu.ops.pallas.banded_warp import (make_banded_sampler,
+                                                       pack_row_coefs)
+
+B, A, C, V, W, RB = 2, 32, 8, 4, 16, 16
+
+
+def _lines(seed=0, gentle=True):
+    """Random per-row affine uv lines with |slope| < 1."""
+    rng = np.random.RandomState(seed)
+    ax = rng.uniform(-4, A + 4, (B, V))
+    ay = rng.uniform(0, A - 1, (B, V))
+    bx = rng.uniform(0.5, 2.0, (B, V)) * rng.choice([-1, 1], (B, V))
+    by = bx * rng.uniform(-0.6, 0.6, (B, V))  # |slope| < 1
+    uv0 = np.stack([ax, ay], -1).astype(np.float32)
+    uv1 = np.stack([ax + bx, ay + by], -1).astype(np.float32)
+    return jnp.asarray(uv0), jnp.asarray(uv1)
+
+
+def _uv_grid(uv0, uv1):
+    u = jnp.arange(W, dtype=jnp.float32)
+    A_ = uv0[:, :, None, :]
+    B_ = (uv1 - uv0)[:, :, None, :]
+    return A_ + u[None, None, :, None] * B_  # [B, V, W, 2]
+
+
+@pytest.fixture(scope="module")
+def sampler():
+    return make_banded_sampler(A=A, C=C, V=V, W=W, RB=RB, interpret=True)
+
+
+def test_value_and_derivative_parity(sampler):
+    rng = np.random.RandomState(1)
+    sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
+    uv0, uv1 = _lines()
+    coefs = pack_row_coefs(uv0, uv1, A, RB, W)
+    out, dx, dy = sampler(sat, coefs)
+
+    uv = _uv_grid(uv0, uv1)
+    # oracle: grid_sample with duv = identity(2) gives (value, [d/dx, d/dy])
+    duv = jnp.broadcast_to(jnp.eye(2), uv.shape[:-1] + (2, 2))
+    want, wjac = grid_sample(sat, uv.reshape(B, V * W, 1, 2),
+                             duv.reshape(B, V * W, 1, 2, 2))
+    want = want.reshape(B, V, W, C)
+    wdx = wjac.reshape(B, V, W, C, 2)[..., 0]
+    wdy = wjac.reshape(B, V, W, C, 2)[..., 1]
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(wdx),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(wdy),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_out_of_bounds_rows_zero(sampler):
+    rng = np.random.RandomState(2)
+    sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
+    # lines far outside the map
+    uv0 = jnp.full((B, V, 2), -100.0)
+    uv1 = jnp.full((B, V, 2), -99.0)
+    coefs = pack_row_coefs(uv0, uv1, A, RB, W)
+    out, dx, dy = sampler(sat, coefs)
+    assert float(jnp.abs(out).max()) == 0.0
+    assert float(jnp.abs(dx).max()) == 0.0
+
+
+def test_steep_slope_still_exact():
+    """|slope| close to 1 exercises the 4-row sheared band edges."""
+    sampler = make_banded_sampler(A=A, C=C, V=V, W=W, RB=A, interpret=True)
+    rng = np.random.RandomState(3)
+    sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
+    ax = rng.uniform(2, A - 2, (B, V))
+    ay = rng.uniform(2, A - 2, (B, V))
+    bx = rng.uniform(0.8, 1.2, (B, V))
+    by = bx * rng.uniform(-0.95, 0.95, (B, V))
+    uv0 = jnp.asarray(np.stack([ax, ay], -1).astype(np.float32))
+    uv1 = jnp.asarray(np.stack([ax + bx, ay + by], -1).astype(np.float32))
+    coefs = pack_row_coefs(uv0, uv1, A, RB=A, W=W)
+    out, dx, dy = sampler(sat, coefs)
+
+    uv = _uv_grid(uv0, uv1)
+    want, _ = grid_sample(sat, uv.reshape(B, V * W, 1, 2))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(want).reshape(B, V, W, C),
+                               rtol=1e-5, atol=1e-5)
