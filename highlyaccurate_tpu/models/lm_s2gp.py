@@ -205,13 +205,22 @@ class LMS2GP(nn.Module):
                                 cfg.shift_range_lat, cfg.shift_range_lon)
             duv01 = None
 
-        coefs = pack_row_coefs(uv01[:, :, 0], uv01[:, :, 1], A, RB, Wg)
+        # Geometry note: sat-u is the (near-)constant-depth axis, so ground
+        # rows trace near-VERTICAL lines in sat space.  The kernel shears
+        # along its x axis (needs |dy/dx| < 1), so swap the sat axes and uv
+        # components; the returned d/dx,d/dy swap back accordingly.
+        uv01s = uv01[..., ::-1]
+        coefs = pack_row_coefs(uv01s[:, :, 0], uv01s[:, :, 1], A, RB, Wg)
         key_ = (A, C, V, Wg, RB)
         sampler = _BANDED_CACHE.get(key_)
         if sampler is None:
-            sampler = make_banded_sampler(A=A, C=C, V=V, W=Wg, RB=RB)
+            sampler = make_banded_sampler(
+                A=A, C=C, V=V, W=Wg, RB=RB,
+                interpret=jax.default_backend() != "tpu")
             _BANDED_CACHE[key_] = sampler
-        out, dx, dy = sampler(sat_feat, coefs)                # [B, V, W, C]
+        sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))         # swap sat axes
+        out, dv_, du_ = sampler(sat_t, coefs)                 # [B, V, W, C]
+        dx, dy = du_, dv_  # kernel x == our v; kernel y == our u
 
         jac = None
         if with_jac:

@@ -37,10 +37,11 @@ _SHEAR_CHUNK = 8
 
 
 def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, win_ref, sem,
-            *, RB: int, W: int, A: int, C: int):
+            *, RB: int, W: int, A: int, C: int, cfirst: bool):
     """coef_ref: scalar-prefetched [B, V, 8] SMEM f32 rows
-    (ax, bx, ay, by, slope, oy, _, _); sat_ref: [B, A, A, C] HBM;
-    out/dx/dy_ref: [1, 1, W, C] VMEM blocks; win_ref: [RB, A, C] scratch."""
+    (ax, bx, ay, by, slope, oy, _, _); sat_ref: [B, A, A, C] HBM (or
+    [B, A, C, A] when ``cfirst`` — used when C isn't 128-lane aligned);
+    out/dx/dy_ref: [1, 1, W, C] VMEM blocks; win_ref matches sat layout."""
     b = pl.program_id(0)
     v = pl.program_id(1)
 
@@ -55,7 +56,8 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, win_ref, sem,
     by = coef_ref[b, v, 3]
     slope = coef_ref[b, v, 4]
 
-    u = jax.lax.broadcasted_iota(jnp.float32, (W, 1), 0)[:, 0]  # [W]
+    u = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0]
+    u = u.astype(jnp.float32)  # [W]
     x = ax + bx * u
     y = ay + by * u
 
@@ -70,7 +72,7 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, win_ref, sem,
     m = mask.astype(jnp.float32) * quirk  # [W]
 
     # banded x-weights over window columns j
-    j = jax.lax.broadcasted_iota(jnp.float32, (W, A), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (W, A), 1).astype(jnp.float32)
     x0b = x0f[:, None]
     hit0 = (j == x0b).astype(jnp.float32)
     hit1 = (j == (x0b + 1.0)).astype(jnp.float32)
@@ -78,7 +80,7 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, win_ref, sem,
     dwx = -hit0 + hit1
 
     # line height per window column and integer shear
-    jcols = jax.lax.broadcasted_iota(jnp.float32, (1, A), 1)
+    jcols = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1).astype(jnp.float32)
     yj = ay + (jcols - ax) * slope        # [1, A]
     sj = jnp.floor(yj)                    # [1, A]
 
@@ -93,19 +95,33 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, win_ref, sem,
 
     n_chunks = RB // _SHEAR_CHUNK
 
+    dn_cfirst = (((1,), (1,)), ((), ()))  # [W, A] x [C, A] -> [W, C]
+
     for r in range(4):
         tgt = sj - oy_f + (r - 1.0)       # [1, A] window row per column
 
-        def chunk_body(ci, sh):
-            base = ci * _SHEAR_CHUNK
-            rr = (jax.lax.broadcasted_iota(jnp.float32, (_SHEAR_CHUNK, A), 0)
-                  + base.astype(jnp.float32))
-            sel = (rr == tgt).astype(jnp.float32)          # [chunk, A]
-            wchunk = win_ref[pl.ds(base, _SHEAR_CHUNK)]    # [chunk, A, C]
-            return sh + jnp.sum(sel[:, :, None] * wchunk, axis=0)
+        if cfirst:
+            def chunk_body(ci, sh):
+                base = ci * _SHEAR_CHUNK
+                rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
+                      .astype(jnp.float32) + base.astype(jnp.float32))
+                sel = (rr == tgt).astype(jnp.float32)          # [chunk, A]
+                wchunk = win_ref[pl.ds(base, _SHEAR_CHUNK)]    # [chunk, C, A]
+                return sh + jnp.sum(sel[:, None, :] * wchunk, axis=0)
 
-        sh = jax.lax.fori_loop(0, n_chunks, chunk_body,
-                               jnp.zeros((A, C), jnp.float32))
+            sh = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                   jnp.zeros((C, A), jnp.float32))
+        else:
+            def chunk_body(ci, sh):
+                base = ci * _SHEAR_CHUNK
+                rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
+                      .astype(jnp.float32) + base.astype(jnp.float32))
+                sel = (rr == tgt).astype(jnp.float32)          # [chunk, A]
+                wchunk = win_ref[pl.ds(base, _SHEAR_CHUNK)]    # [chunk, A, C]
+                return sh + jnp.sum(sel[:, :, None] * wchunk, axis=0)
+
+            sh = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                   jnp.zeros((A, C), jnp.float32))
 
         is_r0 = (rel == float(r)).astype(jnp.float32)      # y0 tap here
         is_r1 = (rel == float(r - 1)).astype(jnp.float32)  # y0+1 tap here
@@ -113,12 +129,17 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, win_ref, sem,
         dgy = -is_r0 + is_r1
 
         mb = m[:, None]
-        acc_o = acc_o + jnp.dot(wx * gy * mb, sh,
-                                preferred_element_type=jnp.float32)
-        acc_dx = acc_dx + jnp.dot(dwx * gy * mb, sh,
-                                  preferred_element_type=jnp.float32)
-        acc_dy = acc_dy + jnp.dot(wx * dgy * mb, sh,
-                                  preferred_element_type=jnp.float32)
+
+        def contract(wmat):
+            if cfirst:
+                return jax.lax.dot_general(
+                    wmat, sh, dimension_numbers=dn_cfirst,
+                    preferred_element_type=jnp.float32)
+            return jnp.dot(wmat, sh, preferred_element_type=jnp.float32)
+
+        acc_o = acc_o + contract(wx * gy * mb)
+        acc_dx = acc_dx + contract(dwx * gy * mb)
+        acc_dy = acc_dy + contract(wx * dgy * mb)
 
     out_ref[0, 0] = acc_o
     dx_ref[0, 0] = acc_dx
@@ -127,9 +148,16 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, win_ref, sem,
 
 def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
                         interpret: bool = False):
-    """Build fn(sat [B,A,A,C], coefs [B,V,8]) -> (out, dx, dy) [B,V,W,C]."""
+    """Build fn(sat [B,A,A,C], coefs [B,V,8]) -> (out, dx, dy) [B,V,W,C].
+
+    When C isn't a multiple of 128 (TPU lane width), the satellite map is
+    transposed to [B, A, C, A] before the kernel so the DMA slice's minor
+    dimension stays lane-aligned.
+    """
     assert RB % _SHEAR_CHUNK == 0, "RB must be a multiple of the shear chunk"
-    kernel = functools.partial(_kernel, RB=RB, W=W, A=A, C=C)
+    cfirst = (C % 128 != 0) and (A % 128 == 0)
+    kernel = functools.partial(_kernel, RB=RB, W=W, A=A, C=C, cfirst=cfirst)
+    win_shape = (RB, C, A) if cfirst else (RB, A, C)
 
     def build(B: int):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -147,7 +175,7 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((RB, A, C), jnp.float32),
+                pltpu.VMEM(win_shape, jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
         )
@@ -165,7 +193,10 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
     def sample(sat, coefs):
         B = sat.shape[0]
         call = build(B)
-        return call(coefs.astype(jnp.float32), sat.astype(jnp.float32))
+        sat = sat.astype(jnp.float32)
+        if cfirst:
+            sat = jnp.transpose(sat, (0, 1, 3, 2))  # [B, A, C, A]
+        return call(coefs.astype(jnp.float32), sat)
 
     return sample
 

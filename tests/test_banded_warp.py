@@ -91,3 +91,27 @@ def test_steep_slope_still_exact():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(want).reshape(B, V, W, C),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_cfirst_layout_parity():
+    """Exercise the transposed-window path (C not 128-aligned, A aligned)."""
+    A2, C2, V2, W2 = 128, 8, 2, 8
+    sampler = make_banded_sampler(A=A2, C=C2, V=V2, W=W2, RB=32,
+                                  interpret=True)
+    rng = np.random.RandomState(5)
+    sat = jnp.asarray(rng.rand(1, A2, A2, C2).astype(np.float32))
+    ax = rng.uniform(10, 100, (1, V2))
+    ay = rng.uniform(10, 100, (1, V2))
+    bx = rng.uniform(0.5, 2.0, (1, V2))
+    by = bx * rng.uniform(-0.5, 0.5, (1, V2))
+    uv0 = jnp.asarray(np.stack([ax, ay], -1).astype(np.float32))
+    uv1 = jnp.asarray(np.stack([ax + bx, ay + by], -1).astype(np.float32))
+    coefs = pack_row_coefs(uv0, uv1, A2, 32, W2)
+    out, dx, dy = sampler(sat, coefs)
+
+    u = jnp.arange(W2, dtype=jnp.float32)
+    uv = uv0[:, :, None, :] + u[None, None, :, None] * (uv1 - uv0)[:, :, None, :]
+    want, _ = grid_sample(sat, uv.reshape(1, V2 * W2, 1, 2))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(want).reshape(1, V2, W2, C2),
+                               rtol=1e-5, atol=1e-5)
