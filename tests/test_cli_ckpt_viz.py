@@ -166,3 +166,26 @@ def test_ford_cli_synthetic_eval(tmp_path):
                         epoch=0, best_rank=1e9)
     assert os.path.exists(os.path.join(save_path, "0_results.txt"))
     assert 0.0 <= rank <= 100.0
+
+
+def test_kitti_cli_synthetic_train_epoch(tmp_path):
+    """One tiny synthetic training epoch end-to-end: checkpoints written,
+    eval files produced, loss finite."""
+    from highlyaccurate_tpu.cli import train_kitti as cli
+    from highlyaccurate_tpu.config import config_from_args
+
+    argv = ["--test", "0", "--epochs", "1", "--synthetic", "4",
+            "--batch_size", "2", "--level", "-1", "--N_iters", "1",
+            "--lr", "1e-4", "--save_root", str(tmp_path)]
+    args = cli.parse_args(argv)
+    cfg = config_from_args(args)
+    cfg = cfg.__class__(**{**cfg.__dict__, "grd_h": 32, "grd_w": 128,
+                           "sat_size": 64})
+    save_path = cfg.save_path(str(tmp_path))
+    os.makedirs(save_path, exist_ok=True)
+
+    model = cli.build_model(cfg)
+    cli.train(model, cfg, args, save_path)
+    assert os.path.exists(os.path.join(save_path, "model_0"))
+    assert os.path.exists(os.path.join(save_path, "Test1_results.txt"))
+    assert os.path.exists(os.path.join(save_path, "Test2_results.txt"))
