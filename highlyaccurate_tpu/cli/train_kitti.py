@@ -79,6 +79,11 @@ def parse_args(argv=None):
     p.add_argument("--save_root", type=str, default=".")
     p.add_argument("--compute_dtype", type=str, default="float32")
     p.add_argument("--keep_optimizer_state", type=int, default=0)
+    p.add_argument("--use_banded_warp", type=int, default=1,
+                   help="Pallas banded sampler in S2GP eval (0 = exact "
+                        "gather-path numerics)")
+    p.add_argument("--pose_hypotheses", type=int, default=1,
+                   help="multi-start LM hypotheses at eval (new capability)")
     p.add_argument("--seed", type=int, default=2022)
     return p.parse_args(argv)
 
@@ -138,19 +143,25 @@ def evaluate(model, cfg: Config, params, args, split: str, save_path: str,
     t0 = time.time()
     n_images = 0
     for i, batch in enumerate(loader):
-        sat = jnp.asarray(batch["sat"])
-        grd = jnp.asarray(batch["grd"])
+        n = batch["sat"].shape[0]
+        pad = cfg.batch_size - n  # pad ragged final batch (trimmed below)
+        def p(x):
+            if pad > 0:
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+            return jnp.asarray(x)
+        sat = p(batch["sat"])
+        grd = p(batch["grd"])
         rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
         if cfg.direction == "G2SP":
-            k = jnp.asarray(batch["camera_k"])
-            lat, lon, th = eval_step(params, sat, grd, k, rng)
+            lat, lon, th = eval_step(params, sat, grd, p(batch["camera_k"]),
+                                     rng)
         else:
             lat, lon, th = eval_step(params, sat, grd, rng)
-        preds_lat.append(np.asarray(lat))
-        preds_lon.append(np.asarray(lon))
-        preds_th.append(np.asarray(th))
+        preds_lat.append(np.asarray(lat)[:n])
+        preds_lon.append(np.asarray(lon)[:n])
+        preds_th.append(np.asarray(th)[:n])
         gts.append(batch["gt_pose"])
-        n_images += sat.shape[0]
+        n_images += n
         if i % 20 == 0:
             print(i)
     duration = (time.time() - t0) / max(len(loader), 1)
@@ -184,7 +195,7 @@ def train(model, cfg: Config, args, save_path: str):
                                                      load_params, save_params)
     from highlyaccurate_tpu.train.state import create_train_state, reset_for_epoch
 
-    mesh = step_lib.make_mesh()
+    mesh = step_lib.make_mesh_for_batch(cfg.batch_size)
     variables = init_model(cfg, model)
     params = variables["params"]
     if args.resume:

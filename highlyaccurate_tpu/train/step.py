@@ -32,6 +32,15 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
+def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Data mesh over the largest device count that divides the batch."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(devices[:n])
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch on the mesh, sharded along the leading axis."""
     s = NamedSharding(mesh, P("data"))
