@@ -182,8 +182,9 @@ class LMS2GP(nn.Module):
         """Pallas banded line sampler path (ops/pallas/banded_warp.py).
 
         Exploits the per-row-affine structure of the geo projection; exact
-        bilinear + Jacobian parity with _project (see tests/test_banded_warp).
-        Eval-only (the kernel defines no VJP).
+        bilinear + Jacobian parity with _project (see tests/test_banded_warp),
+        differentiable w.r.t. sat features and pose via the kernel's custom
+        VJP.
         """
         from highlyaccurate_tpu.ops.pallas.banded_warp import (
             make_banded_sampler, pack_row_coefs)
@@ -460,8 +461,9 @@ class LMS2GP(nn.Module):
         n_levels = len(self._slots)
         adam0 = (jnp.zeros((B, len(cfg.active_pose_dims))),
                  jnp.zeros((B, len(cfg.active_pose_dims))))
-        # Pallas banded sampler: eval-only (no VJP) and TPU-targeted
-        banded = (mode != "train" and bool(cfg.use_banded_warp)
+        # Pallas banded sampler (TPU): differentiable via custom VJP
+        # (scatter-free banded-transpose backward), so train uses it too
+        banded = (bool(cfg.use_banded_warp)
                   and jax.default_backend() == "tpu")
 
         def round_fn(pose, adam_state, it, lvl_pos):

@@ -36,28 +36,20 @@ from jax.experimental.pallas import tpu as pltpu
 _SHEAR_CHUNK = 8
 
 
-def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, win_ref, sem,
-            *, RB: int, W: int, A: int, C: int, cfirst: bool):
-    """coef_ref: scalar-prefetched [B, V, 8] SMEM f32 rows
-    (ax, bx, ay, by, slope, oy, _, _); sat_ref: [B, A, A, C] HBM (or
-    [B, A, C, A] when ``cfirst`` — used when C isn't 128-lane aligned);
-    out/dx/dy_ref: [1, 1, W, C] VMEM blocks; win_ref matches sat layout."""
-    b = pl.program_id(0)
-    v = pl.program_id(1)
+def _weights(coef_ref, b, v, *, W: int, A: int):
+    """Shared per-row weight construction (forward and backward kernels).
 
-    oy_f = coef_ref[b, v, 5]
-    oy = oy_f.astype(jnp.int32)
-    cp = pltpu.make_async_copy(sat_ref.at[b, pl.ds(oy, RB)], win_ref, sem)
-    cp.start()
-
+    Returns (wx, dwx [W, A]; gy/dgy builders via rel; sj [1, A]; m [W];
+    fy [W]; oy_f scalar)."""
     ax = coef_ref[b, v, 0]
     bx = coef_ref[b, v, 1]
     ay = coef_ref[b, v, 2]
     by = coef_ref[b, v, 3]
     slope = coef_ref[b, v, 4]
+    oy_f = coef_ref[b, v, 5]
 
     u = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0]
-    u = u.astype(jnp.float32)  # [W]
+    u = u.astype(jnp.float32)
     x = ax + bx * u
     y = ay + by * u
 
@@ -66,12 +58,9 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, win_ref, sem,
     fx = x - x0f
     fy = y - y0f
     mask = ((x >= 0) & (x <= A - 1) & (y >= 0) & (y <= A - 1))
-    # exact-integer right/bottom-edge quirk: under the mask, x0f == A-1 only
-    # when x == A-1 exactly, where the reference's clamped weights all vanish
     quirk = ((x0f < A - 1) & (y0f < A - 1)).astype(jnp.float32)
-    m = mask.astype(jnp.float32) * quirk  # [W]
+    m = mask.astype(jnp.float32) * quirk
 
-    # banded x-weights over window columns j
     j = jax.lax.broadcasted_iota(jnp.int32, (W, A), 1).astype(jnp.float32)
     x0b = x0f[:, None]
     hit0 = (j == x0b).astype(jnp.float32)
@@ -79,101 +68,189 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, win_ref, sem,
     wx = (1.0 - fx)[:, None] * hit0 + fx[:, None] * hit1
     dwx = -hit0 + hit1
 
-    # line height per window column and integer shear
     jcols = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1).astype(jnp.float32)
-    yj = ay + (jcols - ax) * slope        # [1, A]
-    sj = jnp.floor(yj)                    # [1, A]
+    yj = ay + (jcols - ax) * slope
+    sj = jnp.floor(yj)
+    rel = y0f[:, None] - sj + 1.0
+    return wx, dwx, rel, fy, sj, m, oy_f
+
+
+def _row_weight_mats(wx, dwx, rel, fy, m, r: int):
+    """The 4 banded weight matrices for sheared row r (value, d/dx, d/dy,
+    d2/dxdy), each [W, A]."""
+    is_r0 = (rel == float(r)).astype(jnp.float32)
+    is_r1 = (rel == float(r - 1)).astype(jnp.float32)
+    gy = (1.0 - fy)[:, None] * is_r0 + fy[:, None] * is_r1
+    dgy = -is_r0 + is_r1
+    mb = m[:, None]
+    return (wx * gy * mb, dwx * gy * mb, wx * dgy * mb, dwx * dgy * mb)
+
+
+def _shear_row(win_ref, sj, oy_f, r: int, *, RB: int, A: int, C: int,
+               cfirst: bool):
+    """Extract sheared row r from the VMEM window: [A, C] (or [C, A])."""
+    tgt = sj - oy_f + (r - 1.0)
+    n_chunks = RB // _SHEAR_CHUNK
+
+    if cfirst:
+        def chunk_body(ci, sh):
+            base = ci * _SHEAR_CHUNK
+            rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
+                  .astype(jnp.float32) + base.astype(jnp.float32))
+            sel = (rr == tgt).astype(jnp.float32)
+            wchunk = win_ref[pl.ds(base, _SHEAR_CHUNK)]    # [chunk, C, A]
+            return sh + jnp.sum(sel[:, None, :] * wchunk, axis=0)
+        return jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                 jnp.zeros((C, A), jnp.float32))
+
+    def chunk_body(ci, sh):
+        base = ci * _SHEAR_CHUNK
+        rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
+              .astype(jnp.float32) + base.astype(jnp.float32))
+        sel = (rr == tgt).astype(jnp.float32)
+        wchunk = win_ref[pl.ds(base, _SHEAR_CHUNK)]        # [chunk, A, C]
+        return sh + jnp.sum(sel[:, :, None] * wchunk, axis=0)
+    return jax.lax.fori_loop(0, n_chunks, chunk_body,
+                             jnp.zeros((A, C), jnp.float32))
+
+
+_DN_CFIRST = (((1,), (1,)), ((), ()))  # [W, A] x [C, A] -> [W, C]
+
+
+def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, dxy_ref, win_ref, sem,
+            *, RB: int, W: int, A: int, C: int, cfirst: bool):
+    """Forward: coef_ref scalar-prefetched [B, V, 8] SMEM f32 rows
+    (ax, bx, ay, by, slope, oy, _, _); sat_ref [B, A, A, C] HBM (or
+    [B, A, C, A] when ``cfirst``); out/dx/dy/dxy [1, 1, W, C] VMEM blocks."""
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+
+    oy_f = coef_ref[b, v, 5]
+    oy = oy_f.astype(jnp.int32)
+    cp = pltpu.make_async_copy(sat_ref.at[b, pl.ds(oy, RB)], win_ref, sem)
+    cp.start()
+
+    wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, b, v, W=W, A=A)
 
     cp.wait()
-
-    y0b = y0f[:, None]                    # [W, 1]
-    rel = y0b - sj + 1.0                  # [W, A] tap row in sheared coords
 
     acc_o = jnp.zeros((W, C), jnp.float32)
     acc_dx = jnp.zeros((W, C), jnp.float32)
     acc_dy = jnp.zeros((W, C), jnp.float32)
-
-    n_chunks = RB // _SHEAR_CHUNK
-
-    dn_cfirst = (((1,), (1,)), ((), ()))  # [W, A] x [C, A] -> [W, C]
+    acc_dxy = jnp.zeros((W, C), jnp.float32)
 
     for r in range(4):
-        tgt = sj - oy_f + (r - 1.0)       # [1, A] window row per column
-
-        if cfirst:
-            def chunk_body(ci, sh):
-                base = ci * _SHEAR_CHUNK
-                rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
-                      .astype(jnp.float32) + base.astype(jnp.float32))
-                sel = (rr == tgt).astype(jnp.float32)          # [chunk, A]
-                wchunk = win_ref[pl.ds(base, _SHEAR_CHUNK)]    # [chunk, C, A]
-                return sh + jnp.sum(sel[:, None, :] * wchunk, axis=0)
-
-            sh = jax.lax.fori_loop(0, n_chunks, chunk_body,
-                                   jnp.zeros((C, A), jnp.float32))
-        else:
-            def chunk_body(ci, sh):
-                base = ci * _SHEAR_CHUNK
-                rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
-                      .astype(jnp.float32) + base.astype(jnp.float32))
-                sel = (rr == tgt).astype(jnp.float32)          # [chunk, A]
-                wchunk = win_ref[pl.ds(base, _SHEAR_CHUNK)]    # [chunk, A, C]
-                return sh + jnp.sum(sel[:, :, None] * wchunk, axis=0)
-
-            sh = jax.lax.fori_loop(0, n_chunks, chunk_body,
-                                   jnp.zeros((A, C), jnp.float32))
-
-        is_r0 = (rel == float(r)).astype(jnp.float32)      # y0 tap here
-        is_r1 = (rel == float(r - 1)).astype(jnp.float32)  # y0+1 tap here
-        gy = (1.0 - fy)[:, None] * is_r0 + fy[:, None] * is_r1
-        dgy = -is_r0 + is_r1
-
-        mb = m[:, None]
+        sh = _shear_row(win_ref, sj, oy_f, r, RB=RB, A=A, C=C, cfirst=cfirst)
+        w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy, m, r)
 
         def contract(wmat):
             if cfirst:
                 return jax.lax.dot_general(
-                    wmat, sh, dimension_numbers=dn_cfirst,
+                    wmat, sh, dimension_numbers=_DN_CFIRST,
                     preferred_element_type=jnp.float32)
             return jnp.dot(wmat, sh, preferred_element_type=jnp.float32)
 
-        acc_o = acc_o + contract(wx * gy * mb)
-        acc_dx = acc_dx + contract(dwx * gy * mb)
-        acc_dy = acc_dy + contract(wx * dgy * mb)
+        acc_o = acc_o + contract(w_o)
+        acc_dx = acc_dx + contract(w_dx)
+        acc_dy = acc_dy + contract(w_dy)
+        acc_dxy = acc_dxy + contract(w_dxy)
 
     out_ref[0, 0] = acc_o
     dx_ref[0, 0] = acc_dx
     dy_ref[0, 0] = acc_dy
+    dxy_ref[0, 0] = acc_dxy
 
 
-def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
-                        interpret: bool = False):
-    """Build fn(sat [B,A,A,C], coefs [B,V,8]) -> (out, dx, dy) [B,V,W,C].
+def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, gdxy_ref, grad_in_ref,
+                grad_ref, gw_ref, acc_ref, sem_r, sem_w,
+                *, RB: int, W: int, A: int, C: int, cfirst: bool):
+    """Backward w.r.t. the satellite map: scatter-free banded transpose.
 
-    When C isn't a multiple of 128 (TPU lane width), the satellite map is
-    transposed to [B, A, C, A] before the kernel so the DMA slice's minor
-    dimension stays lane-aligned.
+    grad_ref: [B, A, A, C] (or cfirst layout) HBM accumulator, aliased with a
+    zero-initialized input; the TPU grid is sequential so read-modify-write
+    through VMEM is race-free.  gw_ref/acc_ref: VMEM scratch windows.
     """
-    assert RB % _SHEAR_CHUNK == 0, "RB must be a multiple of the shear chunk"
-    cfirst = (C % 128 != 0) and (A % 128 == 0)
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+
+    oy_f = coef_ref[b, v, 5]
+    oy = oy_f.astype(jnp.int32)
+    rd = pltpu.make_async_copy(grad_ref.at[b, pl.ds(oy, RB)], acc_ref, sem_r)
+    rd.start()
+
+    wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, b, v, W=W, A=A)
+
+    g_o = go_ref[0, 0]
+    g_dx = gdx_ref[0, 0]
+    g_dy = gdy_ref[0, 0]
+    g_dxy = gdxy_ref[0, 0]
+
+    n_chunks = RB // _SHEAR_CHUNK
+    gw_ref[...] = jnp.zeros(gw_ref.shape, jnp.float32)
+
+    rd.wait()
+
+    for r in range(4):
+        w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy, m, r)
+        # contract the output (W) axis of weights [W, A] against g [W, C]
+        if cfirst:
+            # G [C, A] to match the [RB, C, A] window layout
+            dn_t = (((0,), (0,)), ((), ()))
+            G = (jax.lax.dot_general(g_o, w_o, dimension_numbers=dn_t,
+                                     preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(g_dx, w_dx, dimension_numbers=dn_t,
+                                       preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(g_dy, w_dy, dimension_numbers=dn_t,
+                                       preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(g_dxy, w_dxy, dimension_numbers=dn_t,
+                                       preferred_element_type=jnp.float32))
+        else:
+            dn_t = (((0,), (0,)), ((), ()))
+            G = (jax.lax.dot_general(w_o, g_o, dimension_numbers=dn_t,
+                                     preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(w_dx, g_dx, dimension_numbers=dn_t,
+                                       preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(w_dy, g_dy, dimension_numbers=dn_t,
+                                       preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(w_dxy, g_dxy, dimension_numbers=dn_t,
+                                       preferred_element_type=jnp.float32))
+        # un-shear: window row (sj - oy + r - 1) at column j receives G[:, j]
+        tgt = sj - oy_f + (r - 1.0)
+
+        def chunk_body(ci, _):
+            base = ci * _SHEAR_CHUNK
+            rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
+                  .astype(jnp.float32) + base.astype(jnp.float32))
+            sel = (rr == tgt).astype(jnp.float32)              # [chunk, A]
+            sl = pl.ds(base, _SHEAR_CHUNK)
+            if cfirst:
+                gw_ref[sl] = gw_ref[sl] + sel[:, None, :] * G[None]
+            else:
+                gw_ref[sl] = gw_ref[sl] + sel[:, :, None] * G[None]
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    acc_ref[...] = acc_ref[...] + gw_ref[...]
+    wr = pltpu.make_async_copy(acc_ref, grad_ref.at[b, pl.ds(oy, RB)], sem_w)
+    wr.start()
+    wr.wait()
+
+
+def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
+                 interpret: bool):
+    """fn(sat_kernel_layout, coefs) -> (out, dx, dy, dxy) [B, V, W, C]."""
     kernel = functools.partial(_kernel, RB=RB, W=W, A=A, C=C, cfirst=cfirst)
     win_shape = (RB, C, A) if cfirst else (RB, A, C)
 
     def build(B: int):
+        out_spec = pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),
+                                memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # coefs land whole in SMEM
             grid=(B, V),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(out_spec,) * 4,
             scratch_shapes=[
                 pltpu.VMEM(win_shape, jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
@@ -181,23 +258,113 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
         )
         return pl.pallas_call(
             kernel,
-            out_shape=(
-                jax.ShapeDtypeStruct((B, V, W, C), jnp.float32),
-                jax.ShapeDtypeStruct((B, V, W, C), jnp.float32),
-                jax.ShapeDtypeStruct((B, V, W, C), jnp.float32),
-            ),
+            out_shape=tuple(jax.ShapeDtypeStruct((B, V, W, C), jnp.float32)
+                            for _ in range(4)),
             grid_spec=grid_spec,
             interpret=interpret,
         )
 
-    def sample(sat, coefs):
-        B = sat.shape[0]
-        call = build(B)
-        sat = sat.astype(jnp.float32)
-        if cfirst:
-            sat = jnp.transpose(sat, (0, 1, 3, 2))  # [B, A, C, A]
-        return call(coefs.astype(jnp.float32), sat)
+    def fwd(sat_k, coefs):
+        return build(sat_k.shape[0])(coefs, sat_k)
 
+    return fwd
+
+
+def _raw_backward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
+                  interpret: bool):
+    """fn(coefs, g_o, g_dx, g_dy, g_dxy, grad_init) -> grad_sat (kernel
+    layout), accumulated via sequential read-modify-write DMA."""
+    kernel = functools.partial(_bwd_kernel, RB=RB, W=W, A=A, C=C,
+                               cfirst=cfirst)
+    win_shape = (RB, C, A) if cfirst else (RB, A, C)
+    sat_shape = (A, C, A) if cfirst else (A, A, C)
+
+    def build(B: int):
+        g_spec = pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),
+                              memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, V),
+            in_specs=[g_spec, g_spec, g_spec, g_spec,
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM(win_shape, jnp.float32),  # gw (window grad)
+                pltpu.VMEM(win_shape, jnp.float32),  # acc (RMW buffer)
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B,) + sat_shape, jnp.float32),
+            grid_spec=grid_spec,
+            # alias grad_init (6th positional input incl. scalar prefetch)
+            input_output_aliases={5: 0},
+            interpret=interpret,
+        )
+
+    def bwd(coefs, g_o, g_dx, g_dy, g_dxy, grad_init):
+        return build(g_o.shape[0])(coefs, g_o, g_dx, g_dy, g_dxy, grad_init)
+
+    return bwd
+
+
+def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
+                        interpret: bool = False):
+    """Build fn(sat [B,A,A,C], coefs [B,V,8]) -> (out, dx, dy) [B,V,W,C],
+    differentiable w.r.t. both sat and coefs (custom VJP — the backward is
+    scatter-free banded-transpose matmuls; see _bwd_kernel).
+
+    When C isn't a multiple of 128 (TPU lane width), the satellite map is
+    transposed to [B, A, C, A] around the kernel so DMA slices stay
+    lane-aligned.
+    """
+    assert RB % _SHEAR_CHUNK == 0, "RB must be a multiple of the shear chunk"
+    cfirst = (C % 128 != 0) and (A % 128 == 0)
+    raw_fwd = _raw_forward(A, C, V, W, RB, cfirst, interpret)
+    raw_bwd = _raw_backward(A, C, V, W, RB, cfirst, interpret)
+
+    @jax.custom_vjp
+    def sample(sat, coefs):
+        out, dx, dy, _ = _fwd_impl(sat, coefs)
+        return out, dx, dy
+
+    def _fwd_impl(sat, coefs):
+        sat_k = sat.astype(jnp.float32)
+        if cfirst:
+            sat_k = jnp.transpose(sat_k, (0, 1, 3, 2))
+        return raw_fwd(sat_k, coefs.astype(jnp.float32))
+
+    def sample_fwd(sat, coefs):
+        out, dx, dy, dxy = _fwd_impl(sat, coefs)
+        return (out, dx, dy), (coefs, dx, dy, dxy)
+
+    def sample_bwd(res, cts):
+        coefs, dx, dy, dxy = res
+        g_o, g_dx, g_dy = cts
+        B = g_o.shape[0]
+        sat_shape = (B, A, C, A) if cfirst else (B, A, A, C)
+        grad_init = jnp.zeros(sat_shape, jnp.float32)
+        g_dxy = jnp.zeros_like(g_o)
+        grad_sat = raw_bwd(coefs.astype(jnp.float32), g_o, g_dx, g_dy,
+                           g_dxy, grad_init)
+        if cfirst:
+            grad_sat = jnp.transpose(grad_sat, (0, 1, 3, 2))
+
+        # grad w.r.t. the line coefficients (bilinear second derivatives:
+        # d2/dx2 = d2/dy2 = 0 a.e.; the cross term dxy survives)
+        u = jnp.arange(W, dtype=jnp.float32)[None, None, :, None]
+        gax = jnp.sum(g_o * dx + g_dy * dxy, axis=(2, 3))        # [B, V]
+        gay = jnp.sum(g_o * dy + g_dx * dxy, axis=(2, 3))
+        gbx = jnp.sum(u * (g_o * dx + g_dy * dxy), axis=(2, 3))
+        gby = jnp.sum(u * (g_o * dy + g_dx * dxy), axis=(2, 3))
+        zeros = jnp.zeros_like(gax)
+        grad_coefs = jnp.stack(
+            [gax, gbx, gay, gby, zeros, zeros, zeros, zeros], axis=-1)
+        return grad_sat, grad_coefs
+
+    sample.defvjp(sample_fwd, sample_bwd)
     return sample
 
 

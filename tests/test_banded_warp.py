@@ -115,3 +115,37 @@ def test_cfirst_layout_parity():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(want).reshape(1, V2, W2, C2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_custom_vjp_grad_parity():
+    """Gradients through the banded sampler (w.r.t. sat and line coefs)
+    match autodiff through the grid_sample composition."""
+    rng = np.random.RandomState(7)
+    sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
+    uv0, uv1 = _lines(seed=8)
+    cw = jnp.asarray(rng.randn(B, V, W, C).astype(np.float32))
+    cx = jnp.asarray(rng.randn(B, V, W, C).astype(np.float32))
+    cy = jnp.asarray(rng.randn(B, V, W, C).astype(np.float32))
+
+    sampler = make_banded_sampler(A=A, C=C, V=V, W=W, RB=RB, interpret=True)
+
+    def loss_banded(sat, uv0, uv1):
+        coefs = pack_row_coefs(uv0, uv1, A, RB, W)
+        out, dx, dy = sampler(sat, coefs)
+        return jnp.sum(cw * out) + jnp.sum(cx * dx) + jnp.sum(cy * dy)
+
+    def loss_oracle(sat, uv0, uv1):
+        uv = _uv_grid(uv0, uv1)
+        duv = jnp.broadcast_to(jnp.eye(2), uv.shape[:-1] + (2, 2))
+        out, jac = grid_sample(sat, uv.reshape(B, V * W, 1, 2),
+                               duv.reshape(B, V * W, 1, 2, 2))
+        out = out.reshape(B, V, W, C)
+        dx = jac.reshape(B, V, W, C, 2)[..., 0]
+        dy = jac.reshape(B, V, W, C, 2)[..., 1]
+        return jnp.sum(cw * out) + jnp.sum(cx * dx) + jnp.sum(cy * dy)
+
+    gb = jax.grad(loss_banded, argnums=(0, 1, 2))(sat, uv0, uv1)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2))(sat, uv0, uv1)
+    for name, a, b in zip(("sat", "uv0", "uv1"), gb, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3, err_msg=name)
