@@ -33,7 +33,24 @@ def main():
         batch, cfg = 8, Config(level=3, N_iters=5)
     else:  # CPU smoke fallback
         batch, cfg = 2, Config(level=-1, N_iters=2, grd_h=32, grd_w=128,
-                               sat_size=64)
+                               sat_size=64, use_banded_warp=0)
+
+    try:
+        return run(cfg, batch, on_tpu)
+    except Exception:
+        if not cfg.use_banded_warp:
+            raise
+        # Pallas path unavailable in this environment -> gather fallback
+        cfg = Config(**{**cfg.__dict__, "use_banded_warp": 0})
+        return run(cfg, batch, on_tpu)
+
+
+def run(cfg, batch, on_tpu):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
 
     model = LMS2GP(cfg=cfg)
     rng = np.random.RandomState(0)

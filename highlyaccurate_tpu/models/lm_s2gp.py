@@ -431,7 +431,7 @@ class LMS2GP(nn.Module):
         traj, _, _ = self._run_rounds(
             pose0, sat_feats, sat_confs, grd_feats_t, grd_confs_t, base_key,
             collect_aux=False, gt_depth=gt_depth, mode="test")
-        final = traj[-1]  # [B*P, 3]
+        final = traj[:, -1]  # [B*P, 3]
 
         # score: normalized residual at the finest level under the final pose
         lvl = len(self._slots) - 1
@@ -476,28 +476,80 @@ class LMS2GP(nn.Module):
                 grd_feats[lvl_pos], grd_confs[lvl_pos], key, adam_state, t,
                 gt_depth=gt_depth, collect=collect_aux, banded=banded)
 
-        trajectories = []
-        aux_feats = {lvl: [] for lvl in range(n_levels)}
-        aux_uvs = {lvl: [] for lvl in range(n_levels)}
+        remat = cfg.remat and mode == "train" and cfg.Optimizer != "NN"
 
-        pose, adam_state = pose0, adam0
+        if cfg.Optimizer == "NN":
+            # flax submodule calls can't live inside lax.scan during init —
+            # keep the NN optimizer on the unrolled path
+            trajectories = []
+            aux_feats = {lvl: [] for lvl in range(n_levels)}
+            aux_uvs = {lvl: [] for lvl in range(n_levels)}
+            pose, adam_state = pose0, adam0
+            if cfg.level_first:
+                order = [(it, lvl) for lvl in range(n_levels)
+                         for it in range(cfg.N_iters)]
+            else:
+                order = [(it, lvl) for it in range(cfg.N_iters)
+                         for lvl in range(n_levels)]
+            for (it, lvl) in order:
+                pose, adam_state, aux = round_fn(pose, adam_state, it, lvl)
+                trajectories.append(pose)
+                if collect_aux:
+                    aux_feats[lvl].append(aux[0])
+                    aux_uvs[lvl].append(aux[1])
+            traj = jnp.stack(trajectories, axis=1)  # [B, rounds, 3]
+            aux_f = [jnp.stack(aux_feats[l], 1) for l in range(n_levels)] \
+                if collect_aux else None
+            aux_u = [jnp.stack(aux_uvs[l], 1) for l in range(n_levels)] \
+                if collect_aux else None
+            return traj, aux_f, aux_u
+
+        # lax.scan over iterations, levels unrolled inside the body — the
+        # per-level kernels appear once in the program instead of once per
+        # round (SURVEY.md §7.1; also keeps TPU compile payloads small)
+        def scan_body_iter_first(carry, it):
+            pose, adam_state = carry
+            poses, auxs = [], []
+            for lvl in range(n_levels):
+                pose, adam_state, aux = round_fn(pose, adam_state, it, lvl)
+                poses.append(pose)
+                if collect_aux:
+                    auxs.append(aux)
+            return (pose, adam_state), (jnp.stack(poses, 1), tuple(auxs))
+
         if cfg.level_first:
-            order = [(it, lvl) for lvl in range(n_levels)
-                     for it in range(cfg.N_iters)]
-        else:
-            order = [(it, lvl) for it in range(cfg.N_iters)
-                     for lvl in range(n_levels)]
+            # python loop over levels, scan over iterations per level
+            traj_parts, aux_f, aux_u = [], [], []
+            carry = (pose0, adam0)
+            for lvl in range(n_levels):
+                def body(c, it, lvl=lvl):
+                    pose, adam_state, aux = round_fn(c[0], c[1], it, lvl)
+                    return (pose, adam_state), (pose, aux if collect_aux
+                                                else ())
+                b = jax.checkpoint(body) if remat else body
+                carry, (poses, auxs) = jax.lax.scan(
+                    b, carry, jnp.arange(cfg.N_iters))
+                traj_parts.append(jnp.transpose(poses, (1, 0, 2)))  # [B,I,3]
+                if collect_aux:
+                    aux_f.append(jnp.transpose(auxs[0], (1, 0, 2, 3, 4)))
+                    aux_u.append(jnp.transpose(auxs[1], (1, 0, 2, 3, 4)))
+            # rounds order: level-major (lvl0 iters..., lvl1 iters...)
+            traj = jnp.concatenate(traj_parts, axis=1)  # [B, L*I, 3]
+            return traj, (aux_f if collect_aux else None), \
+                (aux_u if collect_aux else None)
 
-        for (it, lvl) in order:
-            fn = round_fn
-            if cfg.remat and mode == "train" and cfg.Optimizer != "NN":
-                fn = jax.checkpoint(round_fn, static_argnums=(2, 3))
-            pose, adam_state, aux = fn(pose, adam_state, it, lvl)
-            trajectories.append(pose)
-            if collect_aux:
-                aux_feats[lvl].append(aux[0])
-                aux_uvs[lvl].append(aux[1])
-        return trajectories, aux_feats, aux_uvs
+        body = jax.checkpoint(scan_body_iter_first) if remat \
+            else scan_body_iter_first
+        (pose, adam_state), (poses, auxs) = jax.lax.scan(
+            body, (pose0, adam0), jnp.arange(cfg.N_iters))
+        # poses: [I, B, L, 3] -> rounds-major [B, I*L, 3]
+        traj = jnp.transpose(poses, (1, 0, 2, 3)).reshape(B, -1, 3)
+        aux_f = aux_u = None
+        if collect_aux:
+            # auxs: per level (feat [I, B, H, W, C], uv [I, B, H, W, 2])
+            aux_f = [jnp.transpose(a[0], (1, 0, 2, 3, 4)) for a in auxs]
+            aux_u = [jnp.transpose(a[1], (1, 0, 2, 3, 4)) for a in auxs]
+        return traj, aux_f, aux_u
 
     def __call__(self, sat_map, grd_img, gt_pose=None, mode: str = "train",
                  gt_depth=None):
@@ -525,11 +577,10 @@ class LMS2GP(nn.Module):
         pose0 = jnp.zeros((B, 3), dtype=jnp.float32)
         n_levels = len(self._slots)
 
-        trajectories, aux_feats, aux_uvs = self._run_rounds(
+        traj, aux_feats, aux_uvs = self._run_rounds(
             pose0, sat_feats, sat_confs, grd_feats, grd_confs, base_key,
             collect_aux=collect_aux, gt_depth=gt_depth, mode=mode)
 
-        traj = jnp.stack(trajectories, axis=1)  # [B, rounds, 3]
         if cfg.level_first:
             traj = traj.reshape(B, n_levels, cfg.N_iters, 3).transpose(0, 2, 1, 3)
         else:
@@ -549,8 +600,8 @@ class LMS2GP(nn.Module):
         pred_uv_list = gt_uv_list = None
         if collect_aux:
             ref_feat_list = grd_feats
-            pred_feat_list = [jnp.stack(aux_feats[l], axis=1) for l in range(n_levels)]
-            pred_uv_list = [jnp.stack(aux_uvs[l], axis=1) for l in range(n_levels)]
+            pred_feat_list = aux_feats
+            pred_uv_list = aux_uvs
             gt_feat_list, gt_uv_list = [], []
             for lvl in range(n_levels):
                 slot = self._slots[lvl]

@@ -1,0 +1,82 @@
+"""Smoke sweep over reference flag combinations (tiny shapes).
+
+Covers the config surface of SURVEY.md §5.6 that other tests don't:
+polar projection, NN/SGD/ADAM optimizers, gt-depth lift, dropout,
+trained damping, Hessian-diagonal damping, level_first, G2SP 'nn' proj.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from highlyaccurate_tpu.config import Config
+from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+
+TINY = dict(grd_h=32, grd_w=128, sat_size=64, N_iters=1, level=-1)
+
+
+def _run(cfg, gt_depth=None, B=2, seed=0):
+    model = LMS2GP(cfg=cfg)
+    rng = np.random.RandomState(seed)
+    sat = jnp.asarray(rng.rand(B, cfg.sat_size, cfg.sat_size, 3).astype(np.float32))
+    grd = jnp.asarray(rng.rand(B, cfg.grd_h, cfg.grd_w, 3).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 3)).astype(np.float32))
+    kwargs = {}
+    if gt_depth is not None:
+        kwargs["gt_depth"] = gt_depth
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "lm": jax.random.PRNGKey(1)}, sat, grd, gt,
+                        mode="train", **kwargs)
+    out = model.apply(params, sat, grd, gt, mode="train",
+                      rngs={"lm": jax.random.PRNGKey(2)}, **kwargs)
+    assert np.isfinite(float(out.loss)), cfg
+    lat, lon, th = model.apply(params, sat, grd, mode="test",
+                               rngs={"lm": jax.random.PRNGKey(3)}, **kwargs)
+    assert np.isfinite(np.asarray([lat, lon, th])).all(), cfg
+    return float(out.loss)
+
+
+@pytest.mark.parametrize("over", [
+    dict(proj="polar"),
+    dict(Optimizer="NN"),
+    dict(Optimizer="SGD"),
+    dict(Optimizer="ADAM"),
+    dict(dropout=1),
+    dict(train_damping=1),
+    dict(use_hessian=1),
+    dict(level_first=1),
+    dict(using_weight=1),
+    dict(rotation_range=0.0),
+    dict(shift_range_lat=0.0, shift_range_lon=0.0),
+    dict(loss_method=1),
+    dict(loss_method=2),
+    dict(loss_method=3),
+])
+def test_s2gp_flag_combinations(over):
+    _run(Config(**{**TINY, **over}))
+
+
+def test_use_gt_depth():
+    cfg = Config(use_gt_depth=1, **TINY)
+    rng = np.random.RandomState(1)
+    depth = jnp.asarray(rng.uniform(0.5, 5.0,
+                                    (2, cfg.grd_h, cfg.grd_w)).astype(np.float32))
+    _run(cfg, gt_depth=depth)
+
+
+def test_g2sp_nn_projection():
+    from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
+    cfg = Config(direction="G2SP", proj="nn", **TINY)
+    model = LMG2SP(cfg=cfg)
+    rng = np.random.RandomState(2)
+    sat = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    grd = jnp.asarray(rng.rand(2, 32, 128, 3).astype(np.float32))
+    k = jnp.broadcast_to(jnp.eye(3) * 50, (2, 3, 3)).astype(jnp.float32)
+    gt = jnp.zeros((2, 3))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "lm": jax.random.PRNGKey(1)}, sat, grd, k, gt,
+                        mode="train")
+    out = model.apply(params, sat, grd, k, gt, mode="train",
+                      rngs={"lm": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(out.loss))
