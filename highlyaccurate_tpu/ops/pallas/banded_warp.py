@@ -162,7 +162,7 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, dxy_ref, win_ref, sem,
 
 
 def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, gdxy_ref, grad_in_ref,
-                grad_ref, gw_ref, acc_ref, sem_r, sem_w,
+                grad_ref, acc_ref, sem_r, sem_w,
                 *, RB: int, W: int, A: int, C: int, cfirst: bool):
     """Backward w.r.t. the satellite map: scatter-free banded transpose.
 
@@ -186,7 +186,6 @@ def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, gdxy_ref, grad_in_ref,
     g_dxy = gdxy_ref[0, 0]
 
     n_chunks = RB // _SHEAR_CHUNK
-    gw_ref[...] = jnp.zeros(gw_ref.shape, jnp.float32)
 
     rd.wait()
 
@@ -224,14 +223,13 @@ def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, gdxy_ref, grad_in_ref,
             sel = (rr == tgt).astype(jnp.float32)              # [chunk, A]
             sl = pl.ds(base, _SHEAR_CHUNK)
             if cfirst:
-                gw_ref[sl] = gw_ref[sl] + sel[:, None, :] * G[None]
+                acc_ref[sl] = acc_ref[sl] + sel[:, None, :] * G[None]
             else:
-                gw_ref[sl] = gw_ref[sl] + sel[:, :, None] * G[None]
+                acc_ref[sl] = acc_ref[sl] + sel[:, :, None] * G[None]
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-    acc_ref[...] = acc_ref[...] + gw_ref[...]
     wr = pltpu.make_async_copy(acc_ref, grad_ref.at[b, pl.ds(oy, RB)], sem_w)
     wr.start()
     wr.wait()
@@ -289,7 +287,6 @@ def _raw_backward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM(win_shape, jnp.float32),  # gw (window grad)
                 pltpu.VMEM(win_shape, jnp.float32),  # acc (RMW buffer)
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
