@@ -161,7 +161,7 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, dxy_ref, win_ref, sem,
     dxy_ref[0, 0] = acc_dxy
 
 
-def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, gdxy_ref, grad_in_ref,
+def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_in_ref,
                 grad_ref, acc_ref, sem_r, sem_w,
                 *, RB: int, W: int, A: int, C: int, cfirst: bool):
     """Backward w.r.t. the satellite map: scatter-free banded transpose.
@@ -183,35 +183,29 @@ def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, gdxy_ref, grad_in_ref,
     g_o = go_ref[0, 0]
     g_dx = gdx_ref[0, 0]
     g_dy = gdy_ref[0, 0]
-    g_dxy = gdxy_ref[0, 0]
 
     n_chunks = RB // _SHEAR_CHUNK
 
     rd.wait()
 
     for r in range(4):
-        w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy, m, r)
+        w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
         # contract the output (W) axis of weights [W, A] against g [W, C]
+        dn_t = (((0,), (0,)), ((), ()))
         if cfirst:
             # G [C, A] to match the [RB, C, A] window layout
-            dn_t = (((0,), (0,)), ((), ()))
             G = (jax.lax.dot_general(g_o, w_o, dimension_numbers=dn_t,
                                      preferred_element_type=jnp.float32)
                  + jax.lax.dot_general(g_dx, w_dx, dimension_numbers=dn_t,
                                        preferred_element_type=jnp.float32)
                  + jax.lax.dot_general(g_dy, w_dy, dimension_numbers=dn_t,
-                                       preferred_element_type=jnp.float32)
-                 + jax.lax.dot_general(g_dxy, w_dxy, dimension_numbers=dn_t,
                                        preferred_element_type=jnp.float32))
         else:
-            dn_t = (((0,), (0,)), ((), ()))
             G = (jax.lax.dot_general(w_o, g_o, dimension_numbers=dn_t,
                                      preferred_element_type=jnp.float32)
                  + jax.lax.dot_general(w_dx, g_dx, dimension_numbers=dn_t,
                                        preferred_element_type=jnp.float32)
                  + jax.lax.dot_general(w_dy, g_dy, dimension_numbers=dn_t,
-                                       preferred_element_type=jnp.float32)
-                 + jax.lax.dot_general(w_dxy, g_dxy, dimension_numbers=dn_t,
                                        preferred_element_type=jnp.float32))
         # un-shear: window row (sj - oy + r - 1) at column j receives G[:, j]
         tgt = sj - oy_f + (r - 1.0)
@@ -283,7 +277,7 @@ def _raw_backward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, V),
-            in_specs=[g_spec, g_spec, g_spec, g_spec,
+            in_specs=[g_spec, g_spec, g_spec,
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
@@ -296,13 +290,13 @@ def _raw_backward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
             kernel,
             out_shape=jax.ShapeDtypeStruct((B,) + sat_shape, jnp.float32),
             grid_spec=grid_spec,
-            # alias grad_init (6th positional input incl. scalar prefetch)
-            input_output_aliases={5: 0},
+            # alias grad_init (5th positional input incl. scalar prefetch)
+            input_output_aliases={4: 0},
             interpret=interpret,
         )
 
-    def bwd(coefs, g_o, g_dx, g_dy, g_dxy, grad_init):
-        return build(g_o.shape[0])(coefs, g_o, g_dx, g_dy, g_dxy, grad_init)
+    def bwd(coefs, g_o, g_dx, g_dy, grad_init):
+        return build(g_o.shape[0])(coefs, g_o, g_dx, g_dy, grad_init)
 
     return bwd
 
@@ -343,9 +337,8 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
         B = g_o.shape[0]
         sat_shape = (B, A, C, A) if cfirst else (B, A, A, C)
         grad_init = jnp.zeros(sat_shape, jnp.float32)
-        g_dxy = jnp.zeros_like(g_o)
         grad_sat = raw_bwd(coefs.astype(jnp.float32), g_o, g_dx, g_dy,
-                           g_dxy, grad_init)
+                           grad_init)
         if cfirst:
             grad_sat = jnp.transpose(grad_sat, (0, 1, 3, 2))
 
