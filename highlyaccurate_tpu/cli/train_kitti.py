@@ -79,6 +79,9 @@ def parse_args(argv=None):
     p.add_argument("--save_root", type=str, default=".")
     p.add_argument("--compute_dtype", type=str, default="float32")
     p.add_argument("--keep_optimizer_state", type=int, default=0)
+    p.add_argument("--remat", type=int, default=0,
+                   help="checkpoint the solver scan body (memory vs compile "
+                        "size tradeoff)")
     p.add_argument("--use_banded_warp", type=int, default=1,
                    help="Pallas banded sampler in S2GP eval (0 = exact "
                         "gather-path numerics)")

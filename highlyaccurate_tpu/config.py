@@ -77,7 +77,11 @@ class Config:
     sat_size: int = 512  # satellite patch side (utils.py:10-11)
     pose_hypotheses: int = 1  # vmapped multi-start LM (reference is always 1)
     compute_dtype: str = "float32"  # "float32" | "bfloat16" feature compute
-    remat: int = 1  # jax.checkpoint each (iter, level) round in training
+    # jax.checkpoint the scan body in training. Off by default: with the
+    # lax.scan solver the memory win is modest, and remat doubles the Pallas
+    # kernel instances in the program (which overflows this environment's
+    # remote compile helper at level=3). Enable for very large batches.
+    remat: int = 0
     use_banded_warp: int = 1  # Pallas banded line sampler in S2GP geo eval
     keep_optimizer_state: int = 0  # fix for the reference's per-epoch Adam reset
 

@@ -44,11 +44,11 @@ def bench(remat):
 
 
 def main():
-    bench(1)
+    bench(0)
     try:
-        bench(0)
+        bench(1)
     except Exception as e:
-        print("remat=0 failed:", type(e).__name__, str(e)[:200], flush=True)
+        print("remat=1 failed:", type(e).__name__, str(e)[:200], flush=True)
 
 
 if __name__ == "__main__":
