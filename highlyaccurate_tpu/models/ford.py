@@ -58,6 +58,54 @@ class LMS2GPFord(nn.Module):
             2: [1, 2], 3: [0, 1, 2], 4: [0, 1, 2, 3],
         }[cfg.level]
 
+    def _project_banded(self, sat_feat, pose, slot: int, R_FL, T_FL,
+                        satmap_sidelength_meters, row_start: int,
+                        with_jac: bool):
+        """Pallas banded line sampler for the Ford chain (the cam->body->
+        world->sat map is affine per ground row, like KITTI S2GP; see
+        ops/pallas/banded_warp.py).  Returns (out, jac, mask2d)."""
+        from highlyaccurate_tpu.models.lm_s2gp import _BANDED_CACHE
+        from highlyaccurate_tpu.ops.pallas.banded_warp import (
+            make_banded_sampler, pack_row_coefs)
+        cfg = self.cfg
+        A, C = sat_feat.shape[1], sat_feat.shape[-1]
+        Xc = jnp.asarray(self._rays[slot][0][row_start:])      # [V, W, 3]
+        mask2d = jnp.asarray(self._rays[slot][1][row_start:])[None]
+        V, Wg = Xc.shape[:2]
+        RB = min(A, ((int(A * 0.5) + 15) // 8) * 8)
+
+        Xc01 = Xc[:, :2]
+        uv01, duv01 = fgeom.ford_uv_jac(
+            pose, R_FL, T_FL, Xc01, satmap_sidelength_meters, A,
+            cfg.rotation_range, cfg.shift_range_lat, cfg.shift_range_lon,
+            require_jac=with_jac)
+
+        # ground rows trace near-vertical sat lines (see lm_s2gp) -> swap axes
+        uv01s = uv01[..., ::-1]
+        coefs = pack_row_coefs(uv01s[:, :, 0], uv01s[:, :, 1], A, RB, Wg)
+        key_ = (A, C, V, Wg, RB)
+        sampler = _BANDED_CACHE.get(key_)
+        if sampler is None:
+            sampler = make_banded_sampler(
+                A=A, C=C, V=V, W=Wg, RB=RB,
+                interpret=jax.default_backend() != "tpu")
+            _BANDED_CACHE[key_] = sampler
+        sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))
+        out, dv_, du_ = sampler(sat_t, coefs)
+        dx, dy = du_, dv_
+
+        jac = None
+        if with_jac:
+            P0 = duv01[:, :, 0]
+            dP = duv01[:, :, 1] - P0
+            u = jnp.arange(Wg, dtype=jnp.float32)
+            duv = P0[:, :, None] + u[None, None, :, None, None] * dP[:, :, None]
+            jac = (dx[..., None] * duv[:, :, :, None, 0, :]
+                   + dy[..., None] * duv[:, :, :, None, 1, :])
+            jac = jac * mask2d[..., None, None]
+        out = out * mask2d[..., None]
+        return out, jac, mask2d
+
     def _project(self, sat_feat, sat_conf, pose, slot: int, R_FL, T_FL,
                  satmap_sidelength_meters, with_jac: bool, depth=None,
                  row_start: int = 0):
@@ -116,19 +164,16 @@ class LMS2GPFord(nn.Module):
 
         collect_aux = mode == "train" and cfg.loss_method > 0
         n_levels = len(self._slots)
-        pose = jnp.zeros((B, 3), dtype=jnp.float32)
-        traj = []
-        aux_feats = {l: [] for l in range(n_levels)}
-        aux_uvs = {l: [] for l in range(n_levels)}
+        pose0 = jnp.zeros((B, 3), dtype=jnp.float32)
 
-        if cfg.level_first:
-            order = [(it, lvl) for lvl in range(n_levels)
-                     for it in range(cfg.N_iters)]
-        else:
-            order = [(it, lvl) for it in range(cfg.N_iters)
-                     for lvl in range(n_levels)]
+        use_banded = (bool(cfg.use_banded_warp) and cfg.proj == "geo"
+                      and not cfg.estimate_depth
+                      and jax.default_backend() == "tpu")
 
-        for t, (it, lvl) in enumerate(order):
+        def level_round(p, it, lvl):
+            t = (it * n_levels + lvl) if not cfg.level_first \
+                else (lvl * cfg.N_iters + it)
+
             def round_fn(p):
                 slot = self._slots[lvl]
                 grd_H_full = grd_feats[lvl].shape[1]
@@ -136,12 +181,22 @@ class LMS2GPFord(nn.Module):
                 # aux maps (see lm_s2gp; halves the hot-loop gather work)
                 half = grd_H_full // 2 if cfg.proj == "geo" else 0
                 row_start = 0 if collect_aux else half
-                sat_fp, sat_cp, jac, uv, m = self._project(
-                    sat_feats[lvl], sat_confs[lvl], p, slot, R_FL, T_FL,
-                    satmap_sidelength_meters,
-                    with_jac=cfg.Optimizer != "NN", depth=grd_depths[lvl],
-                    row_start=row_start)
-                sat_cp = 1.0 / (1.0 + sat_cp)  # models_ford.py:716
+                if use_banded and not collect_aux:
+                    sat_fp, jac, m2 = self._project_banded(
+                        sat_feats[lvl], p, slot, R_FL, T_FL,
+                        satmap_sidelength_meters, row_start,
+                        with_jac=cfg.Optimizer != "NN")
+                    m = jnp.broadcast_to(m2, sat_fp.shape[:3])
+                    # sat conf is unused by every Ford update rule (weight
+                    # comes from grd_conf, models_ford.py:432-436)
+                    sat_cp, uv = jnp.zeros_like(sat_fp[..., :1]), None
+                else:
+                    sat_fp, sat_cp, jac, uv, m = self._project(
+                        sat_feats[lvl], sat_confs[lvl], p, slot, R_FL, T_FL,
+                        satmap_sidelength_meters,
+                        with_jac=cfg.Optimizer != "NN", depth=grd_depths[lvl],
+                        row_start=row_start)
+                    sat_cp = 1.0 / (1.0 + sat_cp)  # models_ford.py:716
                 g_feat = grd_feats[lvl][:, row_start:] * m[..., None]
                 g_conf = grd_confs[lvl][:, row_start:] * m[..., None]
                 crop = half - row_start
@@ -165,18 +220,69 @@ class LMS2GPFord(nn.Module):
                 else:
                     raise ValueError(cfg.Optimizer)
                 A = sat_feats[lvl].shape[1]
-                return new_p, (sat_fp, uv / A)
+                if collect_aux:
+                    return new_p, (sat_fp, uv / A)
+                return new_p, ()
 
             fn = round_fn
             if cfg.remat and mode == "train" and cfg.Optimizer != "NN":
                 fn = jax.checkpoint(round_fn)
-            pose, aux = fn(pose)
-            traj.append(pose)
-            if collect_aux:
-                aux_feats[lvl].append(aux[0])
-                aux_uvs[lvl].append(aux[1])
+            return fn(p)
 
-        t_arr = jnp.stack(traj, axis=1)
+        if cfg.Optimizer == "NN":
+            # flax submodule call inside lax.scan breaks init — unrolled path
+            traj, aux_f, aux_u = [], {l: [] for l in range(n_levels)}, \
+                {l: [] for l in range(n_levels)}
+            pose = pose0
+            order = ([(it, lvl) for lvl in range(n_levels)
+                      for it in range(cfg.N_iters)] if cfg.level_first else
+                     [(it, lvl) for it in range(cfg.N_iters)
+                      for lvl in range(n_levels)])
+            for it, lvl in order:
+                pose, aux = level_round(pose, it, lvl)
+                traj.append(pose)
+                if collect_aux:
+                    aux_f[lvl].append(aux[0])
+                    aux_u[lvl].append(aux[1])
+            t_arr = jnp.stack(traj, axis=1)
+            aux_feats = [jnp.stack(aux_f[l], 1) for l in range(n_levels)] \
+                if collect_aux else None
+            aux_uvs = [jnp.stack(aux_u[l], 1) for l in range(n_levels)] \
+                if collect_aux else None
+        elif cfg.level_first:
+            parts, aux_feats, aux_uvs = [], [], []
+            pose = pose0
+            for lvl in range(n_levels):
+                def body(p, it, lvl=lvl):
+                    new_p, aux = level_round(p, it, lvl)
+                    return new_p, (new_p, aux)
+                pose, (poses, auxs) = jax.lax.scan(
+                    body, pose, jnp.arange(cfg.N_iters))
+                parts.append(jnp.transpose(poses, (1, 0, 2)))
+                if collect_aux:
+                    aux_feats.append(jnp.transpose(auxs[0], (1, 0, 2, 3, 4)))
+                    aux_uvs.append(jnp.transpose(auxs[1], (1, 0, 2, 3, 4)))
+            t_arr = jnp.concatenate(parts, axis=1)
+            if not collect_aux:
+                aux_feats = aux_uvs = None
+        else:
+            def body(p, it):
+                poses, auxs = [], []
+                for lvl in range(n_levels):
+                    p, aux = level_round(p, it, lvl)
+                    poses.append(p)
+                    if collect_aux:
+                        auxs.append(aux)
+                return p, (jnp.stack(poses, 1), tuple(auxs))
+            pose, (poses, auxs) = jax.lax.scan(
+                body, pose0, jnp.arange(cfg.N_iters))
+            t_arr = jnp.transpose(poses, (1, 0, 2, 3)).reshape(B, -1, 3)
+            aux_feats = aux_uvs = None
+            if collect_aux:
+                aux_feats = [jnp.transpose(a[0], (1, 0, 2, 3, 4))
+                             for a in auxs]
+                aux_uvs = [jnp.transpose(a[1], (1, 0, 2, 3, 4)) for a in auxs]
+
         if cfg.level_first:
             t_arr = t_arr.reshape(B, n_levels, cfg.N_iters, 3).transpose(0, 2, 1, 3)
         else:
@@ -193,8 +299,8 @@ class LMS2GPFord(nn.Module):
         pred_uv_list = gt_uv_list = None
         if collect_aux:
             ref_feat_list = grd_feats
-            pred_feat_list = [jnp.stack(aux_feats[l], 1) for l in range(n_levels)]
-            pred_uv_list = [jnp.stack(aux_uvs[l], 1) for l in range(n_levels)]
+            pred_feat_list = aux_feats
+            pred_uv_list = aux_uvs
             gt_feat_list, gt_uv_list = [], []
             for lvl in range(n_levels):
                 slot = self._slots[lvl]
