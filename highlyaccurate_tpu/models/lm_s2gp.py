@@ -212,11 +212,12 @@ class LMS2GP(nn.Module):
         # components; the returned d/dx,d/dy swap back accordingly.
         uv01s = uv01[..., ::-1]
         coefs = pack_row_coefs(uv01s[:, :, 0], uv01s[:, :, 1], A, RB, Wg)
-        key_ = (A, C, V, Wg, RB)
+        bf16_map = cfg.compute_dtype == "bfloat16"
+        key_ = (A, C, V, Wg, RB, bf16_map)
         sampler = _BANDED_CACHE.get(key_)
         if sampler is None:
             sampler = make_banded_sampler(
-                A=A, C=C, V=V, W=Wg, RB=RB,
+                A=A, C=C, V=V, W=Wg, RB=RB, bf16_map=bf16_map,
                 interpret=jax.default_backend() != "tpu")
             _BANDED_CACHE[key_] = sampler
         sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))         # swap sat axes

@@ -161,6 +161,51 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, dxy_ref, win_ref, sem,
     dxy_ref[0, 0] = acc_dxy
 
 
+def _kernel_fullmap(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, dxy_ref,
+                    *, RB: int, W: int, A: int, C: int, cfirst: bool):
+    """Full-map forward variant: the whole satellite level rides in VMEM as a
+    blocked input indexed by batch only, so Pallas keeps it resident across
+    all V row-programs (no per-row window DMA).  Used when the (possibly
+    bf16) level fits VMEM; RB == A and the window origin is 0.
+    """
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+    del b  # batch selected by the BlockSpec
+
+    wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, pl.program_id(0), v,
+                                          W=W, A=A)
+
+    acc_o = jnp.zeros((W, C), jnp.float32)
+    acc_dx = jnp.zeros((W, C), jnp.float32)
+    acc_dy = jnp.zeros((W, C), jnp.float32)
+    acc_dxy = jnp.zeros((W, C), jnp.float32)
+
+    win_ref = sat_ref.at[0]
+    oy_zero = jnp.float32(0.0)
+
+    for r in range(4):
+        sh = _shear_row(win_ref, sj, oy_zero, r, RB=RB, A=A, C=C,
+                        cfirst=cfirst)
+        w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy, m, r)
+
+        def contract(wmat):
+            if cfirst:
+                return jax.lax.dot_general(
+                    wmat, sh, dimension_numbers=_DN_CFIRST,
+                    preferred_element_type=jnp.float32)
+            return jnp.dot(wmat, sh, preferred_element_type=jnp.float32)
+
+        acc_o = acc_o + contract(w_o)
+        acc_dx = acc_dx + contract(w_dx)
+        acc_dy = acc_dy + contract(w_dy)
+        acc_dxy = acc_dxy + contract(w_dxy)
+
+    out_ref[0, 0] = acc_o
+    dx_ref[0, 0] = acc_dx
+    dy_ref[0, 0] = acc_dy
+    dxy_ref[0, 0] = acc_dxy
+
+
 def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_in_ref,
                 grad_ref, acc_ref, sem_r, sem_w,
                 *, RB: int, W: int, A: int, C: int, cfirst: bool):
@@ -230,24 +275,43 @@ def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_in_ref,
 
 
 def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
-                 interpret: bool):
-    """fn(sat_kernel_layout, coefs) -> (out, dx, dy, dxy) [B, V, W, C]."""
-    kernel = functools.partial(_kernel, RB=RB, W=W, A=A, C=C, cfirst=cfirst)
+                 interpret: bool, full_map: bool = False,
+                 map_dtype=jnp.float32):
+    """fn(sat_kernel_layout, coefs) -> (out, dx, dy, dxy) [B, V, W, C].
+
+    full_map: whole level rides in VMEM as a blocked input (kept resident
+    across the V row-programs by the Pallas pipeline) — no window DMA.
+    """
     win_shape = (RB, C, A) if cfirst else (RB, A, C)
+    sat_shape = (A, C, A) if cfirst else (A, A, C)
 
     def build(B: int):
         out_spec = pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),
                                 memory_space=pltpu.VMEM)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # coefs land whole in SMEM
-            grid=(B, V),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=(out_spec,) * 4,
-            scratch_shapes=[
-                pltpu.VMEM(win_shape, jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-        )
+        if full_map:
+            kernel = functools.partial(_kernel_fullmap, RB=A, W=W, A=A, C=C,
+                                       cfirst=cfirst)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, V),
+                in_specs=[pl.BlockSpec(
+                    (1,) + sat_shape, lambda b, v, c: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM)],
+                out_specs=(out_spec,) * 4,
+            )
+        else:
+            kernel = functools.partial(_kernel, RB=RB, W=W, A=A, C=C,
+                                       cfirst=cfirst)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,  # coefs land whole in SMEM
+                grid=(B, V),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=(out_spec,) * 4,
+                scratch_shapes=[
+                    pltpu.VMEM(win_shape, map_dtype),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            )
         return pl.pallas_call(
             kernel,
             out_shape=tuple(jax.ShapeDtypeStruct((B, V, W, C), jnp.float32)
@@ -257,7 +321,7 @@ def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
         )
 
     def fwd(sat_k, coefs):
-        return build(sat_k.shape[0])(coefs, sat_k)
+        return build(sat_k.shape[0])(coefs, sat_k.astype(map_dtype))
 
     return fwd
 
@@ -301,19 +365,29 @@ def _raw_backward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
     return bwd
 
 
+_FULLMAP_VMEM_BUDGET = 9 * 2 ** 20  # leave headroom for weights/outputs
+
+
 def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
-                        interpret: bool = False):
+                        interpret: bool = False, bf16_map: bool = False):
     """Build fn(sat [B,A,A,C], coefs [B,V,8]) -> (out, dx, dy) [B,V,W,C],
     differentiable w.r.t. both sat and coefs (custom VJP — the backward is
     scatter-free banded-transpose matmuls; see _bwd_kernel).
 
     When C isn't a multiple of 128 (TPU lane width), the satellite map is
     transposed to [B, A, C, A] around the kernel so DMA slices stay
-    lane-aligned.
+    lane-aligned.  ``bf16_map`` samples from a bfloat16 copy of the map
+    (half the VMEM/DMA; fp32 accumulation) — enables the DMA-free full-map
+    kernel for larger levels at a small numeric cost.
     """
     assert RB % _SHEAR_CHUNK == 0, "RB must be a multiple of the shear chunk"
     cfirst = (C % 128 != 0) and (A % 128 == 0)
-    raw_fwd = _raw_forward(A, C, V, W, RB, cfirst, interpret)
+    map_dtype = jnp.bfloat16 if bf16_map else jnp.float32
+    itemsize = 2 if bf16_map else 4
+    full_map = (A % _SHEAR_CHUNK == 0
+                and A * A * C * itemsize <= _FULLMAP_VMEM_BUDGET)
+    raw_fwd = _raw_forward(A, C, V, W, RB, cfirst, interpret,
+                           full_map=full_map, map_dtype=map_dtype)
     raw_bwd = _raw_backward(A, C, V, W, RB, cfirst, interpret)
 
     @jax.custom_vjp

@@ -149,3 +149,37 @@ def test_custom_vjp_grad_parity():
     for name, a, b in zip(("sat", "uv0", "uv1"), gb, go):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-3, err_msg=name)
+
+
+def test_windowed_kernel_still_exact(monkeypatch):
+    """Force the windowed (DMA) kernel even at small shapes (the full-map
+    variant handles small tests by default)."""
+    from highlyaccurate_tpu.ops.pallas import banded_warp as bwmod
+    monkeypatch.setattr(bwmod, "_FULLMAP_VMEM_BUDGET", 0)
+    sampler = bwmod.make_banded_sampler(A=A, C=C, V=V, W=W, RB=RB,
+                                        interpret=True)
+    rng = np.random.RandomState(11)
+    sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
+    uv0, uv1 = _lines(seed=12)
+    coefs = bwmod.pack_row_coefs(uv0, uv1, A, RB, W)
+    out, dx, dy = sampler(sat, coefs)
+    uv = _uv_grid(uv0, uv1)
+    want, _ = grid_sample(sat, uv.reshape(B, V * W, 1, 2))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(want).reshape(B, V, W, C),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_map_close():
+    sampler = make_banded_sampler(A=A, C=C, V=V, W=W, RB=RB, interpret=True,
+                                  bf16_map=True)
+    rng = np.random.RandomState(13)
+    sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
+    uv0, uv1 = _lines(seed=14)
+    coefs = pack_row_coefs(uv0, uv1, A, RB, W)
+    out, _, _ = sampler(sat, coefs)
+    uv = _uv_grid(uv0, uv1)
+    want, _ = grid_sample(sat, uv.reshape(B, V * W, 1, 2))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(want).reshape(B, V, W, C),
+                               rtol=2e-2, atol=1e-2)
