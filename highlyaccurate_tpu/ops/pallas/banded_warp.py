@@ -86,9 +86,11 @@ def _row_weight_mats(wx, dwx, rel, fy, m, r: int):
     return (wx * gy * mb, dwx * gy * mb, wx * dgy * mb, dwx * dgy * mb)
 
 
-def _shear_row(win_ref, sj, oy_f, r: int, *, RB: int, A: int, C: int,
+def _shear_row(read_chunk, sj, oy_f, r: int, *, RB: int, A: int, C: int,
                cfirst: bool):
-    """Extract sheared row r from the VMEM window: [A, C] (or [C, A])."""
+    """Extract sheared row r from the VMEM window: [A, C] (or [C, A]).
+
+    ``read_chunk(base)`` returns window rows [base, base+_SHEAR_CHUNK)."""
     tgt = sj - oy_f + (r - 1.0)
     n_chunks = RB // _SHEAR_CHUNK
 
@@ -98,7 +100,7 @@ def _shear_row(win_ref, sj, oy_f, r: int, *, RB: int, A: int, C: int,
             rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
                   .astype(jnp.float32) + base.astype(jnp.float32))
             sel = (rr == tgt).astype(jnp.float32)
-            wchunk = win_ref[pl.ds(base, _SHEAR_CHUNK)]    # [chunk, C, A]
+            wchunk = read_chunk(base)                      # [chunk, C, A]
             return sh + jnp.sum(sel[:, None, :] * wchunk, axis=0)
         return jax.lax.fori_loop(0, n_chunks, chunk_body,
                                  jnp.zeros((C, A), jnp.float32))
@@ -108,7 +110,7 @@ def _shear_row(win_ref, sj, oy_f, r: int, *, RB: int, A: int, C: int,
         rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
               .astype(jnp.float32) + base.astype(jnp.float32))
         sel = (rr == tgt).astype(jnp.float32)
-        wchunk = win_ref[pl.ds(base, _SHEAR_CHUNK)]        # [chunk, A, C]
+        wchunk = read_chunk(base)                          # [chunk, A, C]
         return sh + jnp.sum(sel[:, :, None] * wchunk, axis=0)
     return jax.lax.fori_loop(0, n_chunks, chunk_body,
                              jnp.zeros((A, C), jnp.float32))
@@ -139,8 +141,12 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, dxy_ref, win_ref, sem,
     acc_dy = jnp.zeros((W, C), jnp.float32)
     acc_dxy = jnp.zeros((W, C), jnp.float32)
 
+    def read_chunk(base):
+        return win_ref[pl.ds(base, _SHEAR_CHUNK)]
+
     for r in range(4):
-        sh = _shear_row(win_ref, sj, oy_f, r, RB=RB, A=A, C=C, cfirst=cfirst)
+        sh = _shear_row(read_chunk, sj, oy_f, r, RB=RB, A=A, C=C,
+                        cfirst=cfirst)
         w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy, m, r)
 
         def contract(wmat):
@@ -180,11 +186,13 @@ def _kernel_fullmap(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, dxy_ref,
     acc_dy = jnp.zeros((W, C), jnp.float32)
     acc_dxy = jnp.zeros((W, C), jnp.float32)
 
-    win_ref = sat_ref.at[0]
     oy_zero = jnp.float32(0.0)
 
+    def read_chunk(base):
+        return sat_ref[0, pl.ds(base, _SHEAR_CHUNK)]
+
     for r in range(4):
-        sh = _shear_row(win_ref, sj, oy_zero, r, RB=RB, A=A, C=C,
+        sh = _shear_row(read_chunk, sj, oy_zero, r, RB=RB, A=A, C=C,
                         cfirst=cfirst)
         w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy, m, r)
 
@@ -365,7 +373,9 @@ def _raw_backward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
     return bwd
 
 
-_FULLMAP_VMEM_BUDGET = 9 * 2 ** 20  # leave headroom for weights/outputs
+# the Pallas pipeline double-buffers blocked inputs, so a full-map block
+# costs 2x its size in VMEM; keep blocks <= 4.5MB (9MB resident + weights)
+_FULLMAP_VMEM_BUDGET = int(4.5 * 2 ** 20)
 
 
 def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
