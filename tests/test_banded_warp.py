@@ -183,3 +183,22 @@ def test_bf16_map_close():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(want).reshape(B, V, W, C),
                                rtol=2e-2, atol=1e-2)
+
+
+def test_fullmap_kernel_interpret(monkeypatch):
+    """Full-map variant parity (interpret; compiled path disabled pending a
+    Mosaic issue — see _FULLMAP_VMEM_BUDGET)."""
+    from highlyaccurate_tpu.ops.pallas import banded_warp as bwmod
+    monkeypatch.setattr(bwmod, "_FULLMAP_VMEM_BUDGET", 10 * 2 ** 20)
+    sampler = bwmod.make_banded_sampler(A=A, C=C, V=V, W=W, RB=RB,
+                                        interpret=True)
+    rng = np.random.RandomState(21)
+    sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
+    uv0, uv1 = _lines(seed=22)
+    coefs = bwmod.pack_row_coefs(uv0, uv1, A, RB, W)
+    out, dx, dy = sampler(sat, coefs)
+    uv = _uv_grid(uv0, uv1)
+    want, _ = grid_sample(sat, uv.reshape(B, V * W, 1, 2))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(want).reshape(B, V, W, C),
+                               rtol=1e-5, atol=1e-5)
