@@ -65,8 +65,8 @@ class LMS2GPFord(nn.Module):
         world->sat map is affine per ground row, like KITTI S2GP; see
         ops/pallas/banded_warp.py).  Returns (out, jac, mask2d)."""
         from highlyaccurate_tpu.models.lm_s2gp import _BANDED_CACHE
-        from highlyaccurate_tpu.ops.pallas.banded_warp import (
-            make_banded_sampler, pack_row_coefs)
+        from highlyaccurate_tpu.ops.pallas.banded_warp import \
+            make_banded_sampler
         cfg = self.cfg
         A, C = sat_feat.shape[1], sat_feat.shape[-1]
         Xc = jnp.asarray(self._rays[slot][0][row_start:])      # [V, W, 3]
@@ -82,7 +82,6 @@ class LMS2GPFord(nn.Module):
 
         # ground rows trace near-vertical sat lines (see lm_s2gp) -> swap axes
         uv01s = uv01[..., ::-1]
-        coefs = pack_row_coefs(uv01s[:, :, 0], uv01s[:, :, 1], A, RB, Wg)
         bf16_map = cfg.compute_dtype == "bfloat16"
         key_ = (A, C, V, Wg, RB, bf16_map)
         sampler = _BANDED_CACHE.get(key_)
@@ -92,7 +91,7 @@ class LMS2GPFord(nn.Module):
                 interpret=jax.default_backend() != "tpu")
             _BANDED_CACHE[key_] = sampler
         sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))
-        out, dv_, du_ = sampler(sat_t, coefs)
+        out, dv_, du_ = sampler(sat_t, uv01s[:, :, 0], uv01s[:, :, 1])
         dx, dy = du_, dv_
 
         jac = None

@@ -186,8 +186,8 @@ class LMS2GP(nn.Module):
         differentiable w.r.t. sat features and pose via the kernel's custom
         VJP.
         """
-        from highlyaccurate_tpu.ops.pallas.banded_warp import (
-            make_banded_sampler, pack_row_coefs)
+        from highlyaccurate_tpu.ops.pallas.banded_warp import \
+            make_banded_sampler
         cfg = self.cfg
         A, C = sat_feat.shape[1], sat_feat.shape[-1]
         xyz = jnp.asarray(self._rays[slot][0][row_start:])   # [V, W, 3]
@@ -211,7 +211,6 @@ class LMS2GP(nn.Module):
         # along its x axis (needs |dy/dx| < 1), so swap the sat axes and uv
         # components; the returned d/dx,d/dy swap back accordingly.
         uv01s = uv01[..., ::-1]
-        coefs = pack_row_coefs(uv01s[:, :, 0], uv01s[:, :, 1], A, RB, Wg)
         bf16_map = cfg.compute_dtype == "bfloat16"
         key_ = (A, C, V, Wg, RB, bf16_map)
         sampler = _BANDED_CACHE.get(key_)
@@ -221,7 +220,7 @@ class LMS2GP(nn.Module):
                 interpret=jax.default_backend() != "tpu")
             _BANDED_CACHE[key_] = sampler
         sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))         # swap sat axes
-        out, dv_, du_ = sampler(sat_t, coefs)                 # [B, V, W, C]
+        out, dv_, du_ = sampler(sat_t, uv01s[:, :, 0], uv01s[:, :, 1])                 # [B, V, W, C]
         dx, dy = du_, dv_  # kernel x == our v; kernel y == our u
 
         jac = None

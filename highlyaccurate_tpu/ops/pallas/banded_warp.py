@@ -442,7 +442,18 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
         return grad_sat, grad_coefs
 
     sample.defvjp(sample_fwd, sample_bwd)
-    return sample
+
+    # Public API: take the per-row uv endpoints and pack internally with the
+    # EFFECTIVE window height (the full-map kernel spans all A rows; packing
+    # with the windowed RB would mis-set the validity guard).  pack_row_coefs
+    # is plain jnp, so autodiff chains uv-gradients through the custom VJP.
+    rb_eff = A if full_map else RB
+
+    def sample_uv(sat, uv0, uv1):
+        coefs = pack_row_coefs(uv0, uv1, A, rb_eff, W)
+        return sample(sat, coefs)
+
+    return sample_uv
 
 
 def pack_row_coefs(uv0, uv1, A: int, RB: int, W: int):

@@ -6,8 +6,7 @@ import numpy as np
 import pytest
 
 from highlyaccurate_tpu.ops.grid_sample import grid_sample
-from highlyaccurate_tpu.ops.pallas.banded_warp import (make_banded_sampler,
-                                                       pack_row_coefs)
+from highlyaccurate_tpu.ops.pallas.banded_warp import make_banded_sampler
 
 B, A, C, V, W, RB = 2, 32, 8, 4, 16, 16
 
@@ -40,8 +39,7 @@ def test_value_and_derivative_parity(sampler):
     rng = np.random.RandomState(1)
     sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
     uv0, uv1 = _lines()
-    coefs = pack_row_coefs(uv0, uv1, A, RB, W)
-    out, dx, dy = sampler(sat, coefs)
+    out, dx, dy = sampler(sat, uv0, uv1)
 
     uv = _uv_grid(uv0, uv1)
     # oracle: grid_sample with duv = identity(2) gives (value, [d/dx, d/dy])
@@ -66,8 +64,7 @@ def test_out_of_bounds_rows_zero(sampler):
     # lines far outside the map
     uv0 = jnp.full((B, V, 2), -100.0)
     uv1 = jnp.full((B, V, 2), -99.0)
-    coefs = pack_row_coefs(uv0, uv1, A, RB, W)
-    out, dx, dy = sampler(sat, coefs)
+    out, dx, dy = sampler(sat, uv0, uv1)
     assert float(jnp.abs(out).max()) == 0.0
     assert float(jnp.abs(dx).max()) == 0.0
 
@@ -83,8 +80,7 @@ def test_steep_slope_still_exact():
     by = bx * rng.uniform(-0.95, 0.95, (B, V))
     uv0 = jnp.asarray(np.stack([ax, ay], -1).astype(np.float32))
     uv1 = jnp.asarray(np.stack([ax + bx, ay + by], -1).astype(np.float32))
-    coefs = pack_row_coefs(uv0, uv1, A, RB=A, W=W)
-    out, dx, dy = sampler(sat, coefs)
+    out, dx, dy = sampler(sat, uv0, uv1)
 
     uv = _uv_grid(uv0, uv1)
     want, _ = grid_sample(sat, uv.reshape(B, V * W, 1, 2))
@@ -106,8 +102,7 @@ def test_cfirst_layout_parity():
     by = bx * rng.uniform(-0.5, 0.5, (1, V2))
     uv0 = jnp.asarray(np.stack([ax, ay], -1).astype(np.float32))
     uv1 = jnp.asarray(np.stack([ax + bx, ay + by], -1).astype(np.float32))
-    coefs = pack_row_coefs(uv0, uv1, A2, 32, W2)
-    out, dx, dy = sampler(sat, coefs)
+    out, dx, dy = sampler(sat, uv0, uv1)
 
     u = jnp.arange(W2, dtype=jnp.float32)
     uv = uv0[:, :, None, :] + u[None, None, :, None] * (uv1 - uv0)[:, :, None, :]
@@ -130,8 +125,7 @@ def test_custom_vjp_grad_parity():
     sampler = make_banded_sampler(A=A, C=C, V=V, W=W, RB=RB, interpret=True)
 
     def loss_banded(sat, uv0, uv1):
-        coefs = pack_row_coefs(uv0, uv1, A, RB, W)
-        out, dx, dy = sampler(sat, coefs)
+        out, dx, dy = sampler(sat, uv0, uv1)
         return jnp.sum(cw * out) + jnp.sum(cx * dx) + jnp.sum(cy * dy)
 
     def loss_oracle(sat, uv0, uv1):
@@ -161,8 +155,7 @@ def test_windowed_kernel_still_exact(monkeypatch):
     rng = np.random.RandomState(11)
     sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
     uv0, uv1 = _lines(seed=12)
-    coefs = bwmod.pack_row_coefs(uv0, uv1, A, RB, W)
-    out, dx, dy = sampler(sat, coefs)
+    out, dx, dy = sampler(sat, uv0, uv1)
     uv = _uv_grid(uv0, uv1)
     want, _ = grid_sample(sat, uv.reshape(B, V * W, 1, 2))
     np.testing.assert_allclose(np.asarray(out),
@@ -176,8 +169,7 @@ def test_bf16_map_close():
     rng = np.random.RandomState(13)
     sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
     uv0, uv1 = _lines(seed=14)
-    coefs = pack_row_coefs(uv0, uv1, A, RB, W)
-    out, _, _ = sampler(sat, coefs)
+    out, _, _ = sampler(sat, uv0, uv1)
     uv = _uv_grid(uv0, uv1)
     want, _ = grid_sample(sat, uv.reshape(B, V * W, 1, 2))
     np.testing.assert_allclose(np.asarray(out),
@@ -195,8 +187,7 @@ def test_fullmap_kernel_interpret(monkeypatch):
     rng = np.random.RandomState(21)
     sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
     uv0, uv1 = _lines(seed=22)
-    coefs = bwmod.pack_row_coefs(uv0, uv1, A, RB, W)
-    out, dx, dy = sampler(sat, coefs)
+    out, dx, dy = sampler(sat, uv0, uv1)
     uv = _uv_grid(uv0, uv1)
     want, _ = grid_sample(sat, uv.reshape(B, V * W, 1, 2))
     np.testing.assert_allclose(np.asarray(out),
