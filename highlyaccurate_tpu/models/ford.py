@@ -72,7 +72,10 @@ class LMS2GPFord(nn.Module):
         Xc = jnp.asarray(self._rays[slot][0][row_start:])      # [V, W, 3]
         mask2d = jnp.asarray(self._rays[slot][1][row_start:])[None]
         V, Wg = Xc.shape[:2]
-        RB = min(A, ((int(A * 0.5) + 15) // 8) * 8)
+        # window height: covers the in-bounds vertical span at |heading| <=
+        # 25 deg (A*tan(25)+margin) while keeping the kernel's scoped VMEM
+        # under the 16MB limit (the L2 fp32 window is the tight case)
+        RB = min(A, ((int(A * 0.47) + 13) // 8) * 8)
 
         Xc01 = Xc[:, :2]
         uv01, duv01 = fgeom.ford_uv_jac(

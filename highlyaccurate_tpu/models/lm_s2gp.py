@@ -193,7 +193,10 @@ class LMS2GP(nn.Module):
         xyz = jnp.asarray(self._rays[slot][0][row_start:])   # [V, W, 3]
         mask2d = jnp.asarray(self._rays[slot][1][row_start:])[None]
         V, Wg = xyz.shape[:2]
-        RB = min(A, ((int(A * 0.5) + 15) // 8) * 8)
+        # window height: covers the in-bounds vertical span at |heading| <=
+        # 25 deg (A*tan(25)+margin) while keeping the kernel's scoped VMEM
+        # under the 16MB limit (the L2 fp32 window is the tight case)
+        RB = min(A, ((int(A * 0.47) + 13) // 8) * 8)
 
         # uv and duv at u=0,1 determine the per-row affine maps exactly
         xyz01 = xyz[:, :2]                                    # [V, 2, 3]
