@@ -100,6 +100,15 @@ def get_camera_max_meter_shift() -> float:
     return float(np.linalg.norm(CAMERA_GPS_SHIFT))
 
 
+def get_camera_gps_shift(heading: float):
+    """GPS->camera offset rotated by heading (reference utils.py:164-167;
+    note its y-term sign differs from the left/right variants)."""
+    h = heading % (2 * np.pi)
+    shift_x = CAMERA_GPS_SHIFT[0] * np.cos(h) + CAMERA_GPS_SHIFT[1] * np.sin(h)
+    shift_y = CAMERA_GPS_SHIFT[1] * np.cos(h) - CAMERA_GPS_SHIFT[0] * np.sin(h)
+    return shift_x, shift_y
+
+
 def get_camera_gps_shift_left(heading: float):
     """GPS->left-camera offset rotated by heading (reference: utils.py:170-173)."""
     h = heading % (2 * np.pi)

@@ -102,3 +102,20 @@ def test_polar_rays():
     # top row at max radius, bottom row near 0
     np.testing.assert_allclose(r[0], 30.0, atol=1e-4)
     assert (r[-1] < 1.0).all()
+
+
+def test_geo_utils_conversions():
+    from highlyaccurate_tpu.utils import geo as G2
+    # meter<->latlon roundtrip
+    lat, lon = G2.meter2latlon(49.0, 8.4, 100.0, -50.0)
+    x, y = G2.gps2meters(49.0, 8.4, lat, lon)
+    np.testing.assert_allclose([x, y], [100.0, -50.0], atol=0.5)
+    # gps2utm is monotone in lon/lat
+    x1, y1 = G2.gps2utm(49.0, 8.4)
+    x2, y2 = G2.gps2utm(49.001, 8.401)
+    assert x2 > x1 and y2 > y1
+    # camera shift magnitudes
+    sx, sy = G2.get_camera_gps_shift(0.0)
+    np.testing.assert_allclose([sx, sy], [1.08, 0.26], atol=1e-9)
+    assert abs(G2.get_camera_max_meter_shift()
+               - np.hypot(1.08, 0.26)) < 1e-9
