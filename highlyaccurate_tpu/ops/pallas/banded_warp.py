@@ -375,10 +375,10 @@ def _raw_backward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
 
 # the Pallas pipeline double-buffers blocked inputs, so a full-map block
 # costs 2x its size in VMEM; keep blocks <= 4.5MB (9MB resident + weights).
-# DISABLED (0) pending a fix: the compiled full-map kernel returns zeros on
-# the axon toolchain while interpret mode is exact (tests cover it) — under
-# investigation for round 2; the windowed DMA kernel is the production path.
-_FULLMAP_VMEM_BUDGET = 0
+# Verified bit-identical to the windowed kernel compiled on TPU
+# (scripts/fm_probe history; an earlier "zero output" scare was a test bug —
+# out-of-bounds probe lines).
+_FULLMAP_VMEM_BUDGET = int(4.5 * 2 ** 20)
 
 
 def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
