@@ -399,9 +399,12 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
     itemsize = 2 if bf16_map else 4
     full_map = (A % _SHEAR_CHUNK == 0
                 and A * A * C * itemsize <= _FULLMAP_VMEM_BUDGET)
+    # the coefs' window origin is packed with the EFFECTIVE height (oy = 0
+    # when full-map), so the backward kernel must span the same rows
+    rb_eff0 = A if full_map else RB
     raw_fwd = _raw_forward(A, C, V, W, RB, cfirst, interpret,
                            full_map=full_map, map_dtype=map_dtype)
-    raw_bwd = _raw_backward(A, C, V, W, RB, cfirst, interpret)
+    raw_bwd = _raw_backward(A, C, V, W, rb_eff0, cfirst, interpret)
 
     @jax.custom_vjp
     def sample(sat, coefs):
@@ -447,7 +450,7 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
     # EFFECTIVE window height (the full-map kernel spans all A rows; packing
     # with the windowed RB would mis-set the validity guard).  pack_row_coefs
     # is plain jnp, so autodiff chains uv-gradients through the custom VJP.
-    rb_eff = A if full_map else RB
+    rb_eff = rb_eff0
 
     def sample_uv(sat, uv0, uv1):
         coefs = pack_row_coefs(uv0, uv1, A, rb_eff, W)
