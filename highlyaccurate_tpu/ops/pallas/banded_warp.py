@@ -304,6 +304,9 @@ def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
                 grid=(B, V),
                 in_specs=[pl.BlockSpec(
                     (1,) + sat_shape, lambda b, v, c: (b, 0, 0, 0),
+                    # block index varies only with b: single-buffer the map
+                    # so its VMEM cost is 1x (not the pipeline's default 2x)
+                    pipeline_mode=pl.Buffered(buffer_count=1),
                     memory_space=pltpu.VMEM)],
                 out_specs=(out_spec,) * 4,
             )
@@ -373,12 +376,12 @@ def _raw_backward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
     return bwd
 
 
-# the Pallas pipeline double-buffers blocked inputs, so a full-map block
-# costs 2x its size in VMEM; keep blocks <= 4.5MB (9MB resident + weights).
-# Verified bit-identical to the windowed kernel compiled on TPU
-# (scripts/fm_probe history; an earlier "zero output" scare was a test bug —
+# Full-map blocks are single-buffered (pl.Buffered(1) — the block index only
+# changes with the batch), so the budget is the block size itself plus
+# headroom for weights/outputs.  Verified bit-identical to the windowed
+# kernel compiled on TPU (an earlier "zero output" scare was a test bug —
 # out-of-bounds probe lines).
-_FULLMAP_VMEM_BUDGET = int(4.5 * 2 ** 20)
+_FULLMAP_VMEM_BUDGET = 9 * 2 ** 20
 
 
 def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
