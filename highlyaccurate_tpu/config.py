@@ -82,7 +82,10 @@ class Config:
     # kernel instances in the program (which overflows this environment's
     # remote compile helper at level=3). Enable for very large batches.
     remat: int = 0
-    use_banded_warp: int = 1  # Pallas banded line sampler in S2GP geo eval
+    use_banded_warp: int = 1  # Pallas banded line sampler in S2GP geo solver
+    #   (1 = on TPU; 2 = force even off-TPU via interpret mode, tests only)
+    use_implicit_lm: int = 1  # contract H/g from (out, dx, dy) + row-affine
+    #   duv without materializing the [B,V,W,C,3] Jacobian (banded LM only)
     keep_optimizer_state: int = 0  # fix for the reference's per-epoch Adam reset
 
     @property

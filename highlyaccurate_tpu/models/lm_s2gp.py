@@ -39,7 +39,9 @@ from highlyaccurate_tpu.losses.losses import LossDiagnostics, loss_func
 from highlyaccurate_tpu.models.nnrefine import NNrefine
 from highlyaccurate_tpu.models.vggunet import VGGUnet
 from highlyaccurate_tpu.ops.grid_sample import grid_sample
-from highlyaccurate_tpu.solver.updates import LMConfig, adam_update, lm_update, sgd_update
+from highlyaccurate_tpu.solver.updates import (LMConfig, adam_update,
+                                               lm_update, lm_update_implicit,
+                                               sgd_update)
 from highlyaccurate_tpu.utils import geo
 
 # cache of compiled banded samplers keyed by static shape
@@ -178,13 +180,18 @@ class LMS2GP(nn.Module):
         return feat_proj, conf_proj, jac, uv * m[..., None], m
 
     def _project_banded(self, sat_feat, pose, slot: int, row_start: int,
-                        with_jac: bool):
+                        with_jac: bool, implicit: bool = False):
         """Pallas banded line sampler path (ops/pallas/banded_warp.py).
 
         Exploits the per-row-affine structure of the geo projection; exact
         bilinear + Jacobian parity with _project (see tests/test_banded_warp),
         differentiable w.r.t. sat features and pose via the kernel's custom
         VJP.
+
+        When ``implicit`` (LM fast path), the [B,V,W,C,3] feature Jacobian is
+        NOT materialized; returns the raw pieces
+        (out, dx, dy, mask2d, P0, dP) for ``lm_update_implicit`` — out/dx/dy
+        unmasked kernel outputs, duv(v, u) = P0 + u*dP.
         """
         from highlyaccurate_tpu.ops.pallas.banded_warp import \
             make_banded_sampler
@@ -226,6 +233,11 @@ class LMS2GP(nn.Module):
         out, dv_, du_ = sampler(sat_t, uv01s[:, :, 0], uv01s[:, :, 1])                 # [B, V, W, C]
         dx, dy = du_, dv_  # kernel x == our v; kernel y == our u
 
+        if implicit:
+            P0 = duv01[:, :, 0]                               # [B, V, 2, 3]
+            dP = duv01[:, :, 1] - P0
+            return out, dx, dy, mask2d, P0, dP
+
         jac = None
         if with_jac:
             P0 = duv01[:, :, 0]                               # [B, V, 2, 3]
@@ -256,6 +268,24 @@ class LMS2GP(nn.Module):
         need_conf = bool(cfg.using_weight)
         use_banded = (banded and cfg.proj == "geo" and not need_conf
                       and not collect and not cfg.use_gt_depth)
+        if use_banded and cfg.Optimizer == "LM" and cfg.use_implicit_lm:
+            # implicit-J fast path: H and g contract from (out, dx, dy) and
+            # the per-row affine duv without materializing [B,V,W,C,3]
+            out, dxs, dys, m2, P0, dP = self._project_banded(
+                sat_feat, pose, slot, row_start, with_jac=True, implicit=True)
+            lm_cfg = LMConfig(
+                active_dims=cfg.active_pose_dims,
+                using_weight=False,
+                train_damping=bool(cfg.train_damping),
+                damping=cfg.damping,
+                use_hessian=bool(cfg.use_hessian),
+                dropout=cfg.dropout,
+                normalize=True,
+            )
+            new_pose = lm_update_implicit(
+                pose, out, dxs, dys, grd_feat[:, row_start:], m2, P0, dP,
+                self.damping, lm_cfg, key)
+            return new_pose, adam_state, None
         if use_banded:
             sat_fp, jac, m2 = self._project_banded(
                 sat_feat, pose, slot, row_start,
@@ -465,9 +495,11 @@ class LMS2GP(nn.Module):
         adam0 = (jnp.zeros((B, len(cfg.active_pose_dims))),
                  jnp.zeros((B, len(cfg.active_pose_dims))))
         # Pallas banded sampler (TPU): differentiable via custom VJP
-        # (scatter-free banded-transpose backward), so train uses it too
+        # (scatter-free banded-transpose backward), so train uses it too.
+        # use_banded_warp=2 forces the path off-TPU (interpret mode, tests).
         banded = (bool(cfg.use_banded_warp)
-                  and jax.default_backend() == "tpu")
+                  and (jax.default_backend() == "tpu"
+                       or cfg.use_banded_warp >= 2))
 
         def round_fn(pose, adam_state, it, lvl_pos):
             slot = self._slots[lvl_pos]

@@ -65,8 +65,11 @@ def _weights(coef_ref, b, v, *, W: int, A: int):
     x0b = x0f[:, None]
     hit0 = (j == x0b).astype(jnp.float32)
     hit1 = (j == (x0b + 1.0)).astype(jnp.float32)
-    wx = (1.0 - fx)[:, None] * hit0 + fx[:, None] * hit1
-    dwx = -hit0 + hit1
+    # the in-bounds mask folds into wx/dwx once (every downstream weight
+    # matrix is a product with one of them)
+    mb = m[:, None]
+    wx = ((1.0 - fx)[:, None] * hit0 + fx[:, None] * hit1) * mb
+    dwx = (hit1 - hit0) * mb
 
     jcols = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1).astype(jnp.float32)
     yj = ay + (jcols - ax) * slope
@@ -77,13 +80,13 @@ def _weights(coef_ref, b, v, *, W: int, A: int):
 
 def _row_weight_mats(wx, dwx, rel, fy, m, r: int):
     """The 4 banded weight matrices for sheared row r (value, d/dx, d/dy,
-    d2/dxdy), each [W, A]."""
+    d2/dxdy), each [W, A].  ``wx``/``dwx`` already carry the mask."""
+    del m
     is_r0 = (rel == float(r)).astype(jnp.float32)
     is_r1 = (rel == float(r - 1)).astype(jnp.float32)
     gy = (1.0 - fy)[:, None] * is_r0 + fy[:, None] * is_r1
     dgy = -is_r0 + is_r1
-    mb = m[:, None]
-    return (wx * gy * mb, dwx * gy * mb, wx * dgy * mb, dwx * dgy * mb)
+    return (wx * gy, dwx * gy, wx * dgy, dwx * dgy)
 
 
 def _shear_row(read_chunk, sj, oy_f, r: int, *, RB: int, A: int, C: int,
@@ -119,11 +122,18 @@ def _shear_row(read_chunk, sj, oy_f, r: int, *, RB: int, A: int, C: int,
 _DN_CFIRST = (((1,), (1,)), ((), ()))  # [W, A] x [C, A] -> [W, C]
 
 
-def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, dxy_ref, win_ref, sem,
-            *, RB: int, W: int, A: int, C: int, cfirst: bool):
+def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, *rest,
+            RB: int, W: int, A: int, C: int, cfirst: bool,
+            with_dxy: bool = True):
     """Forward: coef_ref scalar-prefetched [B, V, 8] SMEM f32 rows
     (ax, bx, ay, by, slope, oy, _, _); sat_ref [B, A, A, C] HBM (or
-    [B, A, C, A] when ``cfirst``); out/dx/dy/dxy [1, 1, W, C] VMEM blocks."""
+    [B, A, C, A] when ``cfirst``); out/dx/dy[/dxy] [1, 1, W, C] VMEM blocks.
+    ``with_dxy=False`` (the non-differentiated eval path) skips the cross-
+    derivative output and its 4 banded matmuls."""
+    if with_dxy:
+        dxy_ref, win_ref, sem = rest
+    else:
+        dxy_ref, (win_ref, sem) = None, rest
     b = pl.program_id(0)
     v = pl.program_id(1)
 
@@ -136,13 +146,46 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, dxy_ref, win_ref, sem,
 
     cp.wait()
 
+    def read_chunk(base):
+        return win_ref[pl.ds(base, _SHEAR_CHUNK)]
+
+    _accumulate_rows(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
+                     out_ref, dx_ref, dy_ref, dxy_ref,
+                     RB=RB, W=W, A=A, C=C, cfirst=cfirst)
+
+
+def _kernel_fullmap(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, *rest,
+                    RB: int, W: int, A: int, C: int, cfirst: bool,
+                    with_dxy: bool = True):
+    """Full-map forward variant: the whole satellite level rides in VMEM as a
+    blocked input indexed by batch only, so Pallas keeps it resident across
+    all V row-programs (no per-row window DMA).  Used when the (possibly
+    bf16) level fits VMEM; RB == A and the window origin is 0.
+    """
+    dxy_ref = rest[0] if with_dxy else None
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+    del b  # batch selected by the BlockSpec
+
+    wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, pl.program_id(0), v,
+                                          W=W, A=A)
+
+    def read_chunk(base):
+        return sat_ref[0, pl.ds(base, _SHEAR_CHUNK)]
+
+    _accumulate_rows(read_chunk, jnp.float32(0.0), wx, dwx, rel, fy, sj, m,
+                     out_ref, dx_ref, dy_ref, dxy_ref,
+                     RB=RB, W=W, A=A, C=C, cfirst=cfirst)
+
+
+def _accumulate_rows(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
+                     out_ref, dx_ref, dy_ref, dxy_ref,
+                     *, RB: int, W: int, A: int, C: int, cfirst: bool):
+    """Shared forward accumulation: 4 sheared rows x banded matmuls."""
     acc_o = jnp.zeros((W, C), jnp.float32)
     acc_dx = jnp.zeros((W, C), jnp.float32)
     acc_dy = jnp.zeros((W, C), jnp.float32)
-    acc_dxy = jnp.zeros((W, C), jnp.float32)
-
-    def read_chunk(base):
-        return win_ref[pl.ds(base, _SHEAR_CHUNK)]
+    acc_dxy = jnp.zeros((W, C), jnp.float32) if dxy_ref is not None else None
 
     for r in range(4):
         sh = _shear_row(read_chunk, sj, oy_f, r, RB=RB, A=A, C=C,
@@ -159,59 +202,14 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, dxy_ref, win_ref, sem,
         acc_o = acc_o + contract(w_o)
         acc_dx = acc_dx + contract(w_dx)
         acc_dy = acc_dy + contract(w_dy)
-        acc_dxy = acc_dxy + contract(w_dxy)
+        if acc_dxy is not None:
+            acc_dxy = acc_dxy + contract(w_dxy)
 
     out_ref[0, 0] = acc_o
     dx_ref[0, 0] = acc_dx
     dy_ref[0, 0] = acc_dy
-    dxy_ref[0, 0] = acc_dxy
-
-
-def _kernel_fullmap(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, dxy_ref,
-                    *, RB: int, W: int, A: int, C: int, cfirst: bool):
-    """Full-map forward variant: the whole satellite level rides in VMEM as a
-    blocked input indexed by batch only, so Pallas keeps it resident across
-    all V row-programs (no per-row window DMA).  Used when the (possibly
-    bf16) level fits VMEM; RB == A and the window origin is 0.
-    """
-    b = pl.program_id(0)
-    v = pl.program_id(1)
-    del b  # batch selected by the BlockSpec
-
-    wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, pl.program_id(0), v,
-                                          W=W, A=A)
-
-    acc_o = jnp.zeros((W, C), jnp.float32)
-    acc_dx = jnp.zeros((W, C), jnp.float32)
-    acc_dy = jnp.zeros((W, C), jnp.float32)
-    acc_dxy = jnp.zeros((W, C), jnp.float32)
-
-    oy_zero = jnp.float32(0.0)
-
-    def read_chunk(base):
-        return sat_ref[0, pl.ds(base, _SHEAR_CHUNK)]
-
-    for r in range(4):
-        sh = _shear_row(read_chunk, sj, oy_zero, r, RB=RB, A=A, C=C,
-                        cfirst=cfirst)
-        w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy, m, r)
-
-        def contract(wmat):
-            if cfirst:
-                return jax.lax.dot_general(
-                    wmat, sh, dimension_numbers=_DN_CFIRST,
-                    preferred_element_type=jnp.float32)
-            return jnp.dot(wmat, sh, preferred_element_type=jnp.float32)
-
-        acc_o = acc_o + contract(w_o)
-        acc_dx = acc_dx + contract(w_dx)
-        acc_dy = acc_dy + contract(w_dy)
-        acc_dxy = acc_dxy + contract(w_dxy)
-
-    out_ref[0, 0] = acc_o
-    dx_ref[0, 0] = acc_dx
-    dy_ref[0, 0] = acc_dy
-    dxy_ref[0, 0] = acc_dxy
+    if dxy_ref is not None:
+        dxy_ref[0, 0] = acc_dxy
 
 
 def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_in_ref,
@@ -284,21 +282,23 @@ def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_in_ref,
 
 def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
                  interpret: bool, full_map: bool = False,
-                 map_dtype=jnp.float32):
-    """fn(sat_kernel_layout, coefs) -> (out, dx, dy, dxy) [B, V, W, C].
+                 map_dtype=jnp.float32, with_dxy: bool = True):
+    """fn(sat_kernel_layout, coefs) -> (out, dx, dy[, dxy]) [B, V, W, C].
 
     full_map: whole level rides in VMEM as a blocked input (kept resident
     across the V row-programs by the Pallas pipeline) — no window DMA.
+    with_dxy=False builds the eval-only kernel (no cross-derivative).
     """
     win_shape = (RB, C, A) if cfirst else (RB, A, C)
     sat_shape = (A, C, A) if cfirst else (A, A, C)
+    n_out = 4 if with_dxy else 3
 
     def build(B: int):
         out_spec = pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),
                                 memory_space=pltpu.VMEM)
         if full_map:
             kernel = functools.partial(_kernel_fullmap, RB=A, W=W, A=A, C=C,
-                                       cfirst=cfirst)
+                                       cfirst=cfirst, with_dxy=with_dxy)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(B, V),
@@ -308,16 +308,16 @@ def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
                     # so its VMEM cost is 1x (not the pipeline's default 2x)
                     pipeline_mode=pl.Buffered(buffer_count=1),
                     memory_space=pltpu.VMEM)],
-                out_specs=(out_spec,) * 4,
+                out_specs=(out_spec,) * n_out,
             )
         else:
             kernel = functools.partial(_kernel, RB=RB, W=W, A=A, C=C,
-                                       cfirst=cfirst)
+                                       cfirst=cfirst, with_dxy=with_dxy)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,  # coefs land whole in SMEM
                 grid=(B, V),
                 in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-                out_specs=(out_spec,) * 4,
+                out_specs=(out_spec,) * n_out,
                 scratch_shapes=[
                     pltpu.VMEM(win_shape, map_dtype),
                     pltpu.SemaphoreType.DMA(()),
@@ -326,7 +326,7 @@ def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
         return pl.pallas_call(
             kernel,
             out_shape=tuple(jax.ShapeDtypeStruct((B, V, W, C), jnp.float32)
-                            for _ in range(4)),
+                            for _ in range(n_out)),
             grid_spec=grid_spec,
             interpret=interpret,
         )
@@ -407,21 +407,27 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
     rb_eff0 = A if full_map else RB
     raw_fwd = _raw_forward(A, C, V, W, RB, cfirst, interpret,
                            full_map=full_map, map_dtype=map_dtype)
+    # eval-only variant: the non-differentiated primal never needs the
+    # cross-derivative (it only exists for the VJP's coef gradients) —
+    # skips 4 of the 16 banded matmuls and one [B,V,W,C] HBM write
+    raw_fwd_eval = _raw_forward(A, C, V, W, RB, cfirst, interpret,
+                                full_map=full_map, map_dtype=map_dtype,
+                                with_dxy=False)
     raw_bwd = _raw_backward(A, C, V, W, rb_eff0, cfirst, interpret)
 
-    @jax.custom_vjp
-    def sample(sat, coefs):
-        out, dx, dy, _ = _fwd_impl(sat, coefs)
-        return out, dx, dy
-
-    def _fwd_impl(sat, coefs):
+    def _prep(sat):
         sat_k = sat.astype(jnp.float32)
         if cfirst:
             sat_k = jnp.transpose(sat_k, (0, 1, 3, 2))
-        return raw_fwd(sat_k, coefs.astype(jnp.float32))
+        return sat_k
+
+    @jax.custom_vjp
+    def sample(sat, coefs):
+        out, dx, dy = raw_fwd_eval(_prep(sat), coefs.astype(jnp.float32))
+        return out, dx, dy
 
     def sample_fwd(sat, coefs):
-        out, dx, dy, dxy = _fwd_impl(sat, coefs)
+        out, dx, dy, dxy = raw_fwd(_prep(sat), coefs.astype(jnp.float32))
         return (out, dx, dy), (coefs, dx, dy, dxy)
 
     def sample_bwd(res, cts):

@@ -176,6 +176,129 @@ def lm_update(pose, sat_feat, sat_conf, grd_feat, grd_conf, jac,
     return new
 
 
+def lm_update_implicit(pose, out, dx, dy, grd_feat, m2d, P0, dP,
+                       damping_param, cfg: LMConfig,
+                       key: Optional[jax.Array] = None):
+    """LM update from implicit (un-materialized) Jacobians.
+
+    Mathematically identical to ``lm_update`` when the sampled feature's
+    pose-Jacobian has the row-affine structure of the S2GP geo projection
+    (reference models_kitti.py:700-801): per ground row v the satellite
+    sample point is affine in the column u, so
+
+        J[b,v,u,c,p] = (dx*duv_x[p] + dy*duv_y[p]) ,
+        duv[b,v,u,:,p] = P0[b,v,:,p] + u * dP[b,v,:,p].
+
+    H = J^T J and g = J^T r therefore contract into per-pixel channel
+    moments (sum over c) followed by u-moment sums — the [B,V,W,C,3]
+    Jacobian never exists in HBM (PERF.md "implicit-J" plan).  Feature
+    normalization, pixel dropout, and Hessian-diagonal damping all fold
+    into per-pixel scalars, so the full S2GP LM semantics are preserved.
+
+    Args:
+      out, dx, dy: banded-sampler outputs [B, V, W, C] (value and screen-
+        space derivatives; in-bounds masking already applied by the kernel).
+      grd_feat: target features [B, V, W, C] (unmasked).
+      m2d: ray-validity mask [1|B, V, W].
+      P0, dP: per-row affine duv coefficients [B, V, 2, 3].
+    Returns:
+      new pose [B, 3].
+    """
+    assert not cfg.using_weight, "banded implicit path never carries conf weights"
+    assert cfg.normalize, "implicit path implements the S2GP normalized LM"
+    B, V, W, C = out.shape
+    active = cfg.active_dims
+    n = len(active)
+    f32 = jnp.float32
+    out = out.astype(f32)
+    dx = dx.astype(f32)
+    dy = dy.astype(f32)
+    grd = grd_feat.astype(f32)
+
+    dropout_key = reinit_key = None
+    if key is not None:
+        dropout_key, reinit_key = jax.random.split(key)
+    m = jnp.broadcast_to(m2d.astype(f32), (m2d.shape[0], V, W))
+    if cfg.dropout > 0 and dropout_key is not None:
+        # the reference keeps a random half of the flattened pixels
+        # (models_kitti.py:968-974); dropped pixels leave the norms too,
+        # exactly like the index-selection in _flatten_residual_system
+        hw = V * W
+        perm = jax.random.permutation(dropout_key, hw)[: hw // 2]
+        dmask = jnp.zeros((hw,), f32).at[perm].set(1.0).reshape(V, W)
+        m = m * dmask[None]
+
+    # per-pixel channel contractions [B, V, W] (one fused pass over the
+    # four [B,V,W,C] arrays; the only O(N) work in this update)
+    ss = jnp.sum(out * out, -1) * m
+    gg = jnp.sum(grd * grd, -1) * m
+    sxx = jnp.sum(dx * dx, -1) * m
+    sxy = jnp.sum(dx * dy, -1) * m
+    syy = jnp.sum(dy * dy, -1) * m
+    dxs = jnp.sum(dx * out, -1) * m
+    dys = jnp.sum(dy * out, -1) * m
+    dxg = jnp.sum(dx * grd, -1) * m
+    dyg = jnp.sum(dy * grd, -1) * m
+
+    # whole-map feature norms, floored (reference :982-989 / _safe_norm)
+    ns = jnp.sqrt(jnp.maximum(jnp.sum(ss, (1, 2)), 1e-12))  # [B]
+    ng = jnp.sqrt(jnp.maximum(jnp.sum(gg, (1, 2)), 1e-12))
+
+    u = jnp.arange(W, dtype=f32)
+    u2 = u * u
+
+    def moms(x):  # u-moment sums -> ([B,V],)*3
+        return jnp.sum(x, 2), jnp.sum(x * u, 2), jnp.sum(x * u2, 2)
+
+    def pair(Pa, Da, Pb, Db, m0, m1, m2):
+        """Sum_v Sum_u duv_a[p] * duv_b[q] * S(v,u) with duv = P + u*D."""
+        t0 = jnp.einsum("bvp,bvq,bv->bpq", Pa, Pb, m0)
+        t1 = (jnp.einsum("bvp,bvq,bv->bpq", Pa, Db, m1)
+              + jnp.einsum("bvp,bvq,bv->bpq", Da, Pb, m1))
+        t2 = jnp.einsum("bvp,bvq,bv->bpq", Da, Db, m2)
+        return t0 + t1 + t2
+
+    Px, Py = P0[:, :, 0].astype(f32), P0[:, :, 1].astype(f32)  # [B, V, 3]
+    Dx_, Dy_ = dP[:, :, 0].astype(f32), dP[:, :, 1].astype(f32)
+
+    hess = (pair(Px, Dx_, Px, Dx_, *moms(sxx))
+            + pair(Px, Dx_, Py, Dy_, *moms(sxy))
+            + pair(Py, Dy_, Px, Dx_, *moms(sxy))
+            + pair(Py, Dy_, Py, Dy_, *moms(syy))) / (ns * ns)[:, None, None]
+
+    # g = J^T r with r = s/ns - g/ng
+    qx = dxs / (ns[:, None, None] ** 2) - dxg / (ns * ng)[:, None, None]
+    qy = dys / (ns[:, None, None] ** 2) - dyg / (ns * ng)[:, None, None]
+    g_full = (jnp.einsum("bvp,bv->bp", Px, jnp.sum(qx, 2))
+              + jnp.einsum("bvp,bv->bp", Dx_, jnp.sum(qx * u, 2))
+              + jnp.einsum("bvp,bv->bp", Py, jnp.sum(qy, 2))
+              + jnp.einsum("bvp,bv->bp", Dy_, jnp.sum(qy * u, 2)))
+
+    act = jnp.array(active)
+    hess = hess[:, act[:, None], act[None, :]]  # [B, n, n]
+    g = g_full[:, act]
+
+    damping = compute_damping(damping_param, cfg, n)
+    if cfg.use_hessian:
+        diag = jnp.einsum("bnn->bn", hess)
+    else:
+        diag = jnp.ones((B, n), dtype=f32)
+    lhs = hess + _diag_embed(damping[None, :] * diag)
+    delta = -jnp.linalg.solve(lhs, g[..., None])[..., 0]
+
+    pose = pose.astype(f32)
+    new = pose.at[:, act].add(delta)
+    if cfg.reinit and n == 3 and reinit_key is not None:
+        k1, k2 = jax.random.split(reinit_key)
+        rand_u = jax.random.uniform(k1, (B,), minval=-1.0, maxval=1.0)
+        rand_v = jax.random.uniform(k2, (B,), minval=-1.0, maxval=1.0)
+        lim = cfg.reinit_range
+        su, sv = new[:, 0], new[:, 1]
+        new = new.at[:, 0].set(jnp.where((su > -lim) & (su < lim), su, rand_u))
+        new = new.at[:, 1].set(jnp.where((sv > -lim) & (sv < lim), sv, rand_v))
+    return new
+
+
 def _diag_embed(x):
     """[..., n] -> [..., n, n] diagonal matrices."""
     n = x.shape[-1]

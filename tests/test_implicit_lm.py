@@ -1,0 +1,147 @@
+"""Implicit-J LM parity: lm_update_implicit vs the materialized-Jacobian
+lm_update on identical banded-sampler outputs, plus end-to-end forward and
+gradient parity of the banded-implicit solver path (interpret mode on CPU).
+
+The implicit update (solver/updates.py:lm_update_implicit) contracts
+H = J^T J and g = J^T r from per-pixel channel moments + the per-row affine
+duv (PERF.md implicit-J plan); it must be numerically identical (up to fp32
+reduction order) to building J = dx*duv_x + dy*duv_y explicitly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from highlyaccurate_tpu.config import Config
+from highlyaccurate_tpu.ops.pallas.banded_warp import make_banded_sampler
+from highlyaccurate_tpu.solver.updates import (LMConfig, lm_update,
+                                               lm_update_implicit)
+
+B, A, C, V, W, RB = 2, 32, 8, 4, 16, 16
+
+
+def _pieces(seed=0):
+    """Banded-sampler outputs + random affine duv coefficients + mask."""
+    rng = np.random.RandomState(seed)
+    sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
+    ax = rng.uniform(0, A - 1, (B, V))
+    ay = rng.uniform(0, A - 1, (B, V))
+    bx = rng.uniform(0.5, 1.5, (B, V)) * rng.choice([-1, 1], (B, V))
+    by = bx * rng.uniform(-0.6, 0.6, (B, V))
+    uv0 = jnp.asarray(np.stack([ax, ay], -1).astype(np.float32))
+    uv1 = jnp.asarray(np.stack([ax + bx, ay + by], -1).astype(np.float32))
+    sampler = make_banded_sampler(A=A, C=C, V=V, W=W, RB=RB, interpret=True)
+    out, dx, dy = sampler(sat, uv0, uv1)
+
+    P0 = jnp.asarray(rng.randn(B, V, 2, 3).astype(np.float32))
+    dP = jnp.asarray(rng.randn(B, V, 2, 3).astype(np.float32) * 0.1)
+    grd = jnp.asarray(rng.rand(B, V, W, C).astype(np.float32))
+    m2d = jnp.asarray((rng.rand(1, V, W) > 0.2).astype(np.float32))
+    return out, dx, dy, grd, m2d, P0, dP
+
+
+def _materialized_update(pose, out, dx, dy, grd, m2d, P0, dP, damping, cfg,
+                         key):
+    """Reference path: build jac = dx*duv_x + dy*duv_y, call lm_update."""
+    u = jnp.arange(W, dtype=jnp.float32)
+    duv = P0[:, :, None] + u[None, None, :, None, None] * dP[:, :, None]
+    jac = (dx[..., None] * duv[:, :, :, None, 0, :]
+           + dy[..., None] * duv[:, :, :, None, 1, :])
+    m = jnp.broadcast_to(m2d, out.shape[:3])
+    jac = jac * m[..., None, None]
+    s = out * m[..., None]
+    g = grd * m[..., None]
+    conf = jnp.ones(s.shape[:3] + (1,), jnp.float32)
+    return lm_update(pose, s, conf, g, conf, jac, damping, cfg, key)
+
+
+CASES = [
+    dict(),                                   # default 3-DoF
+    dict(active_dims=(0, 1)),                 # frozen heading
+    dict(use_hessian=True),                   # Hessian-diag damping
+    dict(dropout=2),                          # pixel dropout
+    dict(train_damping=True),                 # learned log-damping
+]
+
+
+@pytest.mark.parametrize("overrides", CASES)
+def test_update_parity(overrides):
+    out, dx, dy, grd, m2d, P0, dP = _pieces(seed=3)
+    cfg = LMConfig(normalize=True, **overrides)
+    pose = jnp.asarray(np.random.RandomState(4).randn(B, 3)
+                       .astype(np.float32) * 0.3)
+    damping = jnp.asarray(np.random.RandomState(5).randn(1, 3)
+                          .astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    want = _materialized_update(pose, out, dx, dy, grd, m2d, P0, dP,
+                                damping, cfg, key)
+    got = lm_update_implicit(pose, out, dx, dy, grd, m2d, P0, dP,
+                             damping, cfg, key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def _tiny_cfg(**kw):
+    return Config(grd_h=32, grd_w=128, sat_size=64, N_iters=2, level=3,
+                  use_banded_warp=2, **kw)
+
+
+def _init(cfg, seed=0):
+    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+    rng = np.random.RandomState(seed)
+    sat = jnp.asarray(rng.rand(B, cfg.sat_size, cfg.sat_size, 3)
+                      .astype(np.float32))
+    grd = jnp.asarray(rng.rand(B, cfg.grd_h, cfg.grd_w, 3).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 3)).astype(np.float32))
+    model = LMS2GP(cfg=cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "lm": jax.random.PRNGKey(1)}, sat, grd, gt,
+                           mode="train")
+    return model, variables["params"], sat, grd, gt
+
+
+def test_forward_parity_end_to_end():
+    """Banded-implicit eval == banded-materialized eval on the same params."""
+    cfg_imp = _tiny_cfg(use_implicit_lm=1)
+    cfg_mat = _tiny_cfg(use_implicit_lm=0)
+    model_i, params, sat, grd, _ = _init(cfg_imp)
+    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+    model_m = LMS2GP(cfg=cfg_mat)
+
+    def run(model):
+        return model.apply({"params": params}, sat, grd, mode="test",
+                           rngs={"lm": jax.random.PRNGKey(3)})
+
+    lat_i, lon_i, th_i = run(model_i)
+    lat_m, lon_m, th_m = run(model_m)
+    np.testing.assert_allclose(np.asarray(lat_i), np.asarray(lat_m),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lon_i), np.asarray(lon_m),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(th_i), np.asarray(th_m),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_grad_parity_end_to_end():
+    """Loss + parameter-gradient parity of the banded-implicit train path."""
+    cfg_imp = _tiny_cfg(use_implicit_lm=1)
+    cfg_mat = _tiny_cfg(use_implicit_lm=0)
+    model_i, params, sat, grd, gt = _init(cfg_imp)
+    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+    model_m = LMS2GP(cfg=cfg_mat)
+
+    def loss_fn(model, p):
+        diag = model.apply({"params": p}, sat, grd, gt, mode="train",
+                           rngs={"lm": jax.random.PRNGKey(3)})
+        return diag.loss
+
+    li, gi = jax.value_and_grad(lambda p: loss_fn(model_i, p))(params)
+    lm_, gm = jax.value_and_grad(lambda p: loss_fn(model_m, p))(params)
+    np.testing.assert_allclose(float(li), float(lm_), rtol=1e-4)
+    flat_i = jax.tree_util.tree_leaves(gi)
+    flat_m = jax.tree_util.tree_leaves(gm)
+    for a, b in zip(flat_i, flat_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
