@@ -76,6 +76,9 @@ def parse_args(argv=None):
                    help="run on N synthetic samples instead of disk data")
     p.add_argument("--import_pth", type=str, default=None,
                    help="path to a reference .pth checkpoint to evaluate")
+    p.add_argument("--pretrained_vgg16", type=str, default=None,
+                   help="torchvision VGG16 ImageNet .pth: initialize both "
+                        "encoder branches like the reference (VGG.py:20)")
     p.add_argument("--save_root", type=str, default=".")
     p.add_argument("--compute_dtype", type=str, default="float32")
     p.add_argument("--keep_optimizer_state", type=int, default=0)
@@ -88,6 +91,9 @@ def parse_args(argv=None):
     p.add_argument("--pose_hypotheses", type=int, default=1,
                    help="multi-start LM hypotheses at eval (new capability)")
     p.add_argument("--seed", type=int, default=2022)
+    p.add_argument("--grd_h", type=int, default=256)
+    p.add_argument("--grd_w", type=int, default=1024)
+    p.add_argument("--sat_size", type=int, default=512)
     return p.parse_args(argv)
 
 
@@ -167,7 +173,8 @@ def evaluate(model, cfg: Config, params, args, split: str, save_path: str,
         n_images += n
         if i % 20 == 0:
             print(i)
-    duration = (time.time() - t0) / max(len(loader), 1)
+    # reference semantics are per IMAGE (train_kitti.py:74-75; it runs batch 1)
+    duration = (time.time() - t0) / max(n_images, 1)
 
     gt = np.concatenate(gts)
     pred_shifts, pred_headings = denormalize(
@@ -204,6 +211,12 @@ def train(model, cfg: Config, args, save_path: str):
     if args.resume:
         params = load_params(save_path, epoch_ckpt_name(args.resume - 1), params)
         print(f"resume from {epoch_ckpt_name(args.resume - 1)}")
+    elif getattr(args, "pretrained_vgg16", None):
+        # reference from-scratch init: both branches start from ImageNet
+        # VGG16 (reference VGG.py:20-28)
+        from highlyaccurate_tpu.train.checkpoint import apply_vgg16_init
+        params = apply_vgg16_init(params, args.pretrained_vgg16)
+        print(f"encoder init from {args.pretrained_vgg16}")
 
     state = create_train_state(cfg, params)
     state = step_lib.replicate(mesh, state)

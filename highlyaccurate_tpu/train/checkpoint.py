@@ -117,6 +117,74 @@ def import_pth(path: str, cfg: Config) -> dict:
     return params
 
 
+# torchvision VGG16 `features` indices of the 7 encoder convs the reference
+# slices out (reference VGG.py:20-28)
+_VGG16_FEATURE_CONVS = {
+    "conv0": 0, "conv2": 2, "conv5": 5, "conv7": 7,
+    "conv10": 10, "conv12": 12, "conv14": 14,
+}
+
+
+def import_vgg16_encoder(src) -> dict:
+    """torchvision-VGG16 ImageNet weights -> one branch's encoder params.
+
+    The reference initializes every feature branch from
+    ``torchvision.models.vgg16(pretrained=True)`` (reference VGG.py:20-28);
+    training from scratch without that init will not reach the paper's
+    recalls.  ``src`` is a torchvision VGG16 state_dict (keys
+    ``features.<i>.weight``/``.bias``), or a path to a ``.pth`` holding one
+    (e.g. the torchvision download ``vgg16-397923af.pth``).
+
+    Returns a partial flax params dict {conv0: {kernel, bias}, ...} with
+    kernels transposed OIHW -> HWIO.
+    """
+    import numpy as np
+
+    if isinstance(src, (str, os.PathLike)):
+        import torch
+        src = torch.load(src, map_location="cpu", weights_only=True)
+
+    def get(name):
+        t = src[name]
+        try:
+            t = t.detach().cpu().numpy()
+        except AttributeError:
+            t = np.asarray(t)
+        return t
+
+    out = {}
+    for fname, idx in _VGG16_FEATURE_CONVS.items():
+        w = get(f"features.{idx}.weight")
+        out[fname] = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))),
+                      "bias": get(f"features.{idx}.bias")}
+    return out
+
+
+def apply_vgg16_init(params: dict, src) -> dict:
+    """Overwrite both feature branches' encoder convs with ImageNet weights.
+
+    Mirrors the reference's from-scratch initialization (both SatFeatureNet
+    and GrdFeatureNet start from the same pretrained VGG16, VGG.py:20-28).
+    Decoder/conf/depth heads keep their fresh random init, as in torch.
+    """
+    import flax
+
+    enc = import_vgg16_encoder(src)
+    params = flax.core.unfreeze(params) if hasattr(params, "unfreeze") \
+        else dict(params)
+    for branch in ("SatFeatureNet", "GrdFeatureNet"):
+        sub = dict(params[branch])
+        for conv, kb in enc.items():
+            like = sub[conv]
+            assert like["kernel"].shape == kb["kernel"].shape, (
+                f"{branch}.{conv}: {like['kernel'].shape} vs "
+                f"{kb['kernel'].shape}")
+            sub[conv] = {"kernel": kb["kernel"].astype(np.float32),
+                         "bias": kb["bias"].astype(np.float32)}
+        params[branch] = sub
+    return params
+
+
 def _import_nnrefine(sd, prefix: str) -> dict:
     """NNrefine (reference RNNs.py:93-126): 4 convs + 2-layer MLP."""
 

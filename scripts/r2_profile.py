@@ -1,8 +1,14 @@
 """Round-2 TPU profile: per-level banded kernel + solver-round timings.
 
 Bundles all round-2 perf measurements into one process (one TPU claim, one
-remote-compile session).  Fences via device->host fetches (block_until_ready
-is unreliable on the axon platform).
+remote-compile session).
+
+Measurement protocol (axon platform):
+  * block_until_ready does not fence -> fence via device->host VALUE fetch;
+  * fetching big arrays measures the tunnel (~100 MB/s), not compute ->
+    every benched function is wrapped to return a SCALAR sum of its outputs;
+  * per-call fetch round-trips cost ~25 ms -> dispatch N times back-to-back
+    (device executes FIFO) and fetch only the last scalar.
 
 Usage: python scripts/r2_profile.py [--train]
 """
@@ -22,17 +28,20 @@ B = 8
 REPS = 20
 
 
-def fence(x):
-    np.asarray(jax.tree_util.tree_leaves(x)[0])
+def _scalarize(fn):
+    def g(*args):
+        out = fn(*args)
+        return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out))
+    return jax.jit(g)
 
 
 def bench(name, fn, *args):
-    out = fn(*args)
-    fence(out)
+    g = _scalarize(fn)
+    np.asarray(g(*args))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(REPS):
-        out = fn(*args)
-        fence(out)
+        out = g(*args)
+    np.asarray(out)
     dt = (time.perf_counter() - t0) / REPS * 1e3
     print(f"{name}: {dt:.2f} ms/call (batch {B})", flush=True)
     return dt
@@ -61,19 +70,16 @@ def main():
         sampler = make_banded_sampler(A=A, C=C, V=V_, W=W_, RB=RB,
                                       interpret=False)
         satf = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
-        # gentle in-bounds lines
-        ax = rng.uniform(2, A - 2, (B, V_))
         ay = rng.uniform(2, A - 2, (B, V_))
-        bx = np.full((B, V_), (A - 4.0) / W_)
-        by = bx * 0.2
-        uv0 = jnp.asarray(np.stack([ax * 0 + 2, ay], -1).astype(np.float32))
-        uv1 = jnp.asarray(np.stack([ax * 0 + 2 + bx, ay + by], -1)
+        bx = (A - 4.0) / W_
+        uv0 = jnp.asarray(np.stack([np.full((B, V_), 2.0), ay], -1)
                           .astype(np.float32))
-        f = jax.jit(sampler)
+        uv1 = jnp.asarray(np.stack([np.full((B, V_), 2.0 + bx), ay + bx * 0.2],
+                                   -1).astype(np.float32))
         bench(f"L{lvl} kernel-only (A={A} C={C} V={V_} W={W_} RB={RB})",
-              f, satf, uv0, uv1)
+              sampler, satf, uv0, uv1)
 
-    # --- solver round per level (banded implicit) ---
+    # --- solver round per level (banded implicit; pose-chained) ---
     def make_round(lvl, slot):
         def round_only(mdl, pose, sat_feat, grd_feat, key):
             grd_conf = jnp.ones(grd_feat.shape[:3] + (1,), jnp.float32)
@@ -88,20 +94,27 @@ def main():
         C = [256, 128, 64, 16][slot]
         satf = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
         grdf = jnp.asarray(rng.rand(B, h, w, C).astype(np.float32))
-        pose = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 3)).astype(np.float32))
+        pose0 = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 3)).astype(np.float32))
         f = jax.jit(lambda p, pose, s, g, k, lvl=lvl, slot=slot: model.apply(
             {"params": p}, pose, s, g, k, method=make_round(lvl, slot)))
-        bench(f"L{lvl} solver round (implicit)", f, params, pose, satf, grdf,
-              jax.random.PRNGKey(0))
+        pose = f(params, pose0, satf, grdf, jax.random.PRNGKey(0))
+        np.asarray(pose)  # compile + warm
+        t0 = time.perf_counter()
+        pose = pose0
+        for _ in range(REPS):
+            pose = f(params, pose * 0.9, satf, grdf, jax.random.PRNGKey(0))
+        np.asarray(pose)
+        dt = (time.perf_counter() - t0) / REPS * 1e3
+        print(f"L{lvl} solver round (implicit): {dt:.2f} ms/call (batch {B})",
+              flush=True)
 
     # --- feature extraction + full eval ---
-    feat = jax.jit(lambda p, s, g: model.apply(
-        {"params": p}, s, g, method="extract_features"))
-    bench("features(sat+grd)", feat, params, sat, grd)
+    bench("features(sat+grd)", lambda p, s, g: model.apply(
+        {"params": p}, s, g, method="extract_features"), params, sat, grd)
 
-    ev = jax.jit(lambda p, s, g, k: model.apply(
-        {"params": p}, s, g, mode="test", rngs={"lm": k}))
-    bench("full eval", ev, params, sat, grd, jax.random.PRNGKey(0))
+    bench("full eval", lambda p, s, g, k: model.apply(
+        {"params": p}, s, g, mode="test", rngs={"lm": k}),
+        params, sat, grd, jax.random.PRNGKey(0))
 
     if run_train:
         from highlyaccurate_tpu.train import step as step_lib
@@ -109,12 +122,12 @@ def main():
         state = create_train_state(cfg, params)
         ts = step_lib.make_train_step(model, cfg, mesh=None)
         out = ts(state, sat, grd, gt, jax.random.PRNGKey(0))
-        fence(out[1])
+        np.asarray(out[1]["loss"])
         state = out[0]
         t0 = time.perf_counter()
         for i in range(REPS):
             state, metrics = ts(state, sat, grd, gt, jax.random.PRNGKey(i))
-            fence(metrics)
+        np.asarray(metrics["loss"])
         dt = (time.perf_counter() - t0) / REPS * 1e3
         print(f"train step: {dt:.2f} ms/step (batch {B}) -> "
               f"{B / dt * 1e3:.1f} fps", flush=True)
