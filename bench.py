@@ -45,6 +45,105 @@ def main():
         return run(cfg, batch, on_tpu)
 
 
+def _bench_train_step(cfg, batch):
+    """Training throughput (loss+backprop+Adam), frames/sec."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+    from highlyaccurate_tpu.train import step as step_lib
+    from highlyaccurate_tpu.train.state import create_train_state
+
+    model = LMS2GP(cfg=cfg)
+    rng = np.random.RandomState(0)
+    sat = jnp.asarray(rng.rand(batch, cfg.sat_size, cfg.sat_size, 3)
+                      .astype(np.float32))
+    grd = jnp.asarray(rng.rand(batch, cfg.grd_h, cfg.grd_w, 3)
+                      .astype(np.float32))
+    gt = jnp.zeros((batch, 3))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "lm": jax.random.PRNGKey(1)}, sat, grd, gt, mode="train")
+    state = create_train_state(cfg, v["params"])
+    ts = step_lib.make_train_step(model, cfg, mesh=None)
+    state, metrics = ts(state, sat, grd, gt, jax.random.PRNGKey(0))
+    np.asarray(metrics["loss"])  # fence (see run())
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, metrics = ts(state, sat, grd, gt, jax.random.PRNGKey(i))
+    np.asarray(metrics["loss"])
+    return batch * n / (time.perf_counter() - t0)
+
+
+def _bench_eval_fps(model_cls, cfg, batch, n_iters, extra_init=()):
+    """Chained-dispatch eval throughput for any model class."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    model = model_cls(cfg=cfg)
+    rng = np.random.RandomState(0)
+    sat = jnp.asarray(rng.rand(batch, cfg.sat_size, cfg.sat_size, 3)
+                      .astype(np.float32))
+    grd = jnp.asarray(rng.rand(batch, cfg.grd_h, cfg.grd_w, 3)
+                      .astype(np.float32))
+    args = [sat, grd] + [jnp.asarray(a) for a in extra_init]
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "lm": jax.random.PRNGKey(1)}, *args,
+                   jnp.zeros((batch, 3)), mode="train")
+
+    @jax.jit
+    def ev(params, carry, key):
+        out = model.apply({"params": params}, args[0] + carry * 1e-38,
+                          *args[1:], mode="test", rngs={"lm": key})
+        return carry + jnp.sum(out[0]) * 1e-30
+
+    carry = ev(v["params"], jnp.zeros(()), jax.random.PRNGKey(0))
+    np.asarray(carry)
+    t0 = time.perf_counter()
+    carry = jnp.zeros(())
+    for i in range(n_iters):
+        carry = ev(v["params"], carry, jax.random.fold_in(
+            jax.random.PRNGKey(0), i))
+    np.asarray(carry)
+    return batch * n_iters / (time.perf_counter() - t0)
+
+
+def extra_metrics(cfg, batch, on_tpu):
+    """Secondary bench surface (train / G2SP / multi-hypothesis) so perf
+    work can't regress unmeasured paths. Each is best-effort."""
+    import dataclasses
+
+    from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
+    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+
+    n = 10 if on_tpu else 2
+    out = {}
+    try:
+        out["train_fps"] = round(_bench_train_step(cfg, batch), 2)
+    except Exception as e:  # pragma: no cover - report, don't die
+        out["train_fps"] = f"error: {type(e).__name__}"
+    try:
+        g2sp_cfg = dataclasses.replace(cfg, direction="G2SP")
+        import numpy as np
+        k = np.broadcast_to(
+            np.array([[582.9802, 0.0, 496.2420],
+                      [0.0, 482.7076, 125.0034],
+                      [0.0, 0.0, 1.0]], np.float32), (batch, 3, 3)).copy()
+        out["g2sp_eval_fps"] = round(
+            _bench_eval_fps(LMG2SP, g2sp_cfg, batch, n, extra_init=(k,)), 2)
+    except Exception as e:  # pragma: no cover
+        out["g2sp_eval_fps"] = f"error: {type(e).__name__}"
+    try:
+        mh_cfg = dataclasses.replace(cfg, pose_hypotheses=4)
+        out["multihyp4_eval_fps"] = round(
+            _bench_eval_fps(LMS2GP, mh_cfg, batch, n), 2)
+    except Exception as e:  # pragma: no cover
+        out["multihyp4_eval_fps"] = f"error: {type(e).__name__}"
+    return out
+
+
 def run(cfg, batch, on_tpu):
     import jax
     import jax.numpy as jnp
@@ -100,6 +199,7 @@ def run(cfg, batch, on_tpu):
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / REF_GPU_BATCH1_FPS, 2),
+        "extra": extra_metrics(cfg, batch, on_tpu),
     }))
 
 

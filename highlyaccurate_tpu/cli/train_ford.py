@@ -6,7 +6,13 @@ per-log training :190-340, eval :39-186).
 Ford specifics preserved: per-log training via --train_log_start/end, eval
 seeds np/torch with 2022 before building the test set (:44-46 — here the
 fixed perturbations live in the test split file so seeding is moot), the
-best-model criterion dist<5m & angle<1deg, and per-log results files.
+best-model criterion dist<5m & angle<1deg, per-log results files, and the
+``--transformer`` frozen-backbone partial restore (:499-511; the upstream
+transformer block itself is dead code, models_ford.py:94-101 — only the
+restore/freeze mechanics are live).
+
+TPU-native: the same mesh-sharded jitted train/eval steps as the KITTI CLI
+(train/step.py) and the thread-pool prefetch loader.
 """
 
 from __future__ import annotations
@@ -23,11 +29,14 @@ from highlyaccurate_tpu.eval.metrics import EvalResults, denormalize, write_ford
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
+    # reference flags (train_ford.py:343-412)
     p.add_argument("--resume", type=int, default=0)
     p.add_argument("--test", type=int, default=0)
     p.add_argument("--debug", type=int, default=0)
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--stereo", type=int, default=0)
+    p.add_argument("--sequence", type=int, default=1)
     p.add_argument("--rotation_range", type=float, default=10.0)
     p.add_argument("--shift_range_lat", type=float, default=20.0)
     p.add_argument("--shift_range_lon", type=float, default=20.0)
@@ -38,6 +47,7 @@ def parse_args(argv=None):
     p.add_argument("--coe_L2", type=float, default=100.0)
     p.add_argument("--coe_L3", type=float, default=100.0)
     p.add_argument("--coe_L4", type=float, default=100.0)
+    p.add_argument("--metric_distance", type=float, default=5.0)
     p.add_argument("--batch_size", type=int, default=3)
     p.add_argument("--loss_method", type=int, default=0)
     p.add_argument("--level", type=int, default=3)
@@ -45,17 +55,24 @@ def parse_args(argv=None):
     p.add_argument("--using_weight", type=int, default=0)
     p.add_argument("--damping", type=float, default=0.1)
     p.add_argument("--train_damping", type=int, default=0)
+    p.add_argument("--negative_samples", type=int, default=32)
+    p.add_argument("--use_conf_metric", type=int, default=0)
     p.add_argument("--direction", type=str, default="S2GP")
+    p.add_argument("--Load", type=int, default=0)
     p.add_argument("--Optimizer", type=str, default="LM")
-    p.add_argument("--level_first", type=int, default=0)
-    p.add_argument("--proj", type=str, default="geo")
-    p.add_argument("--estimate_depth", type=int, default=0)
-    p.add_argument("--dropout", type=int, default=0)
-    p.add_argument("--use_hessian", type=int, default=0)
-    p.add_argument("--visualize", type=int, default=0)
     p.add_argument("--train_log_start", type=int, default=0)
     p.add_argument("--train_log_end", type=int, default=1)
     p.add_argument("--test_log_ind", type=int, default=0)
+    p.add_argument("--transformer", type=int, default=0)
+    p.add_argument("--estimate_depth", type=int, default=0)
+    p.add_argument("--level_first", type=int, default=0)
+    p.add_argument("--proj", type=str, default="geo")
+    p.add_argument("--use_gt_depth", type=int, default=0)
+    p.add_argument("--dropout", type=int, default=0)
+    p.add_argument("--use_hessian", type=int, default=0)
+    p.add_argument("--visualize", type=int, default=0)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.999)
     p.add_argument("--train_whole", type=int, default=0)
     p.add_argument("--test_whole", type=int, default=0)
     # TPU-framework flags
@@ -65,6 +82,9 @@ def parse_args(argv=None):
     p.add_argument("--save_root", type=str, default=".")
     p.add_argument("--keep_optimizer_state", type=int, default=0)
     p.add_argument("--seed", type=int, default=2022)
+    p.add_argument("--grd_h", type=int, default=256)
+    p.add_argument("--grd_w", type=int, default=1024)
+    p.add_argument("--sat_size", type=int, default=512)
     return p.parse_args(argv)
 
 
@@ -96,57 +116,50 @@ def make_loader(cfg: Config, args, split: str):
                          rotation_range=cfg.rotation_range,
                          whole=bool(args.test_whole),
                          grd_h=cfg.grd_h, grd_w=cfg.grd_w)
-    # batches are produced by _batches() with the Ford collate; Loader here
-    # only carries batch-size/shuffle bookkeeping
-    loader = Loader(ds, cfg.batch_size, shuffle=(split == "train"
-                                                 and not cfg.visualize))
+    loader = Loader(ds, cfg.batch_size,
+                    shuffle=(split == "train" and not cfg.visualize),
+                    drop_last=(split == "train"), collate_fn=collate_ford)
     return ds, loader
 
 
-def _batches(ds, loader):
-    """Iterate Ford batches (Loader's default collate is KITTI-shaped)."""
-    from highlyaccurate_tpu.data.ford import collate_ford
-    order = np.arange(len(ds))
-    if loader.shuffle:
-        np.random.RandomState(loader.seed + loader._epoch).shuffle(order)
-    loader._epoch += 1
-    bs = loader.bs
-    for i in range(0, len(order), bs):
-        yield collate_ford([ds[int(j)] for j in order[i:i + bs]])
-
-
 def evaluate(model, cfg: Config, params, args, save_path: str, epoch: int,
-             best_rank: float):
+             best_rank: float, eval_step=None, mesh=None, side_m=None):
     import jax
     import jax.numpy as jnp
+    from highlyaccurate_tpu.train import step as step_lib
     from highlyaccurate_tpu.train.checkpoint import save_params
 
     np.random.seed(2022)  # reference parity (train_ford.py:44-46)
     ds, loader = make_loader(cfg, args, "test")
-    side_m = ds.satmap_sidelength_meters
-
-    @jax.jit
-    def eval_step(params, sat, grd, R, T, rng):
-        return model.apply({"params": params}, sat, grd, side_m, R, T,
-                           mode="test", rngs={"lm": rng})
+    if side_m is None:
+        side_m = ds.satmap_sidelength_meters
+    if eval_step is None:
+        eval_step = step_lib.make_eval_step(model, cfg, mesh,
+                                            ford_side_m=side_m)
 
     pu, pv, pt, gts = [], [], [], []
     t0 = time.time()
-    n_batches = 0
-    for i, batch in enumerate(_batches(ds, loader)):
-        u, v, th = eval_step(params, jnp.asarray(batch["sat"]),
-                             jnp.asarray(batch["grd"]),
-                             jnp.asarray(batch["R_FL"]),
-                             jnp.asarray(batch["T_FL"]),
+    n_images = 0
+    for i, batch in enumerate(loader):
+        n = batch["sat"].shape[0]
+        pad = cfg.batch_size - n  # pad ragged final batch (trimmed below)
+
+        def p(x):
+            if pad > 0:
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+            return jnp.asarray(x)
+
+        u, v, th = eval_step(params, p(batch["sat"]), p(batch["grd"]),
+                             p(batch["R_FL"]), p(batch["T_FL"]),
                              jax.random.fold_in(jax.random.PRNGKey(2022), i))
-        pu.append(np.asarray(u))
-        pv.append(np.asarray(v))
-        pt.append(np.asarray(th))
+        pu.append(np.asarray(u)[:n])
+        pv.append(np.asarray(v)[:n])
+        pt.append(np.asarray(th)[:n])
         gts.append(batch["gt_pose"])
-        n_batches += 1
+        n_images += n
         if i % 20 == 0:
             print(i)
-    duration = (time.time() - t0) / max(n_batches, 1)
+    duration = (time.time() - t0) / max(n_images, 1)
 
     gt = np.concatenate(gts)
     pred_shifts, pred_headings = denormalize(
@@ -164,7 +177,7 @@ def evaluate(model, cfg: Config, params, args, save_path: str, epoch: int,
     return rank
 
 
-def train(model, cfg: Config, args, save_path: str):
+def train(model, cfg: Config, args, save_path: str, restore_path=None):
     import jax
     import jax.numpy as jnp
     from highlyaccurate_tpu.train import step as step_lib
@@ -175,54 +188,55 @@ def train(model, cfg: Config, args, save_path: str):
     ds, loader = make_loader(cfg, args, "train")
     side_m = ds.satmap_sidelength_meters
     sample = ds[0]
-    sat0 = jnp.asarray(sample.sat[None])
-    grd0 = jnp.asarray(sample.grd[None])
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "lm": jax.random.PRNGKey(1)},
-                           sat0, grd0, side_m,
+                           jnp.asarray(sample.sat[None]),
+                           jnp.asarray(sample.grd[None]), side_m,
                            jnp.asarray(sample.R_FL[None]),
                            jnp.asarray(sample.T_FL[None]),
                            jnp.zeros((1, 3)), mode="train")
     params = variables["params"]
+    freeze = False
     if args.resume:
         params = load_params(save_path, epoch_ckpt_name(args.resume - 1), params)
+    elif restore_path is not None:
+        # frozen-backbone partial restore (reference train_ford.py:499-511)
+        params = load_params(restore_path, "Model_best", params)
+        freeze = True
+        print("Restore model from", restore_path, "done ... (backbones frozen)")
 
+    mesh = step_lib.make_mesh_for_batch(cfg.batch_size)
     state = create_train_state(cfg, params)
-
-    @jax.jit
-    def train_step(state, sat, grd, R, T, gt, rng):
-        def loss_fn(p):
-            out = model.apply({"params": p}, sat, grd, side_m, R, T, gt,
-                              mode="train", rngs={"lm": rng})
-            return out.loss, out
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads)
-        return new_state, {"loss": loss, "loss_last": out.loss_last,
-                           "lat": out.shift_lat_last, "lon": out.shift_lon_last,
-                           "rot": out.theta_last}
+    state = step_lib.replicate(mesh, state)
+    train_step = step_lib.make_train_step(model, cfg, mesh, ford_side_m=side_m,
+                                          freeze_backbones=freeze)
+    eval_step = step_lib.make_eval_step(model, cfg, mesh, ford_side_m=side_m)
 
     best_rank = 0.0
     for epoch in range(args.resume, cfg.epochs):
         state = reset_for_epoch(state, cfg, epoch)
-        for loop, batch in enumerate(_batches(ds, loader)):
+        for loop, batch in enumerate(loader):
+            b = step_lib.shard_batch(mesh, {
+                "sat": batch["sat"], "grd": batch["grd"],
+                "R_FL": batch["R_FL"], "T_FL": batch["T_FL"],
+                "gt_pose": batch["gt_pose"]})
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed),
                                      epoch * 100000 + loop)
-            state, metrics = train_step(
-                state, jnp.asarray(batch["sat"]), jnp.asarray(batch["grd"]),
-                jnp.asarray(batch["R_FL"]), jnp.asarray(batch["T_FL"]),
-                jnp.asarray(batch["gt_pose"]), rng)
+            state, metrics = train_step(state, b["sat"], b["grd"], b["R_FL"],
+                                        b["T_FL"], b["gt_pose"], rng)
             if loop % 10 == 9:
                 lvl = cfg.n_levels - 1
                 print(f"Epoch: {epoch} Loop: {loop}"
                       f" loss: {float(metrics['loss']):.4f}"
-                      f" lat: {float(metrics['lat'][lvl]):.2f}"
-                      f" lon: {float(metrics['lon'][lvl]):.2f}"
-                      f" rot: {float(metrics['rot'][lvl]):.2f}")
+                      f" lat: {float(metrics['shift_lat_last'][lvl]):.2f}"
+                      f" lon: {float(metrics['shift_lon_last'][lvl]):.2f}"
+                      f" rot: {float(metrics['theta_last'][lvl]):.2f}")
         print("taking snapshot ...")
         save_params(save_path, epoch_ckpt_name(epoch),
                     jax.device_get(state.params))
         best_rank = max(best_rank, evaluate(model, cfg, state.params, args,
-                                            save_path, epoch, best_rank))
+                                            save_path, epoch, best_rank,
+                                            eval_step, mesh, side_m))
     print("Finished Training")
 
 
@@ -230,7 +244,7 @@ def main(argv=None):
     args = parse_args(argv)
     np.random.seed(args.seed)
     cfg = config_from_args(args)
-    save_path = cfg.save_path_ford(args.save_root)
+    restore_path, save_path = cfg.ford_paths(args.save_root)
     os.makedirs(save_path, exist_ok=True)
     print("save_path:", save_path)
 
@@ -258,7 +272,7 @@ def main(argv=None):
             params = load_params(save_path, "Model_best", params)
         evaluate(model, cfg, params, args, save_path, 0, 1e9)
     else:
-        train(model, cfg, args, save_path)
+        train(model, cfg, args, save_path, restore_path=restore_path)
 
 
 if __name__ == "__main__":

@@ -69,6 +69,12 @@ class Config:
     train_log_start: int = 0
     train_log_end: int = 1
     test_log_ind: int = 0
+    transformer: int = 0  # reference train_ford.py:402: frozen-backbone
+    #   restore from the base experiment dir (the transformer block itself is
+    #   dead code upstream, models_ford.py:94-101 — only the restore/freeze
+    #   mechanics are live)
+    train_whole: int = 0
+    test_whole: int = 0
 
     # --- new, TPU-framework-only knobs (do not affect save-path) ---
     dataset_root: Optional[str] = None  # lifts the reference's hardcoded root
@@ -134,27 +140,48 @@ class Config:
             p += "_Damping" + str(self.damping)
         return os.path.normpath(os.path.join(root, p))
 
-    def save_path_ford(self, root: str = ".") -> str:
-        """Reference-identical Ford experiment directory (train_ford.py:415-455)."""
+    def ford_paths(self, root: str = "."):
+        """Reference-identical Ford (restore_path, save_path)
+        (train_ford.py:415-455).
+
+        ``restore_path`` is non-None only for the ``--transformer`` variant:
+        it points at the base experiment directory whose Model_best seeds the
+        (frozen) feature backbones (train_ford.py:499-511).
+        """
         p = (
             f"./ModelsFord/LM_{self.direction}"
-            f"/train_log_{self.train_log_start}_{self.train_log_end}"
             f"/lat{self.shift_range_lat}m_lon{self.shift_range_lon}m_rot{self.rotation_range}"
             f"_Lev{self.level}_Nit{self.N_iters}"
             f"_Wei{self.using_weight}"
             f"_Dam{self.train_damping}"
-            f"_{self.Optimizer}"
+            f"_Load{self.Load}_{self.Optimizer}"
             f"_loss{self.loss_method}"
+            f"_{self.coe_shift_lat}_{self.coe_shift_lon}_{self.coe_heading}"
+            f"_{self.coe_L1}_{self.coe_L2}_{self.coe_L3}_{self.coe_L4}"
+            f"_Start{self.train_log_start}_End{self.train_log_end}"
         )
+        restore = None
+        if self.transformer:
+            restore = p
+            p += "_transformer"
+        if self.estimate_depth:
+            p += "_Depth1"
+        if self.level_first:
+            p += "_Level1st"
         if self.proj != "geo":
             p += "_" + self.proj
-        if self.estimate_depth:
-            p += "_estdepth"
         if self.use_hessian:
             p += "_Hess"
         if self.dropout > 0:
             p += "_Dropout" + str(self.dropout)
-        return os.path.normpath(os.path.join(root, p))
+        if self.train_whole:
+            p += "_Whole"
+        restore = os.path.normpath(os.path.join(root, restore)) \
+            if restore else None
+        return restore, os.path.normpath(os.path.join(root, p))
+
+    def save_path_ford(self, root: str = ".") -> str:
+        return self.ford_paths(root)[1]
 
 
 def config_from_args(args) -> Config:

@@ -240,9 +240,10 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool = False,
-                 prefetch: int = 2, seed: int = 0):
+                 prefetch: int = 2, seed: int = 0, collate_fn=None):
         self.ds = dataset
         self.bs = batch_size
+        self.collate = collate_fn if collate_fn is not None else collate
         self.shuffle = shuffle
         self.workers = num_workers
         self.drop_last = drop_last
@@ -275,7 +276,8 @@ class Loader:
                 except StopIteration:
                     return
                 pending.append(pool.submit(
-                    lambda ii: collate([self.ds[int(j)] for j in ii]), idxs))
+                    lambda ii: self.collate([self.ds[int(j)] for j in ii]),
+                    idxs))
 
             for _ in range(self.prefetch):
                 submit_next()

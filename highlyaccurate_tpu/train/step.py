@@ -52,23 +52,36 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
-def make_train_step(model, cfg: Config, mesh: Optional[Mesh] = None):
+def make_train_step(model, cfg: Config, mesh: Optional[Mesh] = None,
+                    ford_side_m: Optional[float] = None,
+                    freeze_backbones: bool = False):
     """Build the jitted train step: grads of loss_method over the full
     unrolled solver, Adam update, loss diagnostics out.
 
     Signature: S2GP ``step(state, sat, grd, gt_pose, rng)``;
-    G2SP ``step(state, sat, grd, camera_k, gt_pose, rng)``.
+    G2SP ``step(state, sat, grd, camera_k, gt_pose, rng)``;
+    Ford (``ford_side_m`` set) ``step(state, sat, grd, R_FL, T_FL, gt, rng)``.
+
+    ``freeze_backbones`` zeroes the feature-net gradients — the reference's
+    frozen-backbone restore path (train_ford.py:508-511).
     """
     g2sp = cfg.direction == "G2SP"
+    ford = ford_side_m is not None
 
     def step(state: TrainState, sat, grd, *rest):
-        if g2sp:
+        if ford:
+            R_FL, T_FL, gt_pose, rng = rest
+        elif g2sp:
             camera_k, gt_pose, rng = rest
         else:
             gt_pose, rng = rest
 
         def loss_fn(params):
-            if g2sp:
+            if ford:
+                out = model.apply({"params": params}, sat, grd, ford_side_m,
+                                  R_FL, T_FL, gt_pose, mode="train",
+                                  rngs={"lm": rng})
+            elif g2sp:
                 out = model.apply({"params": params}, sat, grd, camera_k,
                                   gt_pose, mode="train", rngs={"lm": rng})
             else:
@@ -77,6 +90,11 @@ def make_train_step(model, cfg: Config, mesh: Optional[Mesh] = None):
             return out.loss, out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if freeze_backbones:
+            grads = dict(grads)
+            for k in ("SatFeatureNet", "GrdFeatureNet"):
+                if k in grads:
+                    grads[k] = jax.tree_util.tree_map(jnp.zeros_like, grads[k])
         new_state = state.apply_gradients(grads)
         metrics = {
             "loss": loss,
@@ -91,7 +109,7 @@ def make_train_step(model, cfg: Config, mesh: Optional[Mesh] = None):
         }
         return new_state, metrics
 
-    n_data_args = 4 if g2sp else 3
+    n_data_args = 5 if ford else (4 if g2sp else 3)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
 
@@ -105,11 +123,17 @@ def make_train_step(model, cfg: Config, mesh: Optional[Mesh] = None):
     )
 
 
-def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
+def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None,
+                   ford_side_m: Optional[float] = None):
     """Jitted inference: final (shift_lat, shift_lon, theta)."""
     g2sp = cfg.direction == "G2SP"
+    ford = ford_side_m is not None
 
     def step(params, sat, grd, *rest):
+        if ford:
+            R_FL, T_FL, rng = rest
+            return model.apply({"params": params}, sat, grd, ford_side_m,
+                               R_FL, T_FL, mode="test", rngs={"lm": rng})
         if g2sp:
             camera_k, rng = rest
             return model.apply({"params": params}, sat, grd, camera_k,
@@ -118,7 +142,7 @@ def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None):
         return model.apply({"params": params}, sat, grd, mode="test",
                            rngs={"lm": rng})
 
-    n_data_args = 3 if g2sp else 2
+    n_data_args = 4 if ford else (3 if g2sp else 2)
     if mesh is None:
         return jax.jit(step)
     repl = NamedSharding(mesh, P())

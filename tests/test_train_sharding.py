@@ -126,3 +126,58 @@ def test_mesh_eval_step():
     lat, lon, th = eval_step(params_r, b["sat"], b["grd"], jax.random.PRNGKey(0))
     assert lat.shape == (8,)
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_ford_sharded_train_step():
+    """Ford mesh-sharded train step (first-class path, VERDICT round-1 #6):
+    runs on the 8-device mesh and decreases loss; frozen-backbone variant
+    leaves the feature nets untouched."""
+    from highlyaccurate_tpu.models.ford import LMS2GPFord
+
+    cfg = Config(**TINY)
+    model = LMS2GPFord(cfg=cfg)
+    rng = np.random.RandomState(0)
+    batch = 8
+    side_m = 64 * 0.22
+    sat = jnp.asarray(rng.rand(batch, cfg.sat_size, cfg.sat_size, 3).astype(np.float32))
+    grd = jnp.asarray(rng.rand(batch, cfg.grd_h, cfg.grd_w, 3).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(-0.5, 0.5, (batch, 3)).astype(np.float32))
+    R = jnp.broadcast_to(jnp.eye(3), (batch, 3, 3))
+    T = jnp.zeros((batch, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "lm": jax.random.PRNGKey(1)},
+                           sat, grd, side_m, R, T, gt, mode="train")
+
+    mesh = step_lib.make_mesh(jax.devices()[:8])
+    state = step_lib.replicate(mesh, create_train_state(
+        cfg, _copy(variables["params"])))
+    b = step_lib.shard_batch(mesh, {"sat": sat, "grd": grd, "R": R, "T": T,
+                                    "gt": gt})
+    ts = step_lib.make_train_step(model, cfg, mesh, ford_side_m=side_m)
+    losses = []
+    for i in range(3):
+        state, metrics = ts(state, b["sat"], b["grd"], b["R"], b["T"],
+                            b["gt"], jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    # noisy 3-step optimization (random data + out-of-range pose reinit):
+    # require finite + at least one improving step
+    assert np.isfinite(losses).all() and min(losses[1:]) < losses[0]
+
+    # frozen-backbone variant: feature nets must not move (train_damping=1
+    # so at least one non-backbone param carries gradient)
+    cfg2 = Config(**TINY, train_damping=1)
+    model = LMS2GPFord(cfg=cfg2)
+    state2 = step_lib.replicate(mesh, create_train_state(
+        cfg2, _copy(variables["params"])))
+    tsf = step_lib.make_train_step(model, cfg2, mesh, ford_side_m=side_m,
+                                   freeze_backbones=True)
+    new_state, _ = tsf(state2, b["sat"], b["grd"], b["R"], b["T"], b["gt"],
+                       jax.random.PRNGKey(0))
+    for k in ("SatFeatureNet", "GrdFeatureNet"):
+        a = jax.tree_util.tree_leaves(variables["params"][k])
+        bb = jax.tree_util.tree_leaves(new_state.params[k])
+        for x, y in zip(a, bb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # but the damping param did move
+    assert not np.allclose(np.asarray(new_state.params["damping"]),
+                           np.asarray(variables["params"]["damping"]))
