@@ -64,3 +64,17 @@ def test_loader_drop_last_and_order():
     batches = list(loader)
     assert len(batches) == 2
     assert batches[0]["names"][0] == "synthetic/0000000000.png"
+
+
+def test_vendored_split_files_parse():
+    """The vendored reference split lists load and parse (fixed test
+    perturbations; reference dataLoader/*.txt)."""
+    from highlyaccurate_tpu.data.kitti import KittiDataset
+
+    for split, want in (("train", 19655), ("test1", 3773), ("test2", 7542)):
+        ds = KittiDataset("/nonexistent-root", split, use_native_warp=False)
+        assert len(ds) == want, split
+    ds = KittiDataset("/nonexistent-root", "test1", use_native_warp=False)
+    name, sx, sy, th = ds.lines[0].split(" ")
+    assert name.endswith(".png")
+    float(sx), float(sy), float(th)
