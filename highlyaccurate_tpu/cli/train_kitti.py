@@ -243,19 +243,35 @@ def train(model, cfg: Config, args, save_path: str):
                 state, metrics = train_step(state, b["sat"], b["grd"],
                                             b["gt_pose"], rng)
             if cfg.visualize and loop % 100 == 0 and cfg.direction == "S2GP":
-                from highlyaccurate_tpu.viz.visualize import pose_trajectory_plot
+                # reference dumps trajectory plots AND per-level feature-PCA
+                # RGBs under --visualize (models_kitti.py:1285-1293)
+                from highlyaccurate_tpu.viz.visualize import (
+                    features_to_rgb, pose_trajectory_plot)
+                params_h = jax.device_get(state.params)
+                sat1 = jnp.asarray(batch["sat"][:1])
+                grd1 = jnp.asarray(batch["grd"][:1])
                 lats, lons, ths = model.apply(
-                    {"params": jax.device_get(state.params)},
-                    jnp.asarray(batch["sat"][:1]), jnp.asarray(batch["grd"][:1]),
+                    {"params": params_h}, sat1, grd1,
                     mode="trajectory", rngs={"lm": rng})
                 from highlyaccurate_tpu.utils import geo as _geo
+                save_dir = f"./visualize_rot{cfg.rotation_range}"
                 pose_trajectory_plot(
                     batch["sat"][0], np.asarray(lats), np.asarray(lons),
                     np.asarray(ths), batch["gt_pose"],
                     _geo.get_meter_per_pixel(), cfg.shift_range_lat,
                     cfg.shift_range_lon, cfg.rotation_range,
-                    os.path.join(f"./visualize_rot{cfg.rotation_range}",
-                                 f"traj_{epoch}_{loop}.png"))
+                    os.path.join(save_dir, f"traj_{epoch}_{loop}.png"))
+                pred = jnp.asarray(
+                    np.stack([np.asarray(lons)[:, -1, -1],
+                              np.asarray(lats)[:, -1, -1],
+                              np.asarray(ths)[:, -1, -1]], -1))
+                gt1 = jnp.asarray(batch["gt_pose"][:1])
+                per_level = model.apply({"params": params_h}, sat1, grd1,
+                                        pred, gt1, method="project_at_pose")
+                for lvl, maps in enumerate(per_level):
+                    features_to_rgb([np.asarray(m) for m in maps], save_dir,
+                                    prefix=f"feat_e{epoch}_l{loop}_L{lvl}",
+                                    loop=loop)
             if loop % 10 == 9:
                 lvl = cfg.n_levels - 1
                 print(f"Epoch: {epoch} Loop: {loop} Delta: Level-{lvl}"

@@ -429,6 +429,25 @@ class LMS2GP(nn.Module):
                           / (B * (Wc - 1)))
         return jnp.sum(jnp.stack(losses))
 
+    def project_at_pose(self, sat_map, grd_img, pred_pose, gt_pose):
+        """Per-level feature maps for ``--visualize`` PCA dumps.
+
+        Mirrors the reference's in-forward visualization inputs
+        (models_kitti.py:1285-1293: sat/grd features + predicted- and
+        gt-pose projections).  Returns per level
+        (sat_feat, grd_feat, proj_at_pred, proj_at_gt).
+        """
+        sat_feats, _, grd_feats, _ = self.extract_features(sat_map, grd_img)
+        outs = []
+        for lvl in range(len(self._slots)):
+            slot = self._slots[lvl]
+            fp_pred, _, _, _, _ = self._project(
+                sat_feats[lvl], None, pred_pose, slot, with_jac=False)
+            fp_gt, _, _, _, _ = self._project(
+                sat_feats[lvl], None, gt_pose, slot, with_jac=False)
+            outs.append((sat_feats[lvl], grd_feats[lvl], fp_pred, fp_gt))
+        return outs
+
     def multi_hypothesis_test(self, sat_map, grd_img, n_hyp: int,
                               gt_depth=None):
         """Multi-start LM inference (NEW capability; SURVEY.md §2.2 P6).

@@ -189,3 +189,28 @@ def test_kitti_cli_synthetic_train_epoch(tmp_path):
     assert os.path.exists(os.path.join(save_path, "model_0"))
     assert os.path.exists(os.path.join(save_path, "Test1_results.txt"))
     assert os.path.exists(os.path.join(save_path, "Test2_results.txt"))
+
+
+def test_kitti_cli_visualize_dumps_feature_pca(tmp_path, monkeypatch):
+    """--visualize produces trajectory plots AND per-level feature-PCA RGBs
+    (reference models_kitti.py:1285-1293)."""
+    import glob
+    from highlyaccurate_tpu.cli import train_kitti as cli
+    from highlyaccurate_tpu.config import config_from_args
+
+    monkeypatch.chdir(tmp_path)  # plots land in ./visualize_rot<r>
+    argv = ["--test", "0", "--epochs", "1", "--synthetic", "2",
+            "--batch_size", "2", "--level", "-1", "--N_iters", "1",
+            "--visualize", "1", "--save_root", str(tmp_path)]
+    args = cli.parse_args(argv)
+    cfg = config_from_args(args)
+    cfg = cfg.__class__(**{**cfg.__dict__, "grd_h": 32, "grd_w": 128,
+                           "sat_size": 64})
+    save_path = cfg.save_path(str(tmp_path))
+    os.makedirs(save_path, exist_ok=True)
+    model = cli.build_model(cfg)
+    cli.train(model, cfg, args, save_path)
+
+    viz = tmp_path / "visualize_rot10.0"
+    assert glob.glob(str(viz / "traj_*.png")), "trajectory plot missing"
+    assert glob.glob(str(viz / "feat_*0*.png")), "feature PCA dumps missing"
