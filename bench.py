@@ -141,7 +141,52 @@ def extra_metrics(cfg, batch, on_tpu):
             _bench_eval_fps(LMS2GP, mh_cfg, batch, n), 2)
     except Exception as e:  # pragma: no cover
         out["multihyp4_eval_fps"] = f"error: {type(e).__name__}"
+    try:
+        out["ford_eval_fps"] = round(_bench_ford_eval(cfg, batch, n), 2)
+    except Exception as e:  # pragma: no cover
+        out["ford_eval_fps"] = f"error: {type(e).__name__}"
     return out
+
+
+def _bench_ford_eval(cfg, batch, n_iters):
+    """Ford model eval throughput (cam->body->world->sat chain)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from highlyaccurate_tpu.geometry import ford as fgeom
+    from highlyaccurate_tpu.models.ford import LMS2GPFord
+
+    model = LMS2GPFord(cfg=cfg)
+    rng = np.random.RandomState(0)
+    sat = jnp.asarray(rng.rand(batch, cfg.sat_size, cfg.sat_size, 3)
+                      .astype(np.float32))
+    grd = jnp.asarray(rng.rand(batch, cfg.grd_h, cfg.grd_w, 3)
+                      .astype(np.float32))
+    side_m = jnp.full((batch,), cfg.sat_size * 0.22, jnp.float32)
+    R = jnp.broadcast_to(jnp.asarray(fgeom.qvec2rotmat(
+        [0.997, 0.01, 0.05, 0.02])), (batch, 3, 3))
+    T = jnp.broadcast_to(jnp.array([1.0, 0.5, -1.4], jnp.float32), (batch, 3))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "lm": jax.random.PRNGKey(1)},
+                   sat, grd, side_m, R, T, jnp.zeros((batch, 3)),
+                   mode="train")
+
+    @jax.jit
+    def ev(params, carry, key):
+        out = model.apply({"params": params}, sat + carry * 1e-38, grd,
+                          side_m, R, T, mode="test", rngs={"lm": key})
+        return carry + jnp.sum(out[0]) * 1e-30
+
+    carry = ev(v["params"], jnp.zeros(()), jax.random.PRNGKey(0))
+    np.asarray(carry)
+    t0 = time.perf_counter()
+    carry = jnp.zeros(())
+    for i in range(n_iters):
+        carry = ev(v["params"], carry,
+                   jax.random.fold_in(jax.random.PRNGKey(0), i))
+    np.asarray(carry)
+    return batch * n_iters / (time.perf_counter() - t0)
 
 
 def run(cfg, batch, on_tpu):

@@ -92,6 +92,15 @@ class Config:
     #   (1 = on TPU; 2 = force even off-TPU via interpret mode, tests only)
     use_implicit_lm: int = 1  # contract H/g from (out, dx, dy) + row-affine
     #   duv without materializing the [B,V,W,C,3] Jacobian (banded LM only)
+    use_fused_moments: int = 1  # eval-only: banded kernel emits the 9 LM
+    #   contraction moments in-register ([B,V,3,16]) instead of [B,V,W,C]
+    #   out/dx/dy HBM arrays (implicit-LM banded eval only)
+    banded_bf16_map: int = 1  # sample the satellite map in bfloat16 inside
+    #   the banded kernel (fp32 weights/accumulation).  Halves the map's VMEM
+    #   footprint, which lets the finest level ride DMA-free in VMEM instead
+    #   of re-DMAing an 8MB window per ground row (the round-1 eval
+    #   bottleneck).  Ignored by the gather path; recall impact quantified in
+    #   PERF.md.  Implied when compute_dtype is bfloat16.
     keep_optimizer_state: int = 0  # fix for the reference's per-epoch Adam reset
 
     @property

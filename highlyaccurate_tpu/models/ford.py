@@ -85,7 +85,8 @@ class LMS2GPFord(nn.Module):
 
         # ground rows trace near-vertical sat lines (see lm_s2gp) -> swap axes
         uv01s = uv01[..., ::-1]
-        bf16_map = cfg.compute_dtype == "bfloat16"
+        bf16_map = (cfg.compute_dtype == "bfloat16"
+                    or bool(cfg.banded_bf16_map))
         key_ = (A, C, V, Wg, RB, bf16_map)
         sampler = _BANDED_CACHE.get(key_)
         if sampler is None:

@@ -40,8 +40,9 @@ from highlyaccurate_tpu.models.nnrefine import NNrefine
 from highlyaccurate_tpu.models.vggunet import VGGUnet
 from highlyaccurate_tpu.ops.grid_sample import grid_sample
 from highlyaccurate_tpu.solver.updates import (LMConfig, adam_update,
-                                               lm_update, lm_update_implicit,
-                                               sgd_update)
+                                               lm_update,
+                                               lm_update_from_moments,
+                                               lm_update_implicit, sgd_update)
 from highlyaccurate_tpu.utils import geo
 
 # cache of compiled banded samplers keyed by static shape
@@ -180,7 +181,8 @@ class LMS2GP(nn.Module):
         return feat_proj, conf_proj, jac, uv * m[..., None], m
 
     def _project_banded(self, sat_feat, pose, slot: int, row_start: int,
-                        with_jac: bool, implicit: bool = False):
+                        with_jac: bool, implicit: bool = False,
+                        moments_grd=None):
         """Pallas banded line sampler path (ops/pallas/banded_warp.py).
 
         Exploits the per-row-affine structure of the geo projection; exact
@@ -192,9 +194,15 @@ class LMS2GP(nn.Module):
         NOT materialized; returns the raw pieces
         (out, dx, dy, mask2d, P0, dP) for ``lm_update_implicit`` — out/dx/dy
         unmasked kernel outputs, duv(v, u) = P0 + u*dP.
+
+        When ``moments_grd`` is given (eval fast path; [B, V, W, C] target
+        feature rows), even out/dx/dy never exist in HBM: the fused-moment
+        kernel contracts the LM moments in-register and this returns
+        (M [B,V,3,16], P0s, dPs) for ``lm_update_from_moments`` (P0s/dPs in
+        kernel axis order).
         """
-        from highlyaccurate_tpu.ops.pallas.banded_warp import \
-            make_banded_sampler
+        from highlyaccurate_tpu.ops.pallas.banded_warp import (
+            make_banded_moments, make_banded_sampler)
         cfg = self.cfg
         A, C = sat_feat.shape[1], sat_feat.shape[-1]
         xyz = jnp.asarray(self._rays[slot][0][row_start:])   # [V, W, 3]
@@ -207,6 +215,8 @@ class LMS2GP(nn.Module):
 
         # uv and duv at u=0,1 determine the per-row affine maps exactly
         xyz01 = xyz[:, :2]                                    # [V, 2, 3]
+        if moments_grd is not None:
+            with_jac = True
         if with_jac:
             uv01, duv01 = geom.s2gp_uv_jac(pose, xyz01, A, cfg.rotation_range,
                                            cfg.shift_range_lat,
@@ -221,15 +231,34 @@ class LMS2GP(nn.Module):
         # along its x axis (needs |dy/dx| < 1), so swap the sat axes and uv
         # components; the returned d/dx,d/dy swap back accordingly.
         uv01s = uv01[..., ::-1]
-        bf16_map = cfg.compute_dtype == "bfloat16"
+        bf16_map = (cfg.compute_dtype == "bfloat16"
+                    or bool(cfg.banded_bf16_map))
+        interp = jax.default_backend() != "tpu"
+        sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))         # swap sat axes
+
+        if moments_grd is not None:
+            key_ = ("mom", A, C, V, Wg, RB, bf16_map)
+            msampler = _BANDED_CACHE.get(key_)
+            if msampler is None:
+                msampler = make_banded_moments(
+                    A=A, C=C, V=V, W=Wg, RB=RB, bf16_map=bf16_map,
+                    interpret=interp)
+                _BANDED_CACHE[key_] = msampler
+            mask_vw = jnp.asarray(self._rays[slot][1][row_start:])  # [V, W]
+            M = msampler(sat_t, moments_grd, mask_vw,
+                         uv01s[:, :, 0], uv01s[:, :, 1])
+            # kernel axis order (x = our v): swap the duv component axis too
+            P0s = duv01[:, :, 0][:, :, ::-1]                  # [B, V, 2, 3]
+            dPs = (duv01[:, :, 1] - duv01[:, :, 0])[:, :, ::-1]
+            return M, P0s, dPs
+
         key_ = (A, C, V, Wg, RB, bf16_map)
         sampler = _BANDED_CACHE.get(key_)
         if sampler is None:
             sampler = make_banded_sampler(
                 A=A, C=C, V=V, W=Wg, RB=RB, bf16_map=bf16_map,
-                interpret=jax.default_backend() != "tpu")
+                interpret=interp)
             _BANDED_CACHE[key_] = sampler
-        sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))         # swap sat axes
         out, dv_, du_ = sampler(sat_t, uv01s[:, :, 0], uv01s[:, :, 1])                 # [B, V, W, C]
         dx, dy = du_, dv_  # kernel x == our v; kernel y == our u
 
@@ -252,7 +281,8 @@ class LMS2GP(nn.Module):
 
     def _solver_round(self, pose, level_pos: int, slot: int, sat_feat, sat_conf,
                       grd_feat, grd_conf, key, adam_state, t, gt_depth=None,
-                      collect: bool = False, banded: bool = False):
+                      collect: bool = False, banded: bool = False,
+                      fused_eval: bool = False):
         """One (iteration, level) solver round. Returns (pose', adam', aux)."""
         cfg = self.cfg
         grd_H = grd_feat.shape[1]
@@ -271,8 +301,6 @@ class LMS2GP(nn.Module):
         if use_banded and cfg.Optimizer == "LM" and cfg.use_implicit_lm:
             # implicit-J fast path: H and g contract from (out, dx, dy) and
             # the per-row affine duv without materializing [B,V,W,C,3]
-            out, dxs, dys, m2, P0, dP = self._project_banded(
-                sat_feat, pose, slot, row_start, with_jac=True, implicit=True)
             lm_cfg = LMConfig(
                 active_dims=cfg.active_pose_dims,
                 using_weight=False,
@@ -282,6 +310,17 @@ class LMS2GP(nn.Module):
                 dropout=cfg.dropout,
                 normalize=True,
             )
+            if fused_eval and cfg.dropout == 0:
+                # eval fast path: the kernel contracts the LM moments
+                # in-register — no [B,V,W,C] intermediates in HBM at all
+                M, P0s, dPs = self._project_banded(
+                    sat_feat, pose, slot, row_start, with_jac=True,
+                    moments_grd=grd_feat[:, row_start:])
+                new_pose = lm_update_from_moments(
+                    pose, M, P0s, dPs, self.damping, lm_cfg, key)
+                return new_pose, adam_state, None
+            out, dxs, dys, m2, P0, dP = self._project_banded(
+                sat_feat, pose, slot, row_start, with_jac=True, implicit=True)
             new_pose = lm_update_implicit(
                 pose, out, dxs, dys, grd_feat[:, row_start:], m2, P0, dP,
                 self.damping, lm_cfg, key)
@@ -519,6 +558,9 @@ class LMS2GP(nn.Module):
         banded = (bool(cfg.use_banded_warp)
                   and (jax.default_backend() == "tpu"
                        or cfg.use_banded_warp >= 2))
+        # eval never differentiates the solver: use the fused-moment kernel
+        # (no [B,V,W,C] HBM intermediates; see _solver_round)
+        fused_eval = mode != "train" and bool(cfg.use_fused_moments)
 
         def round_fn(pose, adam_state, it, lvl_pos):
             slot = self._slots[lvl_pos]
@@ -528,7 +570,8 @@ class LMS2GP(nn.Module):
             return self._solver_round(
                 pose, lvl_pos, slot, sat_feats[lvl_pos], sat_confs[lvl_pos],
                 grd_feats[lvl_pos], grd_confs[lvl_pos], key, adam_state, t,
-                gt_depth=gt_depth, collect=collect_aux, banded=banded)
+                gt_depth=gt_depth, collect=collect_aux, banded=banded,
+                fused_eval=fused_eval)
 
         remat = cfg.remat and mode == "train" and cfg.Optimizer != "NN"
 

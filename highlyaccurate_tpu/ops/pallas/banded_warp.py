@@ -90,12 +90,16 @@ def _row_weight_mats(wx, dwx, rel, fy, m, r: int):
 
 
 def _shear_row(read_chunk, sj, oy_f, r: int, *, RB: int, A: int, C: int,
-               cfirst: bool):
+               cfirst: bool, n_chunks=None):
     """Extract sheared row r from the VMEM window: [A, C] (or [C, A]).
 
-    ``read_chunk(base)`` returns window rows [base, base+_SHEAR_CHUNK)."""
+    ``read_chunk(base)`` returns window rows [base, base+_SHEAR_CHUNK).
+    ``n_chunks`` (traced scalar) bounds the scan to the chunks that can
+    contain in-bounds target rows (packed per row in the coef lane 6);
+    rows beyond it only ever match masked-out columns."""
     tgt = sj - oy_f + (r - 1.0)
-    n_chunks = RB // _SHEAR_CHUNK
+    if n_chunks is None:
+        n_chunks = RB // _SHEAR_CHUNK
 
     if cfirst:
         def chunk_body(ci, sh):
@@ -143,6 +147,7 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, *rest,
     cp.start()
 
     wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, b, v, W=W, A=A)
+    nck = coef_ref[b, v, 6].astype(jnp.int32)
 
     cp.wait()
 
@@ -151,7 +156,7 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, *rest,
 
     _accumulate_rows(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
                      out_ref, dx_ref, dy_ref, dxy_ref,
-                     RB=RB, W=W, A=A, C=C, cfirst=cfirst)
+                     RB=RB, W=W, A=A, C=C, cfirst=cfirst, n_chunks=nck)
 
 
 def _kernel_fullmap(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, *rest,
@@ -160,27 +165,32 @@ def _kernel_fullmap(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, *rest,
     """Full-map forward variant: the whole satellite level rides in VMEM as a
     blocked input indexed by batch only, so Pallas keeps it resident across
     all V row-programs (no per-row window DMA).  Used when the (possibly
-    bf16) level fits VMEM; RB == A and the window origin is 0.
+    bf16) level fits VMEM.  The shear scan is still restricted to the RB-row
+    window at the packed origin ``oy`` — scanning all A resident rows would
+    cost more VPU time than the windowed kernel's DMA it replaces.
     """
     dxy_ref = rest[0] if with_dxy else None
     b = pl.program_id(0)
     v = pl.program_id(1)
-    del b  # batch selected by the BlockSpec
 
-    wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, pl.program_id(0), v,
-                                          W=W, A=A)
+    oy_f = coef_ref[b, v, 5]
+    oy = oy_f.astype(jnp.int32)
+
+    wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, b, v, W=W, A=A)
+    nck = coef_ref[b, v, 6].astype(jnp.int32)
 
     def read_chunk(base):
-        return sat_ref[0, pl.ds(base, _SHEAR_CHUNK)]
+        return sat_ref[0, pl.ds(oy + base, _SHEAR_CHUNK)]
 
-    _accumulate_rows(read_chunk, jnp.float32(0.0), wx, dwx, rel, fy, sj, m,
+    _accumulate_rows(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
                      out_ref, dx_ref, dy_ref, dxy_ref,
-                     RB=RB, W=W, A=A, C=C, cfirst=cfirst)
+                     RB=RB, W=W, A=A, C=C, cfirst=cfirst, n_chunks=nck)
 
 
 def _accumulate_rows(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
                      out_ref, dx_ref, dy_ref, dxy_ref,
-                     *, RB: int, W: int, A: int, C: int, cfirst: bool):
+                     *, RB: int, W: int, A: int, C: int, cfirst: bool,
+                     n_chunks=None):
     """Shared forward accumulation: 4 sheared rows x banded matmuls."""
     acc_o = jnp.zeros((W, C), jnp.float32)
     acc_dx = jnp.zeros((W, C), jnp.float32)
@@ -189,7 +199,7 @@ def _accumulate_rows(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
 
     for r in range(4):
         sh = _shear_row(read_chunk, sj, oy_f, r, RB=RB, A=A, C=C,
-                        cfirst=cfirst)
+                        cfirst=cfirst, n_chunks=n_chunks)
         w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy, m, r)
 
         def contract(wmat):
@@ -210,6 +220,196 @@ def _accumulate_rows(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
     dy_ref[0, 0] = acc_dy
     if dxy_ref is not None:
         dxy_ref[0, 0] = acc_dxy
+
+
+# fused-moment vector layout (lane indices into the kernel's 16-lane output)
+MOM_IDX = dict(ss=0, gg=1, sxx=2, sxy=3, syy=4, dxs=5, dys=6, dxg=7, dyg=8)
+_MOM_LANES = 16
+
+
+def _moments_from_rows(acc_o, acc_dx, acc_dy, grd, mrow, *, W: int):
+    """The 9 masked per-pixel channel moments and their u-moment sums.
+
+    acc_o/acc_dx/acc_dy/grd: [W, C] (value, d/dx, d/dy, target feature);
+    mrow: [W] binary ray mask.  Returns [3, _MOM_LANES] (rows: sum, u-sum,
+    u^2-sum; lanes: MOM_IDX order, rest zero) — everything the implicit LM
+    update (solver/updates.py:lm_update_from_moments) needs from this row.
+    """
+    cols = [
+        jnp.sum(acc_o * acc_o, -1, keepdims=True),    # ss
+        jnp.sum(grd * grd, -1, keepdims=True),        # gg
+        jnp.sum(acc_dx * acc_dx, -1, keepdims=True),  # sxx
+        jnp.sum(acc_dx * acc_dy, -1, keepdims=True),  # sxy
+        jnp.sum(acc_dy * acc_dy, -1, keepdims=True),  # syy
+        jnp.sum(acc_dx * acc_o, -1, keepdims=True),   # dxs
+        jnp.sum(acc_dy * acc_o, -1, keepdims=True),   # dys
+        jnp.sum(acc_dx * grd, -1, keepdims=True),     # dxg
+        jnp.sum(acc_dy * grd, -1, keepdims=True),     # dyg
+    ]
+    # lane-select construction ([W, 1] cols broadcast onto one-hot lanes)
+    # instead of stack/concat of 1-D vectors, which Mosaic dislikes
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W, _MOM_LANES), 1)
+    P = jnp.zeros((W, _MOM_LANES), jnp.float32)
+    for i, c in enumerate(cols):
+        P = P + c * (lane == i).astype(jnp.float32)
+    P = P * mrow[:, None]
+    u = (jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0).astype(jnp.float32))
+    m0 = jnp.sum(P, 0, keepdims=True)                  # [1, 16]
+    m1 = jnp.sum(P * u, 0, keepdims=True)
+    m2 = jnp.sum(P * (u * u), 0, keepdims=True)
+    row = jax.lax.broadcasted_iota(jnp.int32, (3, _MOM_LANES), 0)
+    return (m0 * (row == 0).astype(jnp.float32)
+            + m1 * (row == 1).astype(jnp.float32)
+            + m2 * (row == 2).astype(jnp.float32))     # [3, 16]
+
+
+def _kernel_moments(coef_ref, sat_ref, grd_ref, mask_ref, mom_ref,
+                    win_ref, sem, *, RB: int, W: int, A: int, C: int,
+                    cfirst: bool):
+    """Windowed fused-moment forward (eval-only, non-differentiable)."""
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+    oy_f = coef_ref[b, v, 5]
+    oy = oy_f.astype(jnp.int32)
+    cp = pltpu.make_async_copy(sat_ref.at[b, pl.ds(oy, RB)], win_ref, sem)
+    cp.start()
+    wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, b, v, W=W, A=A)
+    nck = coef_ref[b, v, 6].astype(jnp.int32)
+    cp.wait()
+
+    def read_chunk(base):
+        return win_ref[pl.ds(base, _SHEAR_CHUNK)]
+
+    acc = _accumulate_values(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
+                             RB=RB, W=W, A=A, C=C, cfirst=cfirst,
+                             n_chunks=nck)
+    mrow = mask_ref[pl.ds(v, 1)][0]
+    mom_ref[0, 0] = _moments_from_rows(*acc, grd_ref[0, 0], mrow, W=W)
+
+
+def _kernel_moments_fullmap(coef_ref, sat_ref, grd_ref, mask_ref, mom_ref,
+                            *, RB: int, W: int, A: int, C: int, cfirst: bool):
+    """Full-map fused-moment forward (map VMEM-resident, RB-row scan)."""
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+    oy_f = coef_ref[b, v, 5]
+    oy = oy_f.astype(jnp.int32)
+    wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, b, v, W=W, A=A)
+    nck = coef_ref[b, v, 6].astype(jnp.int32)
+
+    def read_chunk(base):
+        return sat_ref[0, pl.ds(oy + base, _SHEAR_CHUNK)]
+
+    acc = _accumulate_values(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
+                             RB=RB, W=W, A=A, C=C, cfirst=cfirst,
+                             n_chunks=nck)
+    mrow = mask_ref[pl.ds(v, 1)][0]
+    mom_ref[0, 0] = _moments_from_rows(*acc, grd_ref[0, 0], mrow, W=W)
+
+
+def _accumulate_values(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
+                       *, RB: int, W: int, A: int, C: int, cfirst: bool,
+                       n_chunks=None):
+    """Value + d/dx + d/dy accumulators ([W, C] each) without HBM writes."""
+    acc_o = jnp.zeros((W, C), jnp.float32)
+    acc_dx = jnp.zeros((W, C), jnp.float32)
+    acc_dy = jnp.zeros((W, C), jnp.float32)
+    for r in range(4):
+        sh = _shear_row(read_chunk, sj, oy_f, r, RB=RB, A=A, C=C,
+                        cfirst=cfirst, n_chunks=n_chunks)
+        w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
+
+        def contract(wmat):
+            if cfirst:
+                return jax.lax.dot_general(
+                    wmat, sh, dimension_numbers=_DN_CFIRST,
+                    preferred_element_type=jnp.float32)
+            return jnp.dot(wmat, sh, preferred_element_type=jnp.float32)
+
+        acc_o = acc_o + contract(w_o)
+        acc_dx = acc_dx + contract(w_dx)
+        acc_dy = acc_dy + contract(w_dy)
+    return acc_o, acc_dx, acc_dy
+
+
+def make_banded_moments(A: int, C: int, V: int, W: int, RB: int,
+                        interpret: bool = False, bf16_map: bool = False):
+    """Build the fused-moment eval sampler.
+
+    fn(sat [B,A,A,C] (kernel-x-major, i.e. already axis-swapped like
+    make_banded_sampler's input), grd [B,V,W,C], mask [V,W], uv0, uv1)
+      -> moments [B, V, 3, _MOM_LANES]
+
+    Equivalent to running make_banded_sampler and contracting the 9 masked
+    per-pixel channel moments + u-moments outside (see MOM_IDX), but the
+    [B,V,W,C] out/dx/dy arrays never exist in HBM — this is the implicit-LM
+    eval fast path.  NOT differentiable (eval only).
+    """
+    assert RB % _SHEAR_CHUNK == 0
+    cfirst = (C % 128 != 0) and (A % 128 == 0)
+    map_dtype = jnp.bfloat16 if bf16_map else jnp.float32
+    itemsize = 2 if bf16_map else 4
+    full_map = (A % _SHEAR_CHUNK == 0
+                and A * A * C * itemsize <= _FULLMAP_VMEM_BUDGET)
+    win_shape = (RB, C, A) if cfirst else (RB, A, C)
+    sat_shape = (A, C, A) if cfirst else (A, A, C)
+
+    def build(B: int):
+        grd_spec = pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),
+                                memory_space=pltpu.VMEM)
+        # whole [V, W] mask resident (a (1, W) row block would violate the
+        # (8, 128) tiling rule for V not multiple of 8); rows picked by
+        # program id inside the kernel
+        mask_spec = pl.BlockSpec((V, W), lambda b, v, c: (0, 0),
+                                 pipeline_mode=pl.Buffered(buffer_count=1),
+                                 memory_space=pltpu.VMEM)
+        mom_spec = pl.BlockSpec((1, 1, 3, _MOM_LANES),
+                                lambda b, v, c: (b, v, 0, 0),
+                                memory_space=pltpu.VMEM)
+        if full_map:
+            kernel = functools.partial(_kernel_moments_fullmap, RB=RB, W=W,
+                                       A=A, C=C, cfirst=cfirst)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, V),
+                in_specs=[pl.BlockSpec(
+                    (1,) + sat_shape, lambda b, v, c: (b, 0, 0, 0),
+                    pipeline_mode=pl.Buffered(buffer_count=1),
+                    memory_space=pltpu.VMEM), grd_spec, mask_spec],
+                out_specs=mom_spec,
+            )
+        else:
+            kernel = functools.partial(_kernel_moments, RB=RB, W=W, A=A, C=C,
+                                       cfirst=cfirst)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, V),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY), grd_spec,
+                          mask_spec],
+                out_specs=mom_spec,
+                scratch_shapes=[
+                    pltpu.VMEM(win_shape, map_dtype),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, V, 3, _MOM_LANES),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )
+
+    def moments(sat_k, grd, mask, uv0, uv1):
+        coefs = pack_row_coefs(uv0, uv1, A, RB, W)
+        sat_k = sat_k.astype(map_dtype)
+        if cfirst:
+            sat_k = jnp.transpose(sat_k, (0, 1, 3, 2))
+        return build(sat_k.shape[0])(coefs, sat_k,
+                                     grd.astype(jnp.float32),
+                                     mask.astype(jnp.float32))
+
+    return moments
 
 
 def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_in_ref,
@@ -235,7 +435,7 @@ def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_in_ref,
     g_dx = gdx_ref[0, 0]
     g_dy = gdy_ref[0, 0]
 
-    n_chunks = RB // _SHEAR_CHUNK
+    n_chunks = coef_ref[b, v, 6].astype(jnp.int32)
 
     rd.wait()
 
@@ -297,7 +497,7 @@ def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
         out_spec = pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),
                                 memory_space=pltpu.VMEM)
         if full_map:
-            kernel = functools.partial(_kernel_fullmap, RB=A, W=W, A=A, C=C,
+            kernel = functools.partial(_kernel_fullmap, RB=RB, W=W, A=A, C=C,
                                        cfirst=cfirst, with_dxy=with_dxy)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -402,9 +602,10 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
     itemsize = 2 if bf16_map else 4
     full_map = (A % _SHEAR_CHUNK == 0
                 and A * A * C * itemsize <= _FULLMAP_VMEM_BUDGET)
-    # the coefs' window origin is packed with the EFFECTIVE height (oy = 0
-    # when full-map), so the backward kernel must span the same rows
-    rb_eff0 = A if full_map else RB
+    # Both kernels scan/accumulate only the RB-row window at the packed
+    # origin oy; full-map merely swaps the per-row window DMA for resident
+    # VMEM reads at the same offsets.
+    rb_eff0 = RB
     raw_fwd = _raw_forward(A, C, V, W, RB, cfirst, interpret,
                            full_map=full_map, map_dtype=map_dtype)
     # eval-only variant: the non-differentiated primal never needs the
@@ -455,10 +656,9 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
 
     sample.defvjp(sample_fwd, sample_bwd)
 
-    # Public API: take the per-row uv endpoints and pack internally with the
-    # EFFECTIVE window height (the full-map kernel spans all A rows; packing
-    # with the windowed RB would mis-set the validity guard).  pack_row_coefs
-    # is plain jnp, so autodiff chains uv-gradients through the custom VJP.
+    # Public API: take the per-row uv endpoints and pack internally.
+    # pack_row_coefs is plain jnp, so autodiff chains uv-gradients through
+    # the custom VJP.
     rb_eff = rb_eff0
 
     def sample_uv(sat, uv0, uv1):
@@ -512,6 +712,13 @@ def pack_row_coefs(uv0, uv1, A: int, RB: int, W: int):
     valid = (jnp.abs(slope) < 0.95) & ((ymax - ymin) <= (RB - 3))
     ax = jnp.where(valid, ax, 1e9)
 
+    # lane 6: shear-scan chunk count — only chunks that can contain in-bounds
+    # target rows (tgt <= ymax - oy + 3; see _shear_row).  At the solver's
+    # typical |heading| <= 10 deg the span is ~A/5, so the dynamic bound cuts
+    # the scan ~2-3x vs the static RB window.
+    n_chunks = jnp.clip(jnp.ceil((ymax - oy + 4.0) / _SHEAR_CHUNK),
+                        1.0, RB // _SHEAR_CHUNK)
+
     zeros = jnp.zeros_like(ax)
-    return jnp.stack([ax, bx, ay, by, slope, oy, zeros, zeros],
+    return jnp.stack([ax, bx, ay, by, slope, oy, n_chunks, zeros],
                      axis=-1).astype(jnp.float32)

@@ -299,6 +299,96 @@ def lm_update_implicit(pose, out, dx, dy, grd_feat, m2d, P0, dP,
     return new
 
 
+def lm_update_from_moments(pose, M, P0, dP, damping_param, cfg: LMConfig,
+                           key: Optional[jax.Array] = None):
+    """LM update from the fused-moment kernel's per-row moments.
+
+    Mathematically identical to ``lm_update_implicit`` — the kernel
+    (ops/pallas/banded_warp.py:make_banded_moments) pre-contracts the 9
+    masked per-pixel channel moments and their u-moment sums per ground row,
+    so this function only assembles H and g from [B, V]-sized arrays.
+    Eval-only fast path (the kernel is non-differentiable); requires
+    dropout=0 / using_weight=0.
+
+    Args:
+      M: [B, V, 3, 16] moment rows (sum, u-sum, u^2-sum) in MOM_IDX lane
+        order, KERNEL axes (dx = kernel-x derivative).
+      P0, dP: per-row affine duv coefficients [B, V, 2, 3] in the SAME axis
+        order as the kernel's (x, y) — i.e. already swapped like the uv
+        endpoints fed to the kernel.
+    Returns:
+      new pose [B, 3].
+    """
+    from highlyaccurate_tpu.ops.pallas.banded_warp import MOM_IDX
+    assert not cfg.using_weight and cfg.dropout == 0 and cfg.normalize
+    B = pose.shape[0]
+    active = cfg.active_dims
+    n = len(active)
+    f32 = jnp.float32
+    M = M.astype(f32)
+
+    def mom(name, k):
+        return M[:, :, k, MOM_IDX[name]]  # [B, V]
+
+    reinit_key = None
+    if key is not None:
+        _, reinit_key = jax.random.split(key)
+
+    ns = jnp.sqrt(jnp.maximum(jnp.sum(mom("ss", 0), 1), 1e-12))  # [B]
+    ng = jnp.sqrt(jnp.maximum(jnp.sum(mom("gg", 0), 1), 1e-12))
+
+    def pair(Pa, Da, Pb, Db, name):
+        m0, m1, m2 = mom(name, 0), mom(name, 1), mom(name, 2)
+        t0 = jnp.einsum("bvp,bvq,bv->bpq", Pa, Pb, m0)
+        t1 = (jnp.einsum("bvp,bvq,bv->bpq", Pa, Db, m1)
+              + jnp.einsum("bvp,bvq,bv->bpq", Da, Pb, m1))
+        t2 = jnp.einsum("bvp,bvq,bv->bpq", Da, Db, m2)
+        return t0 + t1 + t2
+
+    Px, Py = P0[:, :, 0].astype(f32), P0[:, :, 1].astype(f32)  # [B, V, 3]
+    Dx_, Dy_ = dP[:, :, 0].astype(f32), dP[:, :, 1].astype(f32)
+
+    hess = (pair(Px, Dx_, Px, Dx_, "sxx")
+            + pair(Px, Dx_, Py, Dy_, "sxy")
+            + pair(Py, Dy_, Px, Dx_, "sxy")
+            + pair(Py, Dy_, Py, Dy_, "syy")) / (ns * ns)[:, None, None]
+
+    inv_ss = 1.0 / (ns * ns)[:, None]
+    inv_sg = 1.0 / (ns * ng)[:, None]
+    qx0 = mom("dxs", 0) * inv_ss - mom("dxg", 0) * inv_sg  # [B, V]
+    qx1 = mom("dxs", 1) * inv_ss - mom("dxg", 1) * inv_sg
+    qy0 = mom("dys", 0) * inv_ss - mom("dyg", 0) * inv_sg
+    qy1 = mom("dys", 1) * inv_ss - mom("dyg", 1) * inv_sg
+    g_full = (jnp.einsum("bvp,bv->bp", Px, qx0)
+              + jnp.einsum("bvp,bv->bp", Dx_, qx1)
+              + jnp.einsum("bvp,bv->bp", Py, qy0)
+              + jnp.einsum("bvp,bv->bp", Dy_, qy1))
+
+    act = jnp.array(active)
+    hess = hess[:, act[:, None], act[None, :]]
+    g = g_full[:, act]
+
+    damping = compute_damping(damping_param, cfg, n)
+    if cfg.use_hessian:
+        diag = jnp.einsum("bnn->bn", hess)
+    else:
+        diag = jnp.ones((B, n), dtype=f32)
+    lhs = hess + _diag_embed(damping[None, :] * diag)
+    delta = -jnp.linalg.solve(lhs, g[..., None])[..., 0]
+
+    pose = pose.astype(f32)
+    new = pose.at[:, act].add(delta)
+    if cfg.reinit and n == 3 and reinit_key is not None:
+        k1, k2 = jax.random.split(reinit_key)
+        rand_u = jax.random.uniform(k1, (B,), minval=-1.0, maxval=1.0)
+        rand_v = jax.random.uniform(k2, (B,), minval=-1.0, maxval=1.0)
+        lim = cfg.reinit_range
+        su, sv = new[:, 0], new[:, 1]
+        new = new.at[:, 0].set(jnp.where((su > -lim) & (su < lim), su, rand_u))
+        new = new.at[:, 1].set(jnp.where((sv > -lim) & (sv < lim), sv, rand_v))
+    return new
+
+
 def _diag_embed(x):
     """[..., n] -> [..., n, n] diagonal matrices."""
     n = x.shape[-1]

@@ -178,16 +178,28 @@ def test_bf16_map_close():
 
 
 def test_fullmap_kernel_interpret(monkeypatch):
-    """Full-map variant parity (interpret; compiled path disabled pending a
-    Mosaic issue — see _FULLMAP_VMEM_BUDGET)."""
+    """Full-map variant ≡ windowed variant bit-for-bit (both scan the same
+    RB-row window at oy; full-map reads resident VMEM instead of DMA), and
+    exact vs grid_sample on lines within the window guard."""
     from highlyaccurate_tpu.ops.pallas import banded_warp as bwmod
-    monkeypatch.setattr(bwmod, "_FULLMAP_VMEM_BUDGET", 10 * 2 ** 20)
-    sampler = bwmod.make_banded_sampler(A=A, C=C, V=V, W=W, RB=RB,
-                                        interpret=True)
     rng = np.random.RandomState(21)
     sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
     uv0, uv1 = _lines(seed=22)
-    out, dx, dy = sampler(sat, uv0, uv1)
+
+    monkeypatch.setattr(bwmod, "_FULLMAP_VMEM_BUDGET", 10 * 2 ** 20)
+    full = bwmod.make_banded_sampler(A=A, C=C, V=V, W=W, RB=RB,
+                                     interpret=True)(sat, uv0, uv1)
+    monkeypatch.setattr(bwmod, "_FULLMAP_VMEM_BUDGET", 0)
+    win = bwmod.make_banded_sampler(A=A, C=C, V=V, W=W, RB=RB,
+                                    interpret=True)(sat, uv0, uv1)
+    for f, w in zip(full, win):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(w))
+
+    # gentle lines stay within the RB window guard -> exact vs grid_sample
+    monkeypatch.setattr(bwmod, "_FULLMAP_VMEM_BUDGET", 10 * 2 ** 20)
+    uv0, uv1 = _lines(seed=12)
+    out, _, _ = bwmod.make_banded_sampler(A=A, C=C, V=V, W=W, RB=RB,
+                                          interpret=True)(sat, uv0, uv1)
     uv = _uv_grid(uv0, uv1)
     want, _ = grid_sample(sat, uv.reshape(B, V * W, 1, 2))
     np.testing.assert_allclose(np.asarray(out),

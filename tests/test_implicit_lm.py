@@ -83,6 +83,84 @@ def test_update_parity(overrides):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_fused_moment_kernel_parity():
+    """make_banded_moments == moments computed from make_banded_sampler
+    outputs + grd + mask outside the kernel (interpret mode)."""
+    from highlyaccurate_tpu.ops.pallas.banded_warp import (MOM_IDX,
+                                                           make_banded_moments)
+    rng = np.random.RandomState(31)
+    sat = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))
+    ax = rng.uniform(0, A - 1, (B, V))
+    ay = rng.uniform(0, A - 1, (B, V))
+    bx = rng.uniform(0.5, 1.5, (B, V)) * rng.choice([-1, 1], (B, V))
+    by = bx * rng.uniform(-0.6, 0.6, (B, V))
+    uv0 = jnp.asarray(np.stack([ax, ay], -1).astype(np.float32))
+    uv1 = jnp.asarray(np.stack([ax + bx, ay + by], -1).astype(np.float32))
+    grd = jnp.asarray(rng.rand(B, V, W, C).astype(np.float32))
+    mask = jnp.asarray((rng.rand(V, W) > 0.2).astype(np.float32))
+
+    sampler = make_banded_sampler(A=A, C=C, V=V, W=W, RB=RB, interpret=True)
+    out, dx, dy = sampler(sat, uv0, uv1)
+    msampler = make_banded_moments(A=A, C=C, V=V, W=W, RB=RB, interpret=True)
+    M = msampler(sat, grd, mask, uv0, uv1)
+
+    m = mask[None]
+    want = {
+        "ss": jnp.sum(out * out, -1) * m, "gg": jnp.sum(grd * grd, -1) * m,
+        "sxx": jnp.sum(dx * dx, -1) * m, "sxy": jnp.sum(dx * dy, -1) * m,
+        "syy": jnp.sum(dy * dy, -1) * m, "dxs": jnp.sum(dx * out, -1) * m,
+        "dys": jnp.sum(dy * out, -1) * m, "dxg": jnp.sum(dx * grd, -1) * m,
+        "dyg": jnp.sum(dy * grd, -1) * m,
+    }
+    u = jnp.arange(W, dtype=jnp.float32)
+    for name, idx in MOM_IDX.items():
+        for k, uk in enumerate((jnp.ones_like(u), u, u * u)):
+            np.testing.assert_allclose(
+                np.asarray(M[:, :, k, idx]),
+                np.asarray(jnp.sum(want[name] * uk, -1)),
+                rtol=1e-4, atol=1e-4, err_msg=f"{name} m{k}")
+
+
+@pytest.mark.parametrize("overrides", [
+    dict(), dict(active_dims=(0, 1)), dict(use_hessian=True),
+    dict(train_damping=True)])
+def test_moment_update_matches_implicit(overrides):
+    """lm_update_from_moments == lm_update_implicit on identical inputs."""
+    from highlyaccurate_tpu.solver.updates import lm_update_from_moments
+    out, dx, dy, grd, m2d, P0, dP = _pieces(seed=17)
+    cfg = LMConfig(normalize=True, **overrides)
+    pose = jnp.asarray(np.random.RandomState(18).randn(B, 3)
+                       .astype(np.float32) * 0.3)
+    damping = jnp.asarray(np.random.RandomState(19).randn(1, 3)
+                          .astype(np.float32))
+    key = jax.random.PRNGKey(20)
+
+    want = lm_update_implicit(pose, out, dx, dy, grd, m2d, P0, dP,
+                              damping, cfg, key)
+
+    # assemble the moment tensor the kernel would emit (kernel axes = the
+    # (dx, dy) order of the inputs here, so P0/dP pass through unswapped)
+    from highlyaccurate_tpu.ops.pallas.banded_warp import (MOM_IDX,
+                                                           _MOM_LANES)
+    m = jnp.broadcast_to(m2d, out.shape[:3])
+    pp = {
+        "ss": jnp.sum(out * out, -1) * m, "gg": jnp.sum(grd * grd, -1) * m,
+        "sxx": jnp.sum(dx * dx, -1) * m, "sxy": jnp.sum(dx * dy, -1) * m,
+        "syy": jnp.sum(dy * dy, -1) * m, "dxs": jnp.sum(dx * out, -1) * m,
+        "dys": jnp.sum(dy * out, -1) * m, "dxg": jnp.sum(dx * grd, -1) * m,
+        "dyg": jnp.sum(dy * grd, -1) * m,
+    }
+    u = jnp.arange(W, dtype=jnp.float32)
+    M = jnp.zeros((B, V, 3, _MOM_LANES), jnp.float32)
+    for name, idx in MOM_IDX.items():
+        for k, uk in enumerate((jnp.ones_like(u), u, u * u)):
+            M = M.at[:, :, k, idx].set(jnp.sum(pp[name] * uk, -1))
+
+    got = lm_update_from_moments(pose, M, P0, dP, damping, cfg, key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
 def _tiny_cfg(**kw):
     return Config(grd_h=32, grd_w=128, sat_size=64, N_iters=2, level=3,
                   use_banded_warp=2, **kw)
