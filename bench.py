@@ -37,10 +37,17 @@ def main():
 
     try:
         return run(cfg, batch, on_tpu)
-    except Exception:
+    except Exception as e:
         if not cfg.use_banded_warp:
             raise
-        # Pallas path unavailable in this environment -> gather fallback
+        # Pallas path unavailable in this environment -> gather fallback.
+        # Loud on stderr: a silent fallback here once masked a Mosaic
+        # lowering bug and benched the slow path.
+        import sys
+        import traceback
+        print(f"bench: banded path FAILED ({type(e).__name__}: {e}); "
+              "falling back to the gather sampler", file=sys.stderr)
+        traceback.print_exc()
         cfg = Config(**{**cfg.__dict__, "use_banded_warp": 0})
         return run(cfg, batch, on_tpu)
 
