@@ -45,17 +45,21 @@ def make_generator(cfg: Config):
 
     @jax.jit
     def gen(key):
+        # multi-scale smooth textures: long-range gradients for the coarse
+        # LM basins plus mid-frequency detail for the fine levels
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        base = jax.random.uniform(k1, (B, 64, 64, 3))
-        sat = jax.image.resize(base, (B, cfg.sat_size, cfg.sat_size, 3),
-                               "linear")
-        sat = sat + 0.1 * jax.random.uniform(k4, sat.shape)
+        S = cfg.sat_size
+        base = jax.image.resize(jax.random.uniform(k1, (B, 16, 16, 3)),
+                                (B, S, S, 3), "linear")
+        mid = jax.image.resize(jax.random.uniform(k4, (B, 64, 64, 3)),
+                               (B, S, S, 3), "linear")
+        sat = 0.7 * base + 0.3 * mid
         gt = jax.random.uniform(k2, (B, 3), minval=-1.0, maxval=1.0)
         uv = geom.s2gp_uv(gt, xyz, cfg.sat_size, cfg.rotation_range,
                           cfg.shift_range_lat, cfg.shift_range_lon)
         g, _ = grid_sample(sat, uv)
         g = g * mask[None, ..., None] + 0.5 * (1.0 - mask[None, ..., None])
-        g = g + 0.02 * jax.random.normal(k3, g.shape)
+        g = g + 0.01 * jax.random.normal(k3, g.shape)
         return sat, g, gt
 
     return gen
@@ -129,11 +133,12 @@ def evaluate(name, cfg, params, gen, n_batches):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=800)
-    ap.add_argument("--eval-batches", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--eval-batches", type=int, default=64)
     args = ap.parse_args()
 
-    cfg = Config(level=3, N_iters=5)  # reference defaults; bf16-map default
+    cfg = Config(level=3, N_iters=5, lr=args.lr)  # reference defaults
     gen = make_generator(cfg)
 
     print("training...", flush=True)

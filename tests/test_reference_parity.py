@@ -293,3 +293,103 @@ def test_loss_method0_parity(ref):
                      None, None, None, None, None,
                      100.0, 100.0, 100.0, 100.0)
     np.testing.assert_allclose(float(diag.loss), ref_loss, rtol=1e-5)
+
+
+def test_inplane_uv_parity(ref, monkeypatch):
+    """In-plane SE(2) warp ('nn' proj) vs reference inplane_grd_to_map
+    (models_kitti.py:289-331)."""
+    from highlyaccurate_tpu.geometry import kitti as geom
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    obj = ref.kitti.LM_G2SP.__new__(ref.kitti.LM_G2SP)
+    obj.args = _Args()
+    rng = np.random.RandomState(6)
+    B, A = 2, 64
+    pose = rng.uniform(-0.8, 0.8, (B, 3)).astype(np.float32)
+
+    su, sv, th = (torch.from_numpy(pose[:, i:i + 1]) for i in range(3))
+    uv_t, du_t, dv_t, dth_t, mask_t = ref.kitti.LM_G2SP.inplane_grd_to_map(
+        obj, su, sv, th, A, require_jac=True)
+
+    uv, duv, mask = geom.inplane_uv_jac(jnp.asarray(pose), A,
+                                        _Args.rotation_range,
+                                        _Args.shift_range_lat,
+                                        _Args.shift_range_lon)
+    np.testing.assert_allclose(np.asarray(uv), uv_t.detach().numpy(),
+                               rtol=1e-5, atol=1e-4)
+    for i, t_d in enumerate((du_t, dv_t, dth_t)):
+        np.testing.assert_allclose(np.asarray(duv[..., i]),
+                                   t_d.detach().numpy(),
+                                   rtol=1e-5, atol=1e-4, err_msg=f"dof {i}")
+    np.testing.assert_allclose(np.asarray(mask), mask_t.detach().numpy())
+
+
+def test_sgd_update_parity(ref):
+    """SGD inner-loop update vs reference SGD_update
+    (models_kitti.py:1056-1084; L2 subgradient, lr 0.01)."""
+    from highlyaccurate_tpu.solver.updates import LMConfig, sgd_update
+    import jax.numpy as jnp
+
+    obj = _s2gp_obj(ref)
+    rng = np.random.RandomState(7)
+    B, C, H, W = 2, 6, 8, 16
+    sat = rng.rand(B, C, H, W).astype(np.float32)
+    grd = rng.rand(B, C, H, W).astype(np.float32)
+    conf = rng.rand(B, 1, H, W).astype(np.float32)
+    jac = (rng.randn(3, B, C, H, W) * 0.1).astype(np.float32)
+    pose = rng.uniform(-0.3, 0.3, (B, 3)).astype(np.float32)
+
+    su, sv, th = (torch.from_numpy(pose[:, i:i + 1]) for i in range(3))
+    su2, sv2, th2 = ref.kitti.LM_S2GP.SGD_update(
+        obj, su, sv, th, torch.from_numpy(sat), torch.from_numpy(conf),
+        torch.from_numpy(grd), torch.from_numpy(conf),
+        torch.from_numpy(jac))
+    ref_new = np.concatenate([x.detach().numpy() for x in (su2, sv2, th2)], 1)
+
+    cfg = LMConfig(active_dims=(0, 1, 2))
+    new = sgd_update(
+        jnp.asarray(pose),
+        jnp.asarray(np.transpose(sat, (0, 2, 3, 1))), None,
+        jnp.asarray(np.transpose(grd, (0, 2, 3, 1))), None,
+        jnp.asarray(np.transpose(jac, (1, 3, 4, 2, 0))), cfg)
+    np.testing.assert_allclose(np.asarray(new), ref_new, rtol=1e-5, atol=1e-6)
+
+
+def test_adam_update_parity(ref):
+    """Adam inner-loop update vs reference ADAM_update
+    (models_kitti.py:1086-1124), including the accumulators across two
+    consecutive steps."""
+    from highlyaccurate_tpu.solver.updates import LMConfig, adam_update
+    import jax.numpy as jnp
+
+    obj = _s2gp_obj(ref)
+    obj.args.beta1, obj.args.beta2 = 0.9, 0.999
+    rng = np.random.RandomState(8)
+    B, C, H, W = 2, 6, 8, 16
+    sat = rng.rand(B, C, H, W).astype(np.float32)
+    grd = rng.rand(B, C, H, W).astype(np.float32)
+    conf = rng.rand(B, 1, H, W).astype(np.float32)
+    jac = (rng.randn(3, B, C, H, W) * 0.1).astype(np.float32)
+    pose = rng.uniform(-0.3, 0.3, (B, 3)).astype(np.float32)
+
+    su, sv, th = (torch.from_numpy(pose[:, i:i + 1]) for i in range(3))
+    m_t = torch.zeros(B, 3)
+    v_t = torch.zeros(B, 3)
+    for t in range(2):
+        su, sv, th, m_t, v_t = ref.kitti.LM_S2GP.ADAM_update(
+            obj, su, sv, th, torch.from_numpy(sat), torch.from_numpy(conf),
+            torch.from_numpy(grd), torch.from_numpy(conf),
+            torch.from_numpy(jac), m_t, v_t, t)
+    ref_new = np.concatenate([x.detach().numpy() for x in (su, sv, th)], 1)
+
+    cfg = LMConfig(active_dims=(0, 1, 2))
+    p = jnp.asarray(pose)
+    m = jnp.zeros((B, 3))
+    v = jnp.zeros((B, 3))
+    for t in range(2):
+        p, m, v = adam_update(
+            p, jnp.asarray(np.transpose(sat, (0, 2, 3, 1))),
+            jnp.asarray(np.transpose(grd, (0, 2, 3, 1))),
+            jnp.asarray(np.transpose(jac, (1, 3, 4, 2, 0))), m, v, t, cfg)
+    np.testing.assert_allclose(np.asarray(p), ref_new, rtol=1e-5, atol=1e-6)
