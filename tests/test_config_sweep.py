@@ -57,6 +57,23 @@ def test_s2gp_flag_combinations(over):
     _run(Config(**{**TINY, **over}))
 
 
+@pytest.mark.parametrize("over", [
+    dict(use_banded_warp=2),                       # banded + fused eval
+    dict(use_banded_warp=2, dropout=1),            # fused skipped -> implicit
+    dict(use_banded_warp=2, use_hessian=1),
+    dict(use_banded_warp=2, train_damping=1),
+    dict(use_banded_warp=2, rotation_range=0.0),   # frozen-DoF 2x2 solve
+    dict(use_banded_warp=2, use_implicit_lm=0),    # materialized banded jac
+    dict(use_banded_warp=2, use_fused_moments=0),  # implicit, no fused kernel
+    dict(use_banded_warp=2, banded_bf16_map=0),    # fp32 windowed map
+    dict(use_banded_warp=2, pose_hypotheses=2),    # multi-start + fused eval
+])
+def test_banded_flag_combinations(over):
+    """Banded kernel (interpret mode) across the solver-config surface,
+    including the fused-moment eval path and its fallbacks."""
+    _run(Config(**{**TINY, **over}))
+
+
 def test_use_gt_depth():
     cfg = Config(use_gt_depth=1, **TINY)
     rng = np.random.RandomState(1)
