@@ -313,6 +313,14 @@ def main(argv=None):
         params = variables["params"]
         if args.import_pth:
             params = import_pth(args.import_pth, cfg)
+            if cfg.use_banded_warp:
+                # PERF.md recall study: sampler-path train/eval consistency
+                # dominates recall; reference checkpoints were trained
+                # through torch's gather-equivalent sampler.
+                print("note: evaluating an imported reference checkpoint "
+                      "with the banded sampler; the faithful path for "
+                      "torch-trained weights is --use_banded_warp 0 "
+                      "(see PERF.md recall study)")
         else:
             # reference quirk: --test 1 loads model_1.pth (train_kitti.py:546)
             params = load_params(save_path, "model_1", params)
