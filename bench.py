@@ -152,6 +152,13 @@ def extra_metrics(cfg, batch, on_tpu):
         out["ford_eval_fps"] = round(_bench_ford_eval(cfg, batch, n), 2)
     except Exception as e:  # pragma: no cover
         out["ford_eval_fps"] = f"error: {type(e).__name__}"
+    try:
+        # bf16 feature compute at eval: recall-neutral (PERF.md recall study)
+        bf16_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        out["bf16_eval_fps"] = round(
+            _bench_eval_fps(LMS2GP, bf16_cfg, batch, n), 2)
+    except Exception as e:  # pragma: no cover
+        out["bf16_eval_fps"] = f"error: {type(e).__name__}"
     return out
 
 

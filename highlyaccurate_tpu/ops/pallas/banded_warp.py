@@ -36,11 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 _SHEAR_CHUNK = 8
 
 
-def _weights(coef_ref, b, v, *, W: int, A: int):
+def _weights(coef_ref, b, v, *, W: int, A: int, col0=None, ncols=None):
     """Shared per-row weight construction (forward and backward kernels).
 
-    Returns (wx, dwx [W, A]; gy/dgy builders via rel; sj [1, A]; m [W];
+    ``col0``/``ncols`` restrict the map-column extent to a block (backward
+    accumulator blocking); default = all A columns.  Returns
+    (wx, dwx [W, ncols]; gy/dgy builders via rel; sj [1, ncols]; m [W];
     fy [W]; oy_f scalar)."""
+    if ncols is None:
+        ncols = A
     ax = coef_ref[b, v, 0]
     bx = coef_ref[b, v, 1]
     ay = coef_ref[b, v, 2]
@@ -61,7 +65,10 @@ def _weights(coef_ref, b, v, *, W: int, A: int):
     quirk = ((x0f < A - 1) & (y0f < A - 1)).astype(jnp.float32)
     m = mask.astype(jnp.float32) * quirk
 
-    j = jax.lax.broadcasted_iota(jnp.int32, (W, A), 1).astype(jnp.float32)
+    j = jax.lax.broadcasted_iota(jnp.int32, (W, ncols), 1).astype(jnp.float32)
+    if col0 is not None:
+        j = j + jnp.float32(col0) if isinstance(col0, (int, float)) \
+            else j + col0.astype(jnp.float32)
     x0b = x0f[:, None]
     hit0 = (j == x0b).astype(jnp.float32)
     hit1 = (j == (x0b + 1.0)).astype(jnp.float32)
@@ -71,7 +78,7 @@ def _weights(coef_ref, b, v, *, W: int, A: int):
     wx = ((1.0 - fx)[:, None] * hit0 + fx[:, None] * hit1) * mb
     dwx = (hit1 - hit0) * mb
 
-    jcols = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1).astype(jnp.float32)
+    jcols = j[:1]
     yj = ay + (jcols - ax) * slope
     sj = jnp.floor(yj)
     rel = y0f[:, None] - sj + 1.0
@@ -412,39 +419,47 @@ def make_banded_moments(A: int, C: int, V: int, W: int, RB: int,
     return moments
 
 
-def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_in_ref,
-                grad_ref, acc_ref, sem_r, sem_w,
-                *, RB: int, W: int, A: int, C: int, cfirst: bool):
-    """Backward w.r.t. the satellite map: scatter-free banded transpose.
+def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_ref,
+                *, W: int, A: int, C: int, CB: int, cfirst: bool):
+    """Backward w.r.t. the satellite map: scatter-free banded transpose with
+    a VMEM-RESIDENT gradient accumulator.
 
-    grad_ref: [B, A, A, C] (or cfirst layout) HBM accumulator, aliased with a
-    zero-initialized input; the TPU grid is sequential so read-modify-write
-    through VMEM is race-free.  gw_ref/acc_ref: VMEM scratch windows.
+    Grid (B, n_cb, V), V innermost; grad_ref is an output block whose index
+    map ignores v (the standard Pallas accumulation pattern): it stays
+    resident in VMEM across all V row-programs of one (batch, column-block),
+    is zeroed at v == 0, and is flushed to HBM once per block.  This
+    replaces the per-row window read-modify-write DMA, which moved
+    2*RB*A*C bytes per ground row (the round-2 training bottleneck —
+    ~8 GB/call at the finest level).
+
+    Column blocks (CB map columns each) bound the resident block's VMEM
+    footprint; weights are rebuilt per block (cheap [W]-sized recompute).
+    grad_ref block: [1, A, CB, C] (or [1, A, C, CB] when ``cfirst`` — the
+    map-column axis j sits in lanes there, so CB is a multiple of 128).
     """
     b = pl.program_id(0)
-    v = pl.program_id(1)
+    cb = pl.program_id(1)
+    v = pl.program_id(2)
 
-    oy_f = coef_ref[b, v, 5]
-    oy = oy_f.astype(jnp.int32)
-    rd = pltpu.make_async_copy(grad_ref.at[b, pl.ds(oy, RB)], acc_ref, sem_r)
-    rd.start()
+    @pl.when(v == 0)
+    def _zero():
+        grad_ref[...] = jnp.zeros_like(grad_ref)
 
-    wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, b, v, W=W, A=A)
+    col0 = cb * CB
+    wx, dwx, rel, fy, sj, m, oy_f = _weights(coef_ref, b, v, W=W, A=A,
+                                             col0=col0, ncols=CB)
+    nck = coef_ref[b, v, 6].astype(jnp.int32)
+    c0 = oy_f.astype(jnp.int32) // _SHEAR_CHUNK
 
     g_o = go_ref[0, 0]
     g_dx = gdx_ref[0, 0]
     g_dy = gdy_ref[0, 0]
 
-    n_chunks = coef_ref[b, v, 6].astype(jnp.int32)
-
-    rd.wait()
-
+    dn_t = (((0,), (0,)), ((), ()))
     for r in range(4):
         w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
-        # contract the output (W) axis of weights [W, A] against g [W, C]
-        dn_t = (((0,), (0,)), ((), ()))
         if cfirst:
-            # G [C, A] to match the [RB, C, A] window layout
+            # G [C, CB] to match the [A, C, CB] block layout
             G = (jax.lax.dot_general(g_o, w_o, dimension_numbers=dn_t,
                                      preferred_element_type=jnp.float32)
                  + jax.lax.dot_general(g_dx, w_dx, dimension_numbers=dn_t,
@@ -458,26 +473,27 @@ def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_in_ref,
                                        preferred_element_type=jnp.float32)
                  + jax.lax.dot_general(w_dy, g_dy, dimension_numbers=dn_t,
                                        preferred_element_type=jnp.float32))
-        # un-shear: window row (sj - oy + r - 1) at column j receives G[:, j]
-        tgt = sj - oy_f + (r - 1.0)
+        # un-shear: ABSOLUTE map row (sj + r - 1) at column j receives G[:, j]
+        tgt = sj + (r - 1.0)
 
         def chunk_body(ci, _):
-            base = ci * _SHEAR_CHUNK
-            rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
-                  .astype(jnp.float32) + base.astype(jnp.float32))
-            sel = (rr == tgt).astype(jnp.float32)              # [chunk, A]
-            sl = pl.ds(base, _SHEAR_CHUNK)
-            if cfirst:
-                acc_ref[sl] = acc_ref[sl] + sel[:, None, :] * G[None]
-            else:
-                acc_ref[sl] = acc_ref[sl] + sel[:, :, None] * G[None]
+            base = (c0 + ci) * _SHEAR_CHUNK
+
+            @pl.when(base < A)
+            def _acc():
+                rr = (jax.lax.broadcasted_iota(
+                    jnp.int32, (_SHEAR_CHUNK, CB), 0)
+                    .astype(jnp.float32) + base.astype(jnp.float32))
+                sel = (rr == tgt).astype(jnp.float32)          # [chunk, CB]
+                sl = pl.ds(base, _SHEAR_CHUNK)
+                if cfirst:
+                    grad_ref[0, sl] = grad_ref[0, sl] + sel[:, None, :] * G[None]
+                else:
+                    grad_ref[0, sl] = grad_ref[0, sl] + sel[:, :, None] * G[None]
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-    wr = pltpu.make_async_copy(acc_ref, grad_ref.at[b, pl.ds(oy, RB)], sem_w)
-    wr.start()
-    wr.wait()
+        # +1 chunk of slack: c0 is floor-aligned below oy
+        jax.lax.fori_loop(0, nck + 1, chunk_body, 0)
 
 
 def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
@@ -537,41 +553,57 @@ def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
     return fwd
 
 
-def _raw_backward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
+def _bwd_col_blocks(A: int, C: int, cfirst: bool,
+                    target: int = 8 * 2 ** 20):
+    """Column-block width CB for the resident backward accumulator: the
+    [A, CB, C] (or [A, C, CB]) block must fit the VMEM target.  The
+    map-column axis sits in lanes when ``cfirst`` (CB multiple of 128),
+    in sublanes otherwise (multiple of 8)."""
+    n = 1
+    while A * (A // n) * C * 4 > target and (A // n) > (128 if cfirst else 8):
+        n *= 2
+    return A // n
+
+
+def _raw_backward(A: int, C: int, V: int, W: int, cfirst: bool,
                   interpret: bool):
-    """fn(coefs, g_o, g_dx, g_dy, g_dxy, grad_init) -> grad_sat (kernel
-    layout), accumulated via sequential read-modify-write DMA."""
-    kernel = functools.partial(_bwd_kernel, RB=RB, W=W, A=A, C=C,
+    """fn(coefs, g_o, g_dx, g_dy) -> grad_sat (kernel layout), accumulated
+    in VMEM-resident column blocks (see _bwd_kernel)."""
+    assert A % _SHEAR_CHUNK == 0
+    CB = _bwd_col_blocks(A, C, cfirst)
+    n_cb = A // CB
+    kernel = functools.partial(_bwd_kernel, W=W, A=A, C=C, CB=CB,
                                cfirst=cfirst)
-    win_shape = (RB, C, A) if cfirst else (RB, A, C)
     sat_shape = (A, C, A) if cfirst else (A, A, C)
+    if cfirst:
+        out_spec = pl.BlockSpec((1, A, C, CB),
+                                lambda b, cb, v, c: (b, 0, 0, cb),
+                                pipeline_mode=pl.Buffered(buffer_count=1),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_spec = pl.BlockSpec((1, A, CB, C),
+                                lambda b, cb, v, c: (b, 0, cb, 0),
+                                pipeline_mode=pl.Buffered(buffer_count=1),
+                                memory_space=pltpu.VMEM)
 
     def build(B: int):
-        g_spec = pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),
+        g_spec = pl.BlockSpec((1, 1, W, C), lambda b, cb, v, c: (b, v, 0, 0),
                               memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, V),
-            in_specs=[g_spec, g_spec, g_spec,
-                      pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[
-                pltpu.VMEM(win_shape, jnp.float32),  # acc (RMW buffer)
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            grid=(B, n_cb, V),
+            in_specs=[g_spec, g_spec, g_spec],
+            out_specs=out_spec,
         )
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((B,) + sat_shape, jnp.float32),
             grid_spec=grid_spec,
-            # alias grad_init (5th positional input incl. scalar prefetch)
-            input_output_aliases={4: 0},
             interpret=interpret,
         )
 
-    def bwd(coefs, g_o, g_dx, g_dy, grad_init):
-        return build(g_o.shape[0])(coefs, g_o, g_dx, g_dy, grad_init)
+    def bwd(coefs, g_o, g_dx, g_dy):
+        return build(g_o.shape[0])(coefs, g_o, g_dx, g_dy)
 
     return bwd
 
@@ -602,10 +634,6 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
     itemsize = 2 if bf16_map else 4
     full_map = (A % _SHEAR_CHUNK == 0
                 and A * A * C * itemsize <= _FULLMAP_VMEM_BUDGET)
-    # Both kernels scan/accumulate only the RB-row window at the packed
-    # origin oy; full-map merely swaps the per-row window DMA for resident
-    # VMEM reads at the same offsets.
-    rb_eff0 = RB
     raw_fwd = _raw_forward(A, C, V, W, RB, cfirst, interpret,
                            full_map=full_map, map_dtype=map_dtype)
     # eval-only variant: the non-differentiated primal never needs the
@@ -614,7 +642,7 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
     raw_fwd_eval = _raw_forward(A, C, V, W, RB, cfirst, interpret,
                                 full_map=full_map, map_dtype=map_dtype,
                                 with_dxy=False)
-    raw_bwd = _raw_backward(A, C, V, W, rb_eff0, cfirst, interpret)
+    raw_bwd = _raw_backward(A, C, V, W, cfirst, interpret)
 
     def _prep(sat):
         sat_k = sat.astype(jnp.float32)
@@ -634,11 +662,7 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
     def sample_bwd(res, cts):
         coefs, dx, dy, dxy = res
         g_o, g_dx, g_dy = cts
-        B = g_o.shape[0]
-        sat_shape = (B, A, C, A) if cfirst else (B, A, A, C)
-        grad_init = jnp.zeros(sat_shape, jnp.float32)
-        grad_sat = raw_bwd(coefs.astype(jnp.float32), g_o, g_dx, g_dy,
-                           grad_init)
+        grad_sat = raw_bwd(coefs.astype(jnp.float32), g_o, g_dx, g_dy)
         if cfirst:
             grad_sat = jnp.transpose(grad_sat, (0, 1, 3, 2))
 
@@ -659,10 +683,8 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
     # Public API: take the per-row uv endpoints and pack internally.
     # pack_row_coefs is plain jnp, so autodiff chains uv-gradients through
     # the custom VJP.
-    rb_eff = rb_eff0
-
     def sample_uv(sat, uv0, uv1):
-        coefs = pack_row_coefs(uv0, uv1, A, rb_eff, W)
+        coefs = pack_row_coefs(uv0, uv1, A, RB, W)
         return sample(sat, coefs)
 
     return sample_uv
