@@ -177,7 +177,7 @@ def _bench_ford_eval(cfg, batch, n_iters):
                       .astype(np.float32))
     grd = jnp.asarray(rng.rand(batch, cfg.grd_h, cfg.grd_w, 3)
                       .astype(np.float32))
-    side_m = jnp.full((batch,), cfg.sat_size * 0.22, jnp.float32)
+    side_m = cfg.sat_size * 0.22  # scalar, as the CLI passes it
     R = jnp.broadcast_to(jnp.asarray(fgeom.qvec2rotmat(
         [0.997, 0.01, 0.05, 0.02])), (batch, 3, 3))
     T = jnp.broadcast_to(jnp.array([1.0, 0.5, -1.4], jnp.float32), (batch, 3))

@@ -113,8 +113,14 @@ def ford_uv_jac(pose, R_FL, T_FL, Xc, satmap_sidelength_meters: float,
     Rs = jnp.asarray(_RS)
     Xs = jnp.einsum("ij,bhwj->bhwi", Rs, Xw)
 
-    mpp = satmap_sidelength_meters / satmap_sidelength_pixels
-    uv = Xs[..., :2] / mpp + satmap_sidelength_pixels // 2
+    # mpp may be a python scalar or a per-sample [B] vector (the dataset's
+    # satmap_sidelength_meters is constant, but the API accepts either);
+    # reshape a vector so it broadcasts over the trailing (..., 2) axes —
+    # naive division would line [B] up against the uv-component axis.
+    mpp = jnp.asarray(satmap_sidelength_meters) / satmap_sidelength_pixels
+    mpp_hw = mpp.reshape(mpp.shape + (1,) * (Xs.ndim - mpp.ndim)) \
+        if mpp.ndim else mpp
+    uv = Xs[..., :2] / mpp_hw + satmap_sidelength_pixels // 2
 
     if not require_jac:
         return uv, None
@@ -134,10 +140,11 @@ def ford_uv_jac(pose, R_FL, T_FL, Xc, satmap_sidelength_meters: float,
     dXs_du = jnp.einsum("ij,bj->bi", Rs, dXw_du)
     dXs_dv = jnp.einsum("ij,bj->bi", Rs, dXw_dv)
 
-    duv_dtheta = dXs_dtheta[..., :2] / mpp
-    duv_du = jnp.broadcast_to((dXs_du[..., :2] / mpp)[:, None, None, :],
+    mpp_b = mpp.reshape(mpp.shape + (1,)) if mpp.ndim else mpp  # for [B, 2]
+    duv_dtheta = dXs_dtheta[..., :2] / mpp_hw
+    duv_du = jnp.broadcast_to((dXs_du[..., :2] / mpp_b)[:, None, None, :],
                               uv.shape)
-    duv_dv = jnp.broadcast_to((dXs_dv[..., :2] / mpp)[:, None, None, :],
+    duv_dv = jnp.broadcast_to((dXs_dv[..., :2] / mpp_b)[:, None, None, :],
                               uv.shape)
     duv = jnp.stack([duv_du, duv_dv, duv_dtheta], axis=-1)  # [B,H,W,2,3]
     return uv, duv

@@ -35,6 +35,17 @@ from jax.experimental.pallas import tpu as pltpu
 # row-chunk size for the shear contraction (bounds the [chunk, A, C] temp)
 _SHEAR_CHUNK = 8
 
+# coef lanes per row (ax, bx, ay, by, slope, oy, n_chunks, pad).  The
+# scalar-prefetch operand is passed FLATTENED to [B, V*8]: a [B, V, 8]
+# SMEM operand gets its minor dim padded 8 -> 128 (16x), which blows the
+# 1MB SMEM budget at batch*hypotheses >= 32.
+_NCOEF = 8
+
+
+def _cread(coef_ref, b, v, i: int):
+    """Read coef lane i of row (b, v) from the flattened [B, V*8] SMEM ref."""
+    return coef_ref[b, v * _NCOEF + i]
+
 
 def _weights(coef_ref, b, v, *, W: int, A: int, col0=None, ncols=None):
     """Shared per-row weight construction (forward and backward kernels).
@@ -45,12 +56,12 @@ def _weights(coef_ref, b, v, *, W: int, A: int, col0=None, ncols=None):
     fy [W]; oy_f scalar)."""
     if ncols is None:
         ncols = A
-    ax = coef_ref[b, v, 0]
-    bx = coef_ref[b, v, 1]
-    ay = coef_ref[b, v, 2]
-    by = coef_ref[b, v, 3]
-    slope = coef_ref[b, v, 4]
-    oy_f = coef_ref[b, v, 5]
+    ax = _cread(coef_ref, b, v, 0)
+    bx = _cread(coef_ref, b, v, 1)
+    ay = _cread(coef_ref, b, v, 2)
+    by = _cread(coef_ref, b, v, 3)
+    slope = _cread(coef_ref, b, v, 4)
+    oy_f = _cread(coef_ref, b, v, 5)
 
     u = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0]
     u = u.astype(jnp.float32)
@@ -148,13 +159,13 @@ def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, *rest,
     b = pl.program_id(0)
     v = pl.program_id(1)
 
-    oy_f = coef_ref[b, v, 5]
+    oy_f = _cread(coef_ref, b, v, 5)
     oy = oy_f.astype(jnp.int32)
     cp = pltpu.make_async_copy(sat_ref.at[b, pl.ds(oy, RB)], win_ref, sem)
     cp.start()
 
     wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, b, v, W=W, A=A)
-    nck = coef_ref[b, v, 6].astype(jnp.int32)
+    nck = _cread(coef_ref, b, v, 6).astype(jnp.int32)
 
     cp.wait()
 
@@ -180,11 +191,11 @@ def _kernel_fullmap(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, *rest,
     b = pl.program_id(0)
     v = pl.program_id(1)
 
-    oy_f = coef_ref[b, v, 5]
+    oy_f = _cread(coef_ref, b, v, 5)
     oy = oy_f.astype(jnp.int32)
 
     wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, b, v, W=W, A=A)
-    nck = coef_ref[b, v, 6].astype(jnp.int32)
+    nck = _cread(coef_ref, b, v, 6).astype(jnp.int32)
 
     def read_chunk(base):
         return sat_ref[0, pl.ds(oy + base, _SHEAR_CHUNK)]
@@ -276,12 +287,12 @@ def _kernel_moments(coef_ref, sat_ref, grd_ref, mask_ref, mom_ref,
     """Windowed fused-moment forward (eval-only, non-differentiable)."""
     b = pl.program_id(0)
     v = pl.program_id(1)
-    oy_f = coef_ref[b, v, 5]
+    oy_f = _cread(coef_ref, b, v, 5)
     oy = oy_f.astype(jnp.int32)
     cp = pltpu.make_async_copy(sat_ref.at[b, pl.ds(oy, RB)], win_ref, sem)
     cp.start()
     wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, b, v, W=W, A=A)
-    nck = coef_ref[b, v, 6].astype(jnp.int32)
+    nck = _cread(coef_ref, b, v, 6).astype(jnp.int32)
     cp.wait()
 
     def read_chunk(base):
@@ -299,10 +310,10 @@ def _kernel_moments_fullmap(coef_ref, sat_ref, grd_ref, mask_ref, mom_ref,
     """Full-map fused-moment forward (map VMEM-resident, RB-row scan)."""
     b = pl.program_id(0)
     v = pl.program_id(1)
-    oy_f = coef_ref[b, v, 5]
+    oy_f = _cread(coef_ref, b, v, 5)
     oy = oy_f.astype(jnp.int32)
     wx, dwx, rel, fy, sj, m, _ = _weights(coef_ref, b, v, W=W, A=A)
-    nck = coef_ref[b, v, 6].astype(jnp.int32)
+    nck = _cread(coef_ref, b, v, 6).astype(jnp.int32)
 
     def read_chunk(base):
         return sat_ref[0, pl.ds(oy + base, _SHEAR_CHUNK)]
@@ -412,8 +423,8 @@ def make_banded_moments(A: int, C: int, V: int, W: int, RB: int,
         sat_k = sat_k.astype(map_dtype)
         if cfirst:
             sat_k = jnp.transpose(sat_k, (0, 1, 3, 2))
-        return build(sat_k.shape[0])(coefs, sat_k,
-                                     grd.astype(jnp.float32),
+        return build(sat_k.shape[0])(coefs.reshape(coefs.shape[0], -1),
+                                     sat_k, grd.astype(jnp.float32),
                                      mask.astype(jnp.float32))
 
     return moments
@@ -448,7 +459,7 @@ def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_ref,
     col0 = cb * CB
     wx, dwx, rel, fy, sj, m, oy_f = _weights(coef_ref, b, v, W=W, A=A,
                                              col0=col0, ncols=CB)
-    nck = coef_ref[b, v, 6].astype(jnp.int32)
+    nck = _cread(coef_ref, b, v, 6).astype(jnp.int32)
     c0 = oy_f.astype(jnp.int32) // _SHEAR_CHUNK
 
     g_o = go_ref[0, 0]
@@ -548,6 +559,7 @@ def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
         )
 
     def fwd(sat_k, coefs):
+        coefs = coefs.reshape(coefs.shape[0], -1)
         return build(sat_k.shape[0])(coefs, sat_k.astype(map_dtype))
 
     return fwd
@@ -603,6 +615,7 @@ def _raw_backward(A: int, C: int, V: int, W: int, cfirst: bool,
         )
 
     def bwd(coefs, g_o, g_dx, g_dy):
+        coefs = coefs.reshape(coefs.shape[0], -1)
         return build(g_o.shape[0])(coefs, g_o, g_dx, g_dy)
 
     return bwd
