@@ -695,10 +695,12 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
 
     # Public API: take the per-row uv endpoints and pack internally.
     # pack_row_coefs is plain jnp, so autodiff chains uv-gradients through
-    # the custom VJP.
+    # the custom VJP.  The f32 cast sits OUTSIDE the custom_vjp so its
+    # primal (and therefore the cotangent the VJP must return) is f32 even
+    # for bf16 feature maps — autodiff casts the gradient back upstream.
     def sample_uv(sat, uv0, uv1):
         coefs = pack_row_coefs(uv0, uv1, A, RB, W)
-        return sample(sat, coefs)
+        return sample(sat.astype(jnp.float32), coefs)
 
     return sample_uv
 

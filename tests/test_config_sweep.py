@@ -74,6 +74,32 @@ def test_banded_flag_combinations(over):
     _run(Config(**{**TINY, **over}))
 
 
+def test_banded_bf16_train_grads():
+    """bf16 feature compute through the banded custom VJP: the f32 cast
+    sits outside the custom_vjp, so cotangent dtypes line up (a bf16 train
+    step once crashed with an AssertionError here)."""
+    cfg = Config(**{**TINY, "use_banded_warp": 2,
+                    "compute_dtype": "bfloat16"})
+    model = LMS2GP(cfg=cfg)
+    rng = np.random.RandomState(3)
+    B = 2
+    sat = jnp.asarray(rng.rand(B, cfg.sat_size, cfg.sat_size, 3).astype(np.float32))
+    grd = jnp.asarray(rng.rand(B, cfg.grd_h, cfg.grd_w, 3).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 3)).astype(np.float32))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "lm": jax.random.PRNGKey(1)}, sat, grd, gt,
+                        mode="train")["params"]
+
+    def loss(p):
+        return model.apply({"params": p}, sat, grd, gt, mode="train",
+                           rngs={"lm": jax.random.PRNGKey(2)}).loss
+
+    l, g = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(l))
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
 def test_use_gt_depth():
     cfg = Config(use_gt_depth=1, **TINY)
     rng = np.random.RandomState(1)
