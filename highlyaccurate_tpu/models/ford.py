@@ -65,17 +65,14 @@ class LMS2GPFord(nn.Module):
         world->sat map is affine per ground row, like KITTI S2GP; see
         ops/pallas/banded_warp.py).  Returns (out, jac, mask2d)."""
         from highlyaccurate_tpu.models.lm_s2gp import _BANDED_CACHE
-        from highlyaccurate_tpu.ops.pallas.banded_warp import \
-            make_banded_sampler
+        from highlyaccurate_tpu.ops.pallas.banded_warp import (
+            default_rb, make_banded_sampler)
         cfg = self.cfg
         A, C = sat_feat.shape[1], sat_feat.shape[-1]
         Xc = jnp.asarray(self._rays[slot][0][row_start:])      # [V, W, 3]
         mask2d = jnp.asarray(self._rays[slot][1][row_start:])[None]
         V, Wg = Xc.shape[:2]
-        # window height: covers the in-bounds vertical span at |heading| <=
-        # 25 deg (A*tan(25)+margin) while keeping the kernel's scoped VMEM
-        # under the 16MB limit (the L2 fp32 window is the tight case)
-        RB = min(A, ((int(A * 0.47) + 13) // 8) * 8)
+        RB = default_rb(A)
 
         Xc01 = Xc[:, :2]
         uv01, duv01 = fgeom.ford_uv_jac(

@@ -202,16 +202,13 @@ class LMS2GP(nn.Module):
         kernel axis order).
         """
         from highlyaccurate_tpu.ops.pallas.banded_warp import (
-            make_banded_moments, make_banded_sampler)
+            default_rb, make_banded_moments, make_banded_sampler)
         cfg = self.cfg
         A, C = sat_feat.shape[1], sat_feat.shape[-1]
         xyz = jnp.asarray(self._rays[slot][0][row_start:])   # [V, W, 3]
         mask2d = jnp.asarray(self._rays[slot][1][row_start:])[None]
         V, Wg = xyz.shape[:2]
-        # window height: covers the in-bounds vertical span at |heading| <=
-        # 25 deg (A*tan(25)+margin) while keeping the kernel's scoped VMEM
-        # under the 16MB limit (the L2 fp32 window is the tight case)
-        RB = min(A, ((int(A * 0.47) + 13) // 8) * 8)
+        RB = default_rb(A)
 
         # uv and duv at u=0,1 determine the per-row affine maps exactly
         xyz01 = xyz[:, :2]                                    # [V, 2, 3]

@@ -47,6 +47,19 @@ def _cread(coef_ref, b, v, i: int):
     return coef_ref[b, v * _NCOEF + i]
 
 
+# feature channels per pyramid slot (coarse /8 ... fine /1; VGGUnet decoder)
+SLOT_CHANNELS = (256, 128, 64, 16)
+
+
+def default_rb(A: int) -> int:
+    """Production window height for an AxA map: covers the in-bounds
+    vertical span at |heading| <= 25 deg (A*tan(25 deg) + floor margin),
+    8-aligned, capped at A.  The single source of truth — the models and
+    the perf scripts must size their kernels identically or PERF.md
+    numbers stop corresponding to the shipped path."""
+    return min(A, ((int(A * 0.47) + 13) // 8) * 8)
+
+
 def _weights(coef_ref, b, v, *, W: int, A: int, col0=None, ncols=None):
     """Shared per-row weight construction (forward and backward kernels).
 
@@ -147,8 +160,9 @@ _DN_CFIRST = (((1,), (1,)), ((), ()))  # [W, A] x [C, A] -> [W, C]
 def _kernel(coef_ref, sat_ref, out_ref, dx_ref, dy_ref, *rest,
             RB: int, W: int, A: int, C: int, cfirst: bool,
             with_dxy: bool = True):
-    """Forward: coef_ref scalar-prefetched [B, V, 8] SMEM f32 rows
-    (ax, bx, ay, by, slope, oy, _, _); sat_ref [B, A, A, C] HBM (or
+    """Forward: coef_ref scalar-prefetched SMEM f32, FLATTENED to [B, V*8]
+    (see _NCOEF; read via _cread) — lanes per row are
+    (ax, bx, ay, by, slope, oy, n_chunks, pad); sat_ref [B, A, A, C] HBM (or
     [B, A, C, A] when ``cfirst``); out/dx/dy[/dxy] [1, 1, W, C] VMEM blocks.
     ``with_dxy=False`` (the non-differentiated eval path) skips the cross-
     derivative output and its 4 banded matmuls."""

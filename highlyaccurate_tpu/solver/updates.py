@@ -176,6 +176,40 @@ def lm_update(pose, sat_feat, sat_conf, grd_feat, grd_conf, jac,
     return new
 
 
+def _solve_and_reinit(pose, hess, g, damping_param, cfg: LMConfig,
+                      reinit_key):
+    """Shared LM solve tail: damped 3x3 (or smaller) solve on the
+    active-DoF system + the out-of-range uniform re-init
+    (reference models_kitti.py:1005-1033).  Used by both the materialized
+    and the moment-based implicit updates so the train and eval solver
+    paths cannot diverge (PERF.md: path consistency dominates recall).
+
+    hess [B, n, n] and g [B, n] are already active-dim sliced.
+    """
+    B = pose.shape[0]
+    active = cfg.active_dims
+    n = len(active)
+    act = jnp.array(active)
+    damping = compute_damping(damping_param, cfg, n)
+    if cfg.use_hessian:
+        diag = jnp.einsum("bnn->bn", hess)
+    else:
+        diag = jnp.ones((B, n), dtype=jnp.float32)
+    lhs = hess + _diag_embed(damping[None, :] * diag)
+    delta = -jnp.linalg.solve(lhs, g[..., None])[..., 0]
+
+    new = pose.astype(jnp.float32).at[:, act].add(delta)
+    if cfg.reinit and n == 3 and reinit_key is not None:
+        k1, k2 = jax.random.split(reinit_key)
+        rand_u = jax.random.uniform(k1, (B,), minval=-1.0, maxval=1.0)
+        rand_v = jax.random.uniform(k2, (B,), minval=-1.0, maxval=1.0)
+        lim = cfg.reinit_range
+        su, sv = new[:, 0], new[:, 1]
+        new = new.at[:, 0].set(jnp.where((su > -lim) & (su < lim), su, rand_u))
+        new = new.at[:, 1].set(jnp.where((sv > -lim) & (sv < lim), sv, rand_v))
+    return new
+
+
 def lm_update_implicit(pose, out, dx, dy, grd_feat, m2d, P0, dP,
                        damping_param, cfg: LMConfig,
                        key: Optional[jax.Array] = None):
@@ -367,26 +401,7 @@ def lm_update_from_moments(pose, M, P0, dP, damping_param, cfg: LMConfig,
     act = jnp.array(active)
     hess = hess[:, act[:, None], act[None, :]]
     g = g_full[:, act]
-
-    damping = compute_damping(damping_param, cfg, n)
-    if cfg.use_hessian:
-        diag = jnp.einsum("bnn->bn", hess)
-    else:
-        diag = jnp.ones((B, n), dtype=f32)
-    lhs = hess + _diag_embed(damping[None, :] * diag)
-    delta = -jnp.linalg.solve(lhs, g[..., None])[..., 0]
-
-    pose = pose.astype(f32)
-    new = pose.at[:, act].add(delta)
-    if cfg.reinit and n == 3 and reinit_key is not None:
-        k1, k2 = jax.random.split(reinit_key)
-        rand_u = jax.random.uniform(k1, (B,), minval=-1.0, maxval=1.0)
-        rand_v = jax.random.uniform(k2, (B,), minval=-1.0, maxval=1.0)
-        lim = cfg.reinit_range
-        su, sv = new[:, 0], new[:, 1]
-        new = new.at[:, 0].set(jnp.where((su > -lim) & (su < lim), su, rand_u))
-        new = new.at[:, 1].set(jnp.where((sv > -lim) & (sv < lim), sv, rand_v))
-    return new
+    return _solve_and_reinit(pose, hess, g, damping_param, cfg, reinit_key)
 
 
 def _diag_embed(x):

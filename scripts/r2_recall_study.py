@@ -9,15 +9,16 @@ measured).  This study measures it:
      at a random gt pose (sky rows gray+noise) — so the LM solver's model
      assumptions hold exactly and training converges quickly;
   2. train the full model (reference defaults, batch 8) for --steps steps;
-  3. run the fixed eval protocol (256 samples, fixed keys) under each
-     sampler variant and report the recall suite side by side:
+  3. run the fixed eval protocol (--eval-batches x 8 samples, fixed keys;
+     default 512 samples) under each sampler variant and report the recall
+     suite side by side:
        gather      use_banded_warp=0 (reference-faithful XLA gather path)
        banded32    banded kernel, fp32 map (windowed L2)
        banded16    banded kernel, bf16 map (DMA-free full-map; DEFAULT)
        bf16feat    compute_dtype=bfloat16 (bf16 features AND map)
 
 One TPU process; all programs compile in this session.
-Usage: python scripts/r2_recall_study.py [--steps 800] [--eval-batches 32]
+Usage: python scripts/r2_recall_study.py [--steps 4000] [--eval-batches 64]
 """
 
 import argparse
@@ -97,13 +98,15 @@ def evaluate(name, cfg, params, gen, n_batches):
                            rngs={"lm": key})
 
     preds, gts = [], []
-    # warm/compile on batch 0
-    sat, grd, gt = gen(jax.random.fold_in(jax.random.PRNGKey(777), 0))
-    out = ev(params, sat, grd, jax.random.PRNGKey(0))
-    np.asarray(out[0])
+    # pre-generate the fixed eval set so data synthesis stays outside the
+    # timed window (time_per_image must reflect eval only)
+    batches = [gen(jax.random.fold_in(jax.random.PRNGKey(777), i))
+               for i in range(n_batches)]
+    jax.block_until_ready(batches)
+    out = ev(params, batches[0][0], batches[0][1], jax.random.PRNGKey(0))
+    np.asarray(out[0])  # warm/compile fence
     t0 = time.perf_counter()
-    for i in range(n_batches):
-        sat, grd, gt = gen(jax.random.fold_in(jax.random.PRNGKey(777), i))
+    for i, (sat, grd, gt) in enumerate(batches):
         lat, lon, th = ev(params, sat, grd, jax.random.PRNGKey(1000 + i))
         preds.append(np.stack([np.asarray(lat), np.asarray(lon),
                                np.asarray(th)], -1))

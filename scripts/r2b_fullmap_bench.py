@@ -17,7 +17,9 @@ import numpy as np
 
 from highlyaccurate_tpu.config import Config
 from highlyaccurate_tpu.models.lm_s2gp import LMS2GP, _level_hw, level_slots
-from highlyaccurate_tpu.ops.pallas.banded_warp import make_banded_sampler
+from highlyaccurate_tpu.ops.pallas.banded_warp import (SLOT_CHANNELS,
+                                                       default_rb,
+                                                       make_banded_sampler)
 
 B = 8
 REPS = 20
@@ -53,9 +55,9 @@ def main():
         for lvl, slot in enumerate(slots):
             h, w = _level_hw(cfg, slot)
             A = cfg.sat_size // (2 ** (3 - slot))
-            C = [256, 128, 64, 16][slot]
+            C = SLOT_CHANNELS[slot]
             V_, W_ = h // 2, w
-            RB = min(A, ((int(A * 0.47) + 13) // 8) * 8)
+            RB = default_rb(A)
             sampler = make_banded_sampler(A=A, C=C, V=V_, W=W_, RB=RB,
                                           bf16_map=bf16, interpret=False)
             satf = jnp.asarray(rng.rand(B, A, A, C).astype(np.float32))

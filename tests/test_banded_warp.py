@@ -205,3 +205,50 @@ def test_fullmap_kernel_interpret(monkeypatch):
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(want).reshape(B, V, W, C),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_multiblock_backward_parity(monkeypatch):
+    """Backward accumulator column-blocking (col0 > 0) — production hits it
+    at the finest levels (A=512 C=16 runs cfirst with 2 column blocks) but
+    the default test shapes fit one block.  Force 2 blocks in both layouts
+    and check map gradients vs autodiff of the grid_sample composition."""
+    from highlyaccurate_tpu.ops.pallas import banded_warp as bwmod
+    monkeypatch.setattr(
+        bwmod, "_bwd_col_blocks",
+        lambda A, C, cfirst, target=0: max(128 if cfirst else 8, A // 2))
+
+    for A2, C2 in [(32, 8),     # noncfirst, CB=16 -> 2 blocks
+                   (256, 8)]:   # cfirst (A%128==0), CB=128 -> 2 blocks
+        V2, W2, RB2 = 4, 8, 16
+        sampler = bwmod.make_banded_sampler(A=A2, C=C2, V=V2, W=W2, RB=RB2,
+                                            interpret=True)
+        rng = np.random.RandomState(31 + A2)
+        sat = jnp.asarray(rng.rand(1, A2, A2, C2).astype(np.float32))
+        ax = rng.uniform(2, A2 - 6, (1, V2))
+        ay = rng.uniform(2, A2 - 6, (1, V2))
+        bx = rng.uniform(0.4, 1.0, (1, V2))
+        by = bx * rng.uniform(-0.5, 0.5, (1, V2))
+        uv0 = jnp.asarray(np.stack([ax, ay], -1).astype(np.float32))
+        uv1 = jnp.asarray(np.stack([ax + bx, ay + by], -1).astype(np.float32))
+        cw = jnp.asarray(rng.randn(1, V2, W2, C2).astype(np.float32))
+
+        def loss_b(s):
+            o, dx, dy = sampler(s, uv0, uv1)
+            return jnp.sum(cw * o) + jnp.sum(dx) * 1e-2 + jnp.sum(dy) * 1e-2
+
+        def loss_o(s):
+            u = jnp.arange(W2, dtype=jnp.float32)
+            uv = (uv0[:, :, None, :]
+                  + u[None, None, :, None] * (uv1 - uv0)[:, :, None, :])
+            duv = jnp.broadcast_to(jnp.eye(2), uv.shape[:-1] + (2, 2))
+            o, jac = grid_sample(s, uv.reshape(1, V2 * W2, 1, 2),
+                                 duv.reshape(1, V2 * W2, 1, 2, 2))
+            o = o.reshape(1, V2, W2, C2)
+            jac = jac.reshape(1, V2, W2, C2, 2)
+            return (jnp.sum(cw * o) + jnp.sum(jac[..., 0]) * 1e-2
+                    + jnp.sum(jac[..., 1]) * 1e-2)
+
+        gb = jax.grad(loss_b)(sat)
+        go = jax.grad(loss_o)(sat)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(go),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"A={A2}")
