@@ -1,0 +1,113 @@
+"""Serving API: load a checkpoint, predict metric poses.
+
+The CLIs (cli/train_kitti.py, cli/train_ford.py) reproduce the reference's
+experiment drivers; this module is the production-facing surface for users
+embedding the localizer in a system: one object that owns the jitted
+program, pads ragged batches to a fixed compiled batch size, and converts
+the normalized pose to meters/degrees.
+
+    loc = Localizer(Config(level=3, N_iters=5), save_path="...")   # orbax
+    # or Localizer(cfg, pth_path="model_1.pth")  (reference checkpoint)
+    out = loc.predict(sat_imgs, grd_imgs)   # numpy [N,A,A,3], [N,H,W,3]
+    out["lateral_m"], out["longitudinal_m"], out["heading_deg"]     # [N]
+
+Multi-chip: pass ``mesh=make_mesh(jax.devices())`` to shard the batch over
+the data axis (same path as the CLIs; see train/step.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from highlyaccurate_tpu.config import Config
+
+
+class Localizer:
+    """Batched pose-estimation frontend over the flagship models."""
+
+    def __init__(self, cfg: Config, params=None, save_path: Optional[str] = None,
+                 ckpt_name: str = "Model_best", pth_path: Optional[str] = None,
+                 batch_size: int = 8, mesh=None, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from highlyaccurate_tpu.train import step as step_lib
+
+        if cfg.direction != "S2GP":
+            raise ValueError("Localizer serves the flagship S2GP models; "
+                             "use the CLIs for G2SP experiments")
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self._jnp = jnp
+        self._jax = jax
+
+        from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+        self.model = LMS2GP(cfg=cfg)
+
+        if params is None:
+            rng = np.random.RandomState(0)
+            sat = jnp.asarray(rng.rand(1, cfg.sat_size, cfg.sat_size, 3)
+                              .astype(np.float32))
+            grd = jnp.asarray(rng.rand(1, cfg.grd_h, cfg.grd_w, 3)
+                              .astype(np.float32))
+            variables = self.model.init(
+                {"params": jax.random.PRNGKey(0), "lm": jax.random.PRNGKey(1)},
+                sat, grd, jnp.zeros((1, 3)), mode="train")
+            params = variables["params"]
+            if pth_path is not None:
+                from highlyaccurate_tpu.train.checkpoint import import_pth
+                params = import_pth(pth_path, cfg)
+            elif save_path is not None:
+                from highlyaccurate_tpu.train.checkpoint import load_params
+                params = load_params(save_path, ckpt_name, params)
+        self.params = params
+        if mesh is not None:
+            self.params = step_lib.replicate(mesh, self.params)
+        self._mesh = mesh
+        self._step = step_lib.make_eval_step(self.model, cfg, mesh)
+        self._key = jax.random.PRNGKey(seed)
+
+    def predict(self, sat_imgs, grd_imgs) -> dict:
+        """sat_imgs [N, A, A, 3], grd_imgs [N, H, W, 3] (float in [0,1] or
+        uint8).  Returns numpy arrays of metric poses:
+        {"lateral_m", "longitudinal_m", "heading_deg"} each [N] —
+        denormalized exactly as the reference eval does
+        (reference train_kitti.py:77-80)."""
+        jnp = self._jnp
+        jax = self._jax
+        cfg = self.cfg
+
+        sat = np.asarray(sat_imgs)
+        grd = np.asarray(grd_imgs)
+        if sat.dtype == np.uint8:
+            sat = sat.astype(np.float32) / 255.0
+        if grd.dtype == np.uint8:
+            grd = grd.astype(np.float32) / 255.0
+        n = sat.shape[0]
+
+        lats, lons, ths = [], [], []
+        bs = self.batch_size
+        for i in range(0, n, bs):
+            sb, gb = sat[i:i + bs], grd[i:i + bs]
+            pad = bs - sb.shape[0]
+            if pad:  # pad the ragged tail to the compiled batch size
+                sb = np.concatenate([sb, np.repeat(sb[-1:], pad, 0)])
+                gb = np.concatenate([gb, np.repeat(gb[-1:], pad, 0)])
+            self._key, sub = jax.random.split(self._key)
+            lat, lon, th = self._step(self.params, jnp.asarray(sb),
+                                      jnp.asarray(gb), sub)
+            k = bs - pad
+            lats.append(np.asarray(lat)[:k])
+            lons.append(np.asarray(lon)[:k])
+            ths.append(np.asarray(th)[:k])
+
+        lat = np.concatenate(lats)
+        lon = np.concatenate(lons)
+        th = np.concatenate(ths)
+        return {
+            "lateral_m": lat * cfg.shift_range_lat,
+            "longitudinal_m": lon * cfg.shift_range_lon,
+            "heading_deg": th * cfg.rotation_range,
+        }

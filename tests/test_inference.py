@@ -1,0 +1,38 @@
+"""Localizer serving API: ragged batches, dtype handling, metric outputs."""
+
+import numpy as np
+
+from highlyaccurate_tpu.config import Config
+from highlyaccurate_tpu.inference import Localizer
+
+TINY = dict(grd_h=32, grd_w=128, sat_size=64, N_iters=1, level=-1)
+
+
+def test_predict_ragged_uint8():
+    cfg = Config(**TINY)
+    loc = Localizer(cfg, batch_size=2)
+    rng = np.random.RandomState(0)
+    n = 5  # ragged: 2 + 2 + 1(padded)
+    sat = (rng.rand(n, 64, 64, 3) * 255).astype(np.uint8)
+    grd = (rng.rand(n, 32, 128, 3) * 255).astype(np.uint8)
+    out = loc.predict(sat, grd)
+    for k in ("lateral_m", "longitudinal_m", "heading_deg"):
+        assert out[k].shape == (n,)
+        assert np.isfinite(out[k]).all()
+    # denormalization ranges: |lat| <= reinit_range * shift_range
+    assert np.abs(out["lateral_m"]).max() <= 2.5 * cfg.shift_range_lat + 1e-3
+
+
+def test_padded_tail_matches_unpadded():
+    """The padded tail batch must produce the same result for real rows."""
+    cfg = Config(**TINY)
+    loc = Localizer(cfg, batch_size=4, seed=7)
+    rng = np.random.RandomState(1)
+    sat = rng.rand(4, 64, 64, 3).astype(np.float32)
+    grd = rng.rand(4, 32, 128, 3).astype(np.float32)
+    full = loc.predict(sat, grd)
+
+    loc2 = Localizer(cfg, params=loc.params, batch_size=4, seed=7)
+    part = loc2.predict(sat[:3], grd[:3])
+    for k in full:
+        np.testing.assert_allclose(part[k], full[k][:3], rtol=1e-5, atol=1e-6)
