@@ -120,7 +120,8 @@ class FordDataset:
                  shift_range_lat: float = 20.0, shift_range_lon: float = 20.0,
                  rotation_range: float = 10.0, whole: bool = False,
                  grd_h: int = 256, grd_w: int = 1024,
-                 rng: Optional[np.random.RandomState] = None):
+                 rng: Optional[np.random.RandomState] = None,
+                 use_native_warp: Optional[bool] = None):
         self.root = root
         self.is_train = split == "train"
         self.shift_range_lat = shift_range_lat
@@ -128,6 +129,14 @@ class FordDataset:
         self.rotation_range = rotation_range
         self.grd_h, self.grd_w = grd_h, grd_w
         self.rng = rng or np.random.RandomState()
+        # fused single-pass C++ warp: default ON for training (throughput),
+        # OFF for eval (PIL-exact resampling parity) — same policy as KITTI
+        if use_native_warp is None:
+            use_native_warp = self.is_train
+        if use_native_warp:
+            from highlyaccurate_tpu import native
+            use_native_warp = native.available()
+        self.use_native_warp = use_native_warp
 
         if logs is None:
             logs = TRAIN_LOGS if self.is_train else TEST_LOGS
@@ -188,11 +197,23 @@ class FordDataset:
             gt_shift_u, gt_shift_v, theta = e["fixed"]
 
         with Image.open(e["sat"]) as im:
-            sat_crop = synthesize_ford_sat(
-                im.convert("RGB"), b_delta_u, b_delta_v, yaw,
-                gt_shift_u, gt_shift_v, theta, self.shift_range_lat,
-                self.shift_range_lon, self.rotation_range)
-        sat = np.asarray(sat_crop, np.float32) / 255.0
+            sat_img = im.convert("RGB")
+            if self.use_native_warp:
+                from highlyaccurate_tpu import native
+                m = native.ford_synthesize_matrix(
+                    b_delta_u, b_delta_v, yaw, gt_shift_u, gt_shift_v,
+                    theta, self.shift_range_lat, self.shift_range_lon,
+                    self.rotation_range, sat_img.size[0], sat_img.size[1],
+                    SIDELENGTH, METERS_PER_PIXEL)
+                sat = native.affine_warp(np.asarray(sat_img, np.uint8), m,
+                                         (SIDELENGTH, SIDELENGTH),
+                                         normalize=True)
+            else:
+                sat_crop = synthesize_ford_sat(
+                    sat_img, b_delta_u, b_delta_v, yaw,
+                    gt_shift_u, gt_shift_v, theta, self.shift_range_lat,
+                    self.shift_range_lon, self.rotation_range)
+                sat = np.asarray(sat_crop, np.float32) / 255.0
 
         return FordSample(sat=sat, grd=grd, gt_shift_u=gt_shift_u,
                           gt_shift_v=gt_shift_v, gt_heading=theta,

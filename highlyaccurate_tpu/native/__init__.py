@@ -134,6 +134,28 @@ def crop_matrix(src_w: int, src_h: int, out_size: int):
     return (1.0, 0.0, float(left), 0.0, 1.0, float(top))
 
 
+def ford_synthesize_matrix(b_delta_u: float, b_delta_v: float,
+                           yaw_deg: float, gt_shift_u: float,
+                           gt_shift_v: float, theta: float,
+                           shift_range_lat: float, shift_range_lon: float,
+                           rotation_range: float, src_w: int, src_h: int,
+                           out_size: int, meter_per_pixel: float):
+    """Collapse the Ford GT-synthesis chain into one matrix.
+
+    Chain (reference dataLoader/Ford_dataset.py:185-208):
+      affine(gps2utm alignment) -> rotate(yaw) -> affine(gt shift, with the
+      reference's swapped lat/lon scaling) -> rotate(theta*rotation_range)
+      -> center crop.
+    """
+    m1 = translate_matrix(b_delta_u, b_delta_v)
+    m2 = rotate_matrix(yaw_deg, src_w, src_h)
+    m3 = translate_matrix(gt_shift_u * shift_range_lat / meter_per_pixel,
+                          gt_shift_v * shift_range_lon / meter_per_pixel)
+    m4 = rotate_matrix(theta * rotation_range, src_w, src_h)
+    m5 = crop_matrix(src_w, src_h, out_size)
+    return compose_affine(m1, m2, m3, m4, m5)
+
+
 def fused_synthesize_matrix(heading_rad: float, gt_shift_x: float,
                             gt_shift_y: float, theta: float,
                             shift_range_lat: float, shift_range_lon: float,

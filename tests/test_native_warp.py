@@ -80,3 +80,26 @@ def test_u8_to_f32_normalize():
 def test_compose_affine_identity():
     m = native.compose_affine((1, 0, 3, 0, 1, 4), (1, 0, -3, 0, 1, -4))
     np.testing.assert_allclose(m, (1, 0, 0, 0, 1, 0), atol=1e-12)
+
+
+def test_ford_fused_chain_matches_pil_chain():
+    """Ford GT-synthesis chain: fused single-pass warp vs the 4-pass PIL
+    chain (smooth image, interior pixels)."""
+    from highlyaccurate_tpu.data.ford import (METERS_PER_PIXEL,
+                                              synthesize_ford_sat)
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:640, 0:640].astype(np.float32)
+    arr = np.stack([xx / 3, yy / 3, (xx + yy) / 6], -1).astype(np.uint8)
+    img = Image.fromarray(arr)
+    bdu, bdv, yaw, su, sv, th = 4.2, -2.8, 12.0, 0.4, -0.2, 0.5
+    want = np.asarray(synthesize_ford_sat(
+        img, bdu, bdv, yaw, su, sv, th, 20.0, 20.0, 10.0,
+        512)).astype(np.float32)
+    m = native.ford_synthesize_matrix(bdu, bdv, yaw, su, sv, th, 20.0, 20.0,
+                                      10.0, 640, 640, 512, METERS_PER_PIXEL)
+    got = native.affine_warp(arr, m, (512, 512)).astype(np.float32)
+    interior = (slice(64, -64), slice(64, -64))
+    err = np.abs(want[interior] - got[interior])
+    assert err.mean() < 1.0
+    assert np.percentile(err, 99) < 3.0
