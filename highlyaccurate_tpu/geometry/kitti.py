@@ -212,6 +212,33 @@ def warp_sat2real(satmap_sidelength: int):
     return np.stack([X, Y, Z, ones], axis=-1).astype(np.float32)
 
 
+def g2sp_P(pose, camera_k, grd_H: int, grd_W: int, ori_grdH: int,
+           ori_grdW: int, rotation_range: float, shift_range_lat: float,
+           shift_range_lon: float):
+    """The G2SP perspective projection matrix P = K' [R(-heading) | T]
+    (reference models_kitti.py:101-121).  Returns [B, 3, 4]."""
+    B = pose.shape[0]
+    shift_u_m = pose[:, 0:1] * shift_range_lon
+    shift_v_m = pose[:, 1:2] * shift_range_lat
+    rot_scale = rotation_range / 180.0 * np.pi
+    heading = pose[:, 2:3] * rot_scale
+
+    cos = jnp.cos(-heading)[:, 0]
+    sin = jnp.sin(-heading)[:, 0]
+    zeros, ones = jnp.zeros_like(cos), jnp.ones_like(cos)
+    R = jnp.stack([cos, zeros, -sin,
+                   zeros, ones, zeros,
+                   sin, zeros, cos], axis=-1).reshape(B, 3, 3)
+
+    height = geo.CAMERA_HEIGHT * jnp.ones_like(shift_u_m)
+    T = jnp.concatenate([shift_v_m, height, -shift_u_m], axis=-1)[..., None]
+
+    k = camera_k.astype(jnp.float32)
+    k = k.at[:, 0, :].multiply(grd_W / ori_grdW)
+    k = k.at[:, 1, :].multiply(grd_H / ori_grdH)
+    return k @ jnp.concatenate([R, T], axis=-1)  # [B, 3, 4]
+
+
 def g2sp_uv_jac(pose, XYZ1, camera_k, grd_H: int, grd_W: int,
                 ori_grdH: int, ori_grdW: int, rotation_range: float,
                 shift_range_lat: float, shift_range_lon: float):
@@ -229,25 +256,16 @@ def g2sp_uv_jac(pose, XYZ1, camera_k, grd_H: int, grd_W: int,
       mask [B, A, A] (points in front of the camera).
     """
     B = pose.shape[0]
-    shift_u_m = pose[:, 0:1] * shift_range_lon
-    shift_v_m = pose[:, 1:2] * shift_range_lat
     rot_scale = rotation_range / 180.0 * np.pi
     heading = pose[:, 2:3] * rot_scale
-
     cos = jnp.cos(-heading)[:, 0]
     sin = jnp.sin(-heading)[:, 0]
-    zeros, ones = jnp.zeros_like(cos), jnp.ones_like(cos)
-    R = jnp.stack([cos, zeros, -sin,
-                   zeros, ones, zeros,
-                   sin, zeros, cos], axis=-1).reshape(B, 3, 3)
-
-    height = geo.CAMERA_HEIGHT * jnp.ones_like(shift_u_m)
-    T = jnp.concatenate([shift_v_m, height, -shift_u_m], axis=-1)[..., None]  # [B,3,1]
-
+    zeros = jnp.zeros_like(cos)
     k = camera_k.astype(jnp.float32)
     k = k.at[:, 0, :].multiply(grd_W / ori_grdW)
     k = k.at[:, 1, :].multiply(grd_H / ori_grdH)
-    P = k @ jnp.concatenate([R, T], axis=-1)  # [B, 3, 4]
+    P = g2sp_P(pose, camera_k, grd_H, grd_W, ori_grdH, ori_grdW,
+               rotation_range, shift_range_lat, shift_range_lon)
 
     uv1 = jnp.einsum("bij,hwj->bhwi", P, XYZ1)  # [B, A, A, 3]
     uv1_last = jnp.maximum(uv1[..., 2:], 1e-6)

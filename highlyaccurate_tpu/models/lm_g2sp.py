@@ -33,7 +33,8 @@ from highlyaccurate_tpu.geometry import kitti as geom
 from highlyaccurate_tpu.losses.losses import loss_func, soft_margin_triplet
 from highlyaccurate_tpu.models.vggunet import VGGUnet
 from highlyaccurate_tpu.ops.grid_sample import grid_sample
-from highlyaccurate_tpu.solver.updates import LMConfig, lm_update
+from highlyaccurate_tpu.solver.updates import (LMConfig, lm_update,
+                                               lm_update_implicit_pixel)
 from highlyaccurate_tpu.utils import geo
 
 
@@ -86,6 +87,51 @@ class LMG2SP(nn.Module):
             conf_proj, _ = grid_sample(grd_conf, uv)
         return feat_proj, conf_proj, jac
 
+    def _project_grd_banded(self, grd_feat, pose, camera_k, A: int):
+        """Projective-line Pallas sampler (G2SP eval fast path).
+
+        Along one sat COLUMN the ground-plane points form a 3D line whose
+        perspective image is a straight, near-horizontal line — the
+        homogeneous coords are affine in the sat row index, so the banded
+        line kernel applies (ops/pallas/banded_warp.py:make_projline_sampler;
+        the gather sampler is the round-1 bottleneck here).  Returns
+        (g_proj, dx, dy, duv): sampled features + screen derivatives
+        [B, A, A, C] in sat-grid order plus the per-pixel duv for
+        ``lm_update_implicit_pixel``.
+        """
+        from highlyaccurate_tpu.models.lm_s2gp import _BANDED_CACHE
+        from highlyaccurate_tpu.ops.pallas.banded_warp import (
+            make_projline_sampler, pack_projline_coefs)
+        cfg = self.cfg
+        Hg, Wg, C = grd_feat.shape[1:]
+        XYZ1 = jnp.asarray(self._xyz1[A])                 # [A, A, 4]
+        P = geom.g2sp_P(pose, camera_k, Hg, Wg, cfg.grd_h, cfg.grd_w,
+                        cfg.rotation_range, cfg.shift_range_lat,
+                        cfg.shift_range_lon)
+
+        # rows = sat columns j (constant depth at heading 0); u = sat row i
+        X0 = XYZ1[0]                                      # [A(j), 4]
+        dX = XYZ1[1] - XYZ1[0]                            # [A(j), 4]
+        h0 = jnp.einsum("bik,jk->bji", P, X0)             # [B, A(j), 3]
+        dh = jnp.einsum("bik,jk->bji", P, dX)
+        coefs = pack_projline_coefs(h0, dh, Hg, Wg, Hg, A)
+
+        key_ = ("projline", Hg, Wg, C, A)
+        sampler = _BANDED_CACHE.get(key_)
+        if sampler is None:
+            sampler = make_projline_sampler(
+                AY=Hg, AX=Wg, C=C, V=A, W=A,
+                interpret=jax.default_backend() != "tpu")
+            _BANDED_CACHE[key_] = sampler
+        out, dx, dy = sampler(grd_feat, coefs)            # [B, j, i, C]
+        tr = lambda t: jnp.transpose(t, (0, 2, 1, 3))     # -> [B, i, j, C]
+
+        # per-pixel duv (quotient rule) — same as the gather path's
+        _, duv, _ = geom.g2sp_uv_jac(
+            pose, XYZ1, camera_k, Hg, Wg, cfg.grd_h, cfg.grd_w,
+            cfg.rotation_range, cfg.shift_range_lat, cfg.shift_range_lon)
+        return tr(out), tr(dx), tr(dy), duv
+
     def __call__(self, sat_map, grd_img, camera_k, gt_pose=None,
                  mode: str = "train"):
         """sat_map [B,A,A,3], grd_img [B,H,W,3], camera_k [B,3,3]."""
@@ -111,29 +157,66 @@ class LMG2SP(nn.Module):
         collect_aux = mode == "train" and cfg.loss_method > 0
         aux_feats = {lvl: [] for lvl in range(len(self._slots))}
 
-        order = [(it, lvl) for it in range(cfg.N_iters)
-                 for lvl in range(len(self._slots))]
-        for it, lvl in order:
-            def round_fn(p):
-                A = sat_feats[lvl].shape[1]
-                g_proj, c_proj, jac = self._project_grd_to_map(
-                    grd_feats[lvl], grd_confs[lvl], p, camera_k, A)
-                # residual grd_proj - sat; weight grd_conf_proj
-                # (reference models_kitti.py:354-364)
-                new_p = lm_update(p, g_proj, c_proj, sat_feats[lvl],
-                                  c_proj, jac, self.damping, lm_cfg)
-                return new_p, g_proj
+        # projective-line Pallas fast path: eval-only (no VJP), geo proj,
+        # unweighted LM (using_weight folds conf into the update otherwise);
+        # needs the bf16 full-map residency.  use_banded_warp=2 forces the
+        # interpret-mode kernel off-TPU (tests).
+        banded = (mode != "train" and cfg.proj == "geo"
+                  and cfg.Optimizer == "LM"
+                  and bool(cfg.use_banded_warp) and not cfg.using_weight
+                  and bool(cfg.banded_bf16_map) and not collect_aux
+                  and (jax.default_backend() == "tpu"
+                       or cfg.use_banded_warp >= 2))
 
-            fn = round_fn
-            if cfg.remat and mode == "train":
-                fn = jax.checkpoint(round_fn)
-            pose, g_proj = fn(pose)
-            traj.append(pose)
-            if collect_aux:
-                aux_feats[lvl].append(g_proj)
+        def level_round(p, lvl):
+            A = sat_feats[lvl].shape[1]
+            Hg, Wg, Cg = grd_feats[lvl].shape[1:]
+            from highlyaccurate_tpu.ops.pallas.banded_warp import \
+                projline_supported
+            if banded and projline_supported(Hg, Wg, Cg):
+                g_proj, dx, dy, duv = self._project_grd_banded(
+                    grd_feats[lvl], p, camera_k, A)
+                new_p = lm_update_implicit_pixel(
+                    p, g_proj, dx, dy, sat_feats[lvl], duv,
+                    self.damping, lm_cfg)
+                return new_p, g_proj
+            g_proj, c_proj, jac = self._project_grd_to_map(
+                grd_feats[lvl], grd_confs[lvl], p, camera_k, A)
+            # residual grd_proj - sat; weight grd_conf_proj
+            # (reference models_kitti.py:354-364)
+            new_p = lm_update(p, g_proj, c_proj, sat_feats[lvl],
+                              c_proj, jac, self.damping, lm_cfg)
+            return new_p, g_proj
 
         n_levels = len(self._slots)
-        t = jnp.stack(traj, axis=1).reshape(B, cfg.N_iters, n_levels, 3)
+        if mode != "train":
+            # lax.scan over iterations, levels unrolled in the body: each
+            # level's sampler appears once in the program instead of once per
+            # round (the unrolled 15-round program overflowed the remote
+            # compile helper with the Pallas fast path; same design as
+            # LM_S2GP._run_rounds)
+            def iter_body(p, _):
+                poses = []
+                for lvl in range(n_levels):
+                    p, _aux = level_round(p, lvl)
+                    poses.append(p)
+                return p, jnp.stack(poses, 1)      # [B, L, 3]
+
+            _, scan_traj = jax.lax.scan(iter_body, pose, None,
+                                        length=cfg.N_iters)
+            t = jnp.transpose(scan_traj, (1, 0, 2, 3))  # [B, I, L, 3]
+        else:
+            order = [(it, lvl) for it in range(cfg.N_iters)
+                     for lvl in range(n_levels)]
+            for it, lvl in order:
+                fn = (lambda p, lvl=lvl: level_round(p, lvl))
+                if cfg.remat:
+                    fn = jax.checkpoint(fn)
+                pose, g_proj = fn(pose)
+                traj.append(pose)
+                if collect_aux:
+                    aux_feats[lvl].append(g_proj)
+            t = jnp.stack(traj, axis=1).reshape(B, cfg.N_iters, n_levels, 3)
         shift_lats, shift_lons, thetas = t[..., 1], t[..., 0], t[..., 2]
 
         if mode != "train":

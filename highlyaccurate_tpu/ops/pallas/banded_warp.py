@@ -773,3 +773,205 @@ def pack_row_coefs(uv0, uv1, A: int, RB: int, W: int):
     zeros = jnp.zeros_like(ax)
     return jnp.stack([ax, bx, ay, by, slope, oy, n_chunks, zeros],
                      axis=-1).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Projective-line sampler (G2SP eval fast path)
+#
+# The G2SP direction samples the GROUND image at the perspective projection
+# of satellite-grid points (reference models_kitti.py:86-161).  Along one
+# sat COLUMN the 3D points form a line, and the perspective image of a line
+# is a line: homogeneous coords h(u) = h0 + u*dh are affine in the sat row
+# index u, so x(u) = hx/hz, y(u) = hy/hz lie on a straight, near-horizontal
+# image line (sat columns are constant-depth at heading 0).  The same
+# integer-shear + banded-matmul machinery applies with a rectangular map
+# [AY, AX] and the per-u coordinates computed by a projective divide.
+# Eval-only (no VJP); requires the bf16 full-map residency (every level's
+# ground map fits VMEM at bf16).
+# ---------------------------------------------------------------------------
+
+_NCOEF_PL = 16  # nx0 dnx ny0 dny d0 dd slope oy nck xref yref pad...
+
+
+def _cread_pl(coef_ref, b, v, i: int):
+    return coef_ref[b, v * _NCOEF_PL + i]
+
+
+def _weights_projline(coef_ref, b, v, *, W: int, AY: int, AX: int):
+    """Per-row weight construction for projective lines.
+
+    Same contract as _weights (wx/dwx [W, AX], rel, fy, sj, m, oy_f) with
+    x(u), y(u) from the homogeneous divide and the in-bounds mask extended
+    by the den > eps (in-front-of-camera) condition."""
+    nx0 = _cread_pl(coef_ref, b, v, 0)
+    dnx = _cread_pl(coef_ref, b, v, 1)
+    ny0 = _cread_pl(coef_ref, b, v, 2)
+    dny = _cread_pl(coef_ref, b, v, 3)
+    d0 = _cread_pl(coef_ref, b, v, 4)
+    dd = _cread_pl(coef_ref, b, v, 5)
+    slope = _cread_pl(coef_ref, b, v, 6)
+    oy_f = _cread_pl(coef_ref, b, v, 7)
+    xref = _cread_pl(coef_ref, b, v, 9)
+    yref = _cread_pl(coef_ref, b, v, 10)
+
+    u = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0].astype(jnp.float32)
+    den = d0 + dd * u
+    infront = den > 1e-6
+    deni = 1.0 / jnp.where(infront, den, 1.0)
+    x = (nx0 + dnx * u) * deni
+    y = (ny0 + dny * u) * deni
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    mask = ((x >= 0) & (x <= AX - 1) & (y >= 0) & (y <= AY - 1) & infront)
+    quirk = ((x0f < AX - 1) & (y0f < AY - 1)).astype(jnp.float32)
+    m = mask.astype(jnp.float32) * quirk
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (W, AX), 1).astype(jnp.float32)
+    x0b = x0f[:, None]
+    hit0 = (j == x0b).astype(jnp.float32)
+    hit1 = (j == (x0b + 1.0)).astype(jnp.float32)
+    mb = m[:, None]
+    wx = ((1.0 - fx)[:, None] * hit0 + fx[:, None] * hit1) * mb
+    dwx = (hit1 - hit0) * mb
+
+    jcols = j[:1]
+    yj = yref + (jcols - xref) * slope
+    sj = jnp.floor(yj)
+    rel = y0f[:, None] - sj + 1.0
+    return wx, dwx, rel, fy, sj, m, oy_f
+
+
+def _kernel_projline_fullmap(coef_ref, map_ref, out_ref, dx_ref, dy_ref, *,
+                             RB: int, W: int, AY: int, AX: int, C: int,
+                             cfirst: bool):
+    """Full-map projective-line forward (map VMEM-resident, dynamic scan)."""
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+    oy_f = _cread_pl(coef_ref, b, v, 7)
+    oy = oy_f.astype(jnp.int32)
+    wx, dwx, rel, fy, sj, m, _ = _weights_projline(coef_ref, b, v, W=W,
+                                                   AY=AY, AX=AX)
+    nck = _cread_pl(coef_ref, b, v, 8).astype(jnp.int32)
+
+    def read_chunk(base):
+        return map_ref[0, pl.ds(oy + base, _SHEAR_CHUNK)]
+
+    _accumulate_rows(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
+                     out_ref, dx_ref, dy_ref, None,
+                     RB=RB, W=W, A=AX, C=C, cfirst=cfirst, n_chunks=nck)
+
+
+def pack_projline_coefs(h0, dh, AY: int, AX: int, RB: int, W: int):
+    """Per-row projective-line coefficients.
+
+    h0, dh: [B, V, 3] — homogeneous image coords of the row's 3D line,
+    h(u) = h0 + u*dh for the sample index u in [0, W).  Returns
+    [B, V, _NCOEF_PL] f32.
+    """
+    eps = 1e-6
+    nx0, ny0, d0 = h0[..., 0], h0[..., 1], h0[..., 2]
+    dnx, dny, dd = dh[..., 0], dh[..., 1], dh[..., 2]
+
+    # the image line through all projections: l = h0 x h1 (homogeneous)
+    l = jnp.cross(h0, h0 + dh)
+    la, lb, lc = l[..., 0], l[..., 1], l[..., 2]
+    safe_lb = jnp.where(jnp.abs(lb) > eps, lb,
+                        jnp.where(lb >= 0, eps, -eps))
+    slope = -la / safe_lb
+    xref = jnp.full_like(slope, (AX - 1) / 2.0)
+    yref = (-lc - la * xref) / safe_lb
+
+    # valid-u interval: all constraints affine in u given den > 0:
+    #   den-eps >= 0; x>=0; x<=AX-1; y>=0; y<=AY-1
+    cons_a = jnp.stack([d0 - eps, nx0, (AX - 1.0) * d0 - nx0,
+                        ny0, (AY - 1.0) * d0 - ny0], -1)
+    cons_b = jnp.stack([dd, dnx, (AX - 1.0) * dd - dnx,
+                        dny, (AY - 1.0) * dd - dny], -1)
+    bpos = cons_b > eps
+    bneg = cons_b < -eps
+    ratio = -cons_a / jnp.where(jnp.abs(cons_b) > eps, cons_b, 1.0)
+    lo = jnp.maximum(jnp.max(jnp.where(bpos, ratio, 0.0), -1), 0.0)
+    hi = jnp.minimum(jnp.min(jnp.where(bneg, ratio, W - 1.0), -1), W - 1.0)
+    flat_bad = jnp.any((~bpos) & (~bneg) & (cons_a < 0), -1)
+    nonempty = (hi >= lo) & ~flat_bad
+
+    def yat(u):
+        den = d0 + dd * u
+        return (ny0 + dny * u) / jnp.where(den > eps, den, 1.0)
+
+    ya, yb = yat(lo), yat(hi)
+    ymin = jnp.clip(jnp.minimum(ya, yb), 0.0, AY - 1.0)
+    ymax = jnp.clip(jnp.maximum(ya, yb), 0.0, AY - 1.0)
+    oy = jnp.clip(jnp.floor(ymin) - 1.0, 0.0, float(max(AY - RB, 0)))
+    nck = jnp.clip(jnp.ceil((ymax - oy + 4.0) / _SHEAR_CHUNK),
+                   1.0, RB // _SHEAR_CHUNK)
+
+    valid = (nonempty & (jnp.abs(slope) < 0.95)
+             & ((ymax - ymin) <= (RB - 3)) & (jnp.abs(lb) > eps))
+    # invalid rows: force x far out of bounds with a safe denominator
+    nx0 = jnp.where(valid, nx0, 1e9)
+    dnx = jnp.where(valid, dnx, 0.0)
+    d0 = jnp.where(valid, d0, 1.0)
+    dd = jnp.where(valid, dd, 0.0)
+
+    z = jnp.zeros_like(slope)
+    return jnp.stack([nx0, dnx, ny0, dny, d0, dd, slope, oy, nck,
+                      xref, yref, z, z, z, z, z], -1).astype(jnp.float32)
+
+
+def projline_supported(AY: int, AX: int, C: int) -> bool:
+    """Whether the projective-line sampler can serve this map shape
+    (8-row chunking + bf16 full-map VMEM residency)."""
+    return AY % _SHEAR_CHUNK == 0 and AY * AX * C * 2 <= _FULLMAP_VMEM_BUDGET
+
+
+def make_projline_sampler(AY: int, AX: int, C: int, V: int, W: int,
+                          interpret: bool = False):
+    """Build fn(img [B, AY, AX, C], coefs [B, V, _NCOEF_PL])
+      -> (out, dx, dy) [B, V, W, C].
+
+    Samples the (rectangular) image along V projective lines with W samples
+    each; bilinear semantics identical to grid_sample with the G2SP clamped
+    denominator replaced by an explicit in-front mask.  bf16 full-map only
+    (every ground-feature level fits VMEM at bf16); eval-only — NOT
+    differentiable.
+    """
+    assert AY % _SHEAR_CHUNK == 0
+    cfirst = (C % 128 != 0) and (AX % 128 == 0)
+    assert AY * AX * C * 2 <= _FULLMAP_VMEM_BUDGET, "map too large for VMEM"
+    RB = AY  # window = whole height; the dynamic chunk bound does the work
+    map_shape = (AY, C, AX) if cfirst else (AY, AX, C)
+    kernel = functools.partial(_kernel_projline_fullmap, RB=RB, W=W, AY=AY,
+                               AX=AX, C=C, cfirst=cfirst)
+
+    def build(B: int):
+        out_spec = pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),
+                                memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, V),
+            in_specs=[pl.BlockSpec(
+                (1,) + map_shape, lambda b, v, c: (b, 0, 0, 0),
+                pipeline_mode=pl.Buffered(buffer_count=1),
+                memory_space=pltpu.VMEM)],
+            out_specs=(out_spec,) * 3,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=tuple(jax.ShapeDtypeStruct((B, V, W, C), jnp.float32)
+                            for _ in range(3)),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )
+
+    def sample(img, coefs):
+        img = img.astype(jnp.bfloat16)
+        if cfirst:
+            img = jnp.transpose(img, (0, 1, 3, 2))
+        coefs = coefs.astype(jnp.float32).reshape(coefs.shape[0], -1)
+        return build(img.shape[0])(coefs, img)
+
+    return sample

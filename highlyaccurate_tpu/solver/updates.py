@@ -404,6 +404,47 @@ def lm_update_from_moments(pose, M, P0, dP, damping_param, cfg: LMConfig,
     return _solve_and_reinit(pose, hess, g, damping_param, cfg, reinit_key)
 
 
+def lm_update_implicit_pixel(pose, out, dx, dy, target, duv, damping_param,
+                             cfg: LMConfig):
+    """G2SP LM update from per-pixel moments — the [B,H,W,C,3] Jacobian is
+    never materialized.
+
+    Mirrors the G2SP ``lm_update`` semantics (reference
+    models_kitti.py:333-379: residual r = out - target, NO feature
+    normalization, raw per-DoF damping on the identity, no re-init) with
+    J[p,c,:] = dx[p,c]*duv_x[p,:] + dy[p,c]*duv_y[p,:]:
+
+        H = sum_p duv_p^T S_p duv_p,   S_p = [[sxx, sxy], [sxy, syy]]_p
+        g = sum_p duv_p^T [sum_c dx*r; sum_c dy*r]_p
+
+    Args:
+      out/dx/dy: sampled value + screen derivatives [B, H, W, C];
+      target: [B, H, W, C]; duv: [B, H, W, 2, 3].
+    """
+    assert not cfg.using_weight, "pixel-implicit path carries no conf weight"
+    f32 = jnp.float32
+    out = out.astype(f32)
+    dx = dx.astype(f32)
+    dy = dy.astype(f32)
+    r = out - target.astype(f32)
+
+    sxx = jnp.sum(dx * dx, -1)   # [B, H, W]
+    sxy = jnp.sum(dx * dy, -1)
+    syy = jnp.sum(dy * dy, -1)
+    rx = jnp.sum(dx * r, -1)
+    ry = jnp.sum(dy * r, -1)
+
+    Du = duv[..., 0, :].astype(f32)   # [B, H, W, 3]
+    Dv = duv[..., 1, :].astype(f32)
+    hess = (jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Du, sxx)
+            + jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Dv, sxy)
+            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Du, sxy)
+            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Dv, syy))
+    g = (jnp.einsum("bhwp,bhw->bp", Du, rx)
+         + jnp.einsum("bhwp,bhw->bp", Dv, ry))
+    return _solve_and_reinit(pose, hess, g, damping_param, cfg, None)
+
+
 def _diag_embed(x):
     """[..., n] -> [..., n, n] diagonal matrices."""
     n = x.shape[-1]

@@ -252,3 +252,58 @@ def test_multiblock_backward_parity(monkeypatch):
         go = jax.grad(loss_o)(sat)
         np.testing.assert_allclose(np.asarray(gb), np.asarray(go),
                                    rtol=1e-4, atol=1e-4, err_msg=f"A={A2}")
+
+
+def test_projline_sampler_parity():
+    """Projective-line sampler (G2SP eval) vs grid_sample at the divided
+    coordinates, rectangular map (interpret mode)."""
+    from highlyaccurate_tpu.ops.pallas.banded_warp import (
+        make_projline_sampler, pack_projline_coefs)
+    Bp, AY, AX, Cp, Vp, Wp = 2, 16, 48, 8, 6, 12
+    rng = np.random.RandomState(41)
+    img = jnp.asarray(rng.rand(Bp, AY, AX, Cp).astype(np.float32))
+
+    # homogeneous lines with near-horizontal image slope and den > 0:
+    # start points inside, gentle direction, mild projective distortion
+    x0 = rng.uniform(2, AX - 14, (Bp, Vp))
+    y0 = rng.uniform(2, AY - 4, (Bp, Vp))
+    sl = rng.uniform(-0.4, 0.4, (Bp, Vp))
+    step = rng.uniform(1.0, 3.0, (Bp, Vp))
+    d0 = rng.uniform(0.8, 1.6, (Bp, Vp))
+    dd = rng.uniform(-0.02, 0.02, (Bp, Vp))
+    # h(u) = (x(u)*den(u), y(u)*den(u), den(u)) with x,y affine along the line
+    u = np.arange(Wp, dtype=np.float32)
+    xu = x0[..., None] + step[..., None] * u          # [B, V, W]
+    yu = y0[..., None] + sl[..., None] * step[..., None] * u
+    den = d0[..., None] + dd[..., None] * u
+    # reconstruct affine homogeneous params: hx(u) = xu*den must be affine in
+    # u -> only exact when dd*step terms cancel; instead build h0/dh directly
+    # and DERIVE the sampled points from them (ground truth = same divide)
+    h0 = np.stack([x0 * d0, y0 * d0, d0], -1).astype(np.float32)
+    h1x = (x0 + step * (Wp - 1)) * (d0 + dd * (Wp - 1))
+    h1y = (y0 + sl * step * (Wp - 1)) * (d0 + dd * (Wp - 1))
+    h1 = np.stack([h1x, h1y, d0 + dd * (Wp - 1)], -1).astype(np.float32)
+    dh = (h1 - h0) / (Wp - 1)
+
+    coefs = pack_projline_coefs(jnp.asarray(h0), jnp.asarray(dh),
+                                AY, AX, AY, Wp)
+    sampler = make_projline_sampler(AY=AY, AX=AX, C=Cp, V=Vp, W=Wp,
+                                    interpret=True)
+    out, dx, dy = sampler(img, coefs)
+
+    # oracle: the same homogeneous divide, sampled by grid_sample
+    hu = h0[:, :, None, :] + u[None, None, :, None] * dh[:, :, None, :]
+    uv = hu[..., :2] / np.maximum(hu[..., 2:], 1e-6)
+    infront = hu[..., 2] > 1e-6
+    want, wjac = grid_sample(img, jnp.asarray(uv.reshape(Bp, Vp * Wp, 1, 2)),
+                             jnp.broadcast_to(jnp.eye(2),
+                                              (Bp, Vp * Wp, 1, 2, 2)))
+    want = np.asarray(want).reshape(Bp, Vp, Wp, Cp) * infront[..., None]
+    wjac = np.asarray(wjac).reshape(Bp, Vp, Wp, Cp, 2) * infront[..., None, None]
+
+    # bf16 map quantization inside the sampler -> loose value tolerance
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(dx), wjac[..., 0], rtol=2e-2,
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(dy), wjac[..., 1], rtol=2e-2,
+                               atol=2e-2)

@@ -123,3 +123,39 @@ def test_g2sp_nn_projection():
     out = model.apply(params, sat, grd, k, gt, mode="train",
                       rngs={"lm": jax.random.PRNGKey(2)})
     assert np.isfinite(float(out.loss))
+
+
+def test_g2sp_banded_eval_matches_gather():
+    """G2SP projective-line eval fast path vs the gather path (interpret).
+
+    One LM round at tiny shapes: the only numeric deltas are the bf16 map
+    quantization and reduction order, so poses must agree closely."""
+    import dataclasses
+    from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
+    # level=-3 -> slot 2: the ground map is [16, 64] (8-row aligned, so the
+    # projective-line kernel engages; slot 0 maps at these tiny shapes are
+    # 4 rows tall and fall back to gather)
+    cfg_b = Config(direction="G2SP", use_banded_warp=2, N_iters=1,
+                   grd_h=32, grd_w=128, sat_size=64, level=-3)
+    cfg_g = dataclasses.replace(cfg_b, use_banded_warp=0)
+    rng = np.random.RandomState(9)
+    B = 2
+    sat = jnp.asarray(rng.rand(B, 64, 64, 3).astype(np.float32))
+    grd = jnp.asarray(rng.rand(B, 32, 128, 3).astype(np.float32))
+    k = jnp.broadcast_to(jnp.asarray(
+        [[582.9802 / 8, 0, 496.242 / 8],
+         [0, 482.7076 / 8, 125.0034 / 8],
+         [0, 0, 1.0]], dtype=jnp.float32), (B, 3, 3))
+    gt = jnp.zeros((B, 3))
+
+    model_b = LMG2SP(cfg=cfg_b)
+    params = model_b.init({"params": jax.random.PRNGKey(0),
+                           "lm": jax.random.PRNGKey(1)}, sat, grd, k, gt,
+                          mode="train")["params"]
+    model_g = LMG2SP(cfg=cfg_g)
+
+    out_b = model_b.apply({"params": params}, sat, grd, k, mode="test")
+    out_g = model_g.apply({"params": params}, sat, grd, k, mode="test")
+    for name, a, b in zip(("lat", "lon", "theta"), out_b, out_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-3, err_msg=name)
