@@ -36,3 +36,23 @@ def test_padded_tail_matches_unpadded():
     part = loc2.predict(sat[:3], grd[:3])
     for k in full:
         np.testing.assert_allclose(part[k], full[k][:3], rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_sharded_predict_matches_single():
+    """Localizer over the virtual 8-device mesh == single-device results."""
+    import jax
+    from highlyaccurate_tpu.train.step import make_mesh_for_batch
+
+    cfg = Config(**TINY)
+    loc1 = Localizer(cfg, batch_size=8, seed=3)
+    rng = np.random.RandomState(2)
+    sat = rng.rand(8, 64, 64, 3).astype(np.float32)
+    grd = rng.rand(8, 32, 128, 3).astype(np.float32)
+    want = loc1.predict(sat, grd)
+
+    mesh = make_mesh_for_batch(8, jax.devices())
+    assert mesh.devices.size > 1  # conftest provides the 8-CPU mesh
+    loc8 = Localizer(cfg, params=loc1.params, batch_size=8, mesh=mesh, seed=3)
+    got = loc8.predict(sat, grd)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-5)
