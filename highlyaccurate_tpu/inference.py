@@ -29,7 +29,8 @@ class Localizer:
 
     def __init__(self, cfg: Config, params=None, save_path: Optional[str] = None,
                  ckpt_name: str = "Model_best", pth_path: Optional[str] = None,
-                 batch_size: int = 8, mesh=None, seed: int = 0):
+                 batch_size: int = 8, mesh=None, seed: int = 0,
+                 random_init: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -38,6 +39,12 @@ class Localizer:
         if cfg.direction != "S2GP":
             raise ValueError("Localizer serves the flagship S2GP models; "
                              "use the CLIs for G2SP experiments")
+        if params is None and save_path is None and pth_path is None \
+                and not random_init:
+            raise ValueError(
+                "no weight source: pass params=, save_path= (orbax) or "
+                "pth_path= (reference checkpoint) — or random_init=True to "
+                "explicitly serve untrained weights (tests only)")
         self.cfg = cfg
         self.batch_size = batch_size
         self._jnp = jnp
@@ -47,21 +54,25 @@ class Localizer:
         self.model = LMS2GP(cfg=cfg)
 
         if params is None:
-            rng = np.random.RandomState(0)
-            sat = jnp.asarray(rng.rand(1, cfg.sat_size, cfg.sat_size, 3)
-                              .astype(np.float32))
-            grd = jnp.asarray(rng.rand(1, cfg.grd_h, cfg.grd_w, 3)
-                              .astype(np.float32))
-            variables = self.model.init(
-                {"params": jax.random.PRNGKey(0), "lm": jax.random.PRNGKey(1)},
-                sat, grd, jnp.zeros((1, 3)), mode="train")
-            params = variables["params"]
             if pth_path is not None:
+                # the importer builds params from scratch — no init template
+                # (and no solver compile) needed
                 from highlyaccurate_tpu.train.checkpoint import import_pth
                 params = import_pth(pth_path, cfg)
-            elif save_path is not None:
-                from highlyaccurate_tpu.train.checkpoint import load_params
-                params = load_params(save_path, ckpt_name, params)
+            else:
+                rng = np.random.RandomState(0)
+                sat = jnp.asarray(rng.rand(1, cfg.sat_size, cfg.sat_size, 3)
+                                  .astype(np.float32))
+                grd = jnp.asarray(rng.rand(1, cfg.grd_h, cfg.grd_w, 3)
+                                  .astype(np.float32))
+                variables = self.model.init(
+                    {"params": jax.random.PRNGKey(0),
+                     "lm": jax.random.PRNGKey(1)},
+                    sat, grd, jnp.zeros((1, 3)), mode="train")
+                params = variables["params"]
+                if save_path is not None:
+                    from highlyaccurate_tpu.train.checkpoint import load_params
+                    params = load_params(save_path, ckpt_name, params)
         self.params = params
         if mesh is not None:
             self.params = step_lib.replicate(mesh, self.params)
@@ -86,6 +97,10 @@ class Localizer:
         if grd.dtype == np.uint8:
             grd = grd.astype(np.float32) / 255.0
         n = sat.shape[0]
+        if n == 0:
+            empty = np.zeros((0,), np.float32)
+            return {"lateral_m": empty, "longitudinal_m": empty,
+                    "heading_deg": empty}
 
         lats, lons, ths = [], [], []
         bs = self.batch_size

@@ -150,30 +150,7 @@ def lm_update(pose, sat_feat, sat_conf, grd_feat, grd_conf, jac,
     hess = jnp.einsum("bdn,bdm->bnm", Jw, J)
     g = jnp.einsum("bdn,bd->bn", Jw, r)
 
-    damping = compute_damping(damping_param, cfg, n)  # [n]
-    if cfg.use_hessian:
-        diag = jnp.einsum("bnn->bn", hess)  # Hessian diagonal (reference :1005-1010)
-    else:
-        diag = jnp.ones((B, n), dtype=jnp.float32)
-    # The reference multiplies damping column-wise into diag_H; for a diagonal
-    # diag_H that equals scaling the diagonal entries, done here explicitly.
-    lhs = hess + _diag_embed(damping[None, :] * diag)
-
-    delta = -jnp.linalg.solve(lhs, g[..., None])[..., 0]  # [B, n]
-
-    pose = pose.astype(jnp.float32)
-    new = pose.at[:, jnp.array(active)].add(delta)
-
-    # out-of-range uniform re-init, full-3-DoF branch only (reference :1028-1033)
-    if cfg.reinit and n == 3 and reinit_key is not None:
-        k1, k2 = jax.random.split(reinit_key)
-        rand_u = jax.random.uniform(k1, (B,), minval=-1.0, maxval=1.0)
-        rand_v = jax.random.uniform(k2, (B,), minval=-1.0, maxval=1.0)
-        lim = cfg.reinit_range
-        su, sv = new[:, 0], new[:, 1]
-        new = new.at[:, 0].set(jnp.where((su > -lim) & (su < lim), su, rand_u))
-        new = new.at[:, 1].set(jnp.where((sv > -lim) & (sv < lim), sv, rand_v))
-    return new
+    return _solve_and_reinit(pose, hess, g, damping_param, cfg, reinit_key)
 
 
 def _solve_and_reinit(pose, hess, g, damping_param, cfg: LMConfig,
@@ -311,26 +288,7 @@ def lm_update_implicit(pose, out, dx, dy, grd_feat, m2d, P0, dP,
     act = jnp.array(active)
     hess = hess[:, act[:, None], act[None, :]]  # [B, n, n]
     g = g_full[:, act]
-
-    damping = compute_damping(damping_param, cfg, n)
-    if cfg.use_hessian:
-        diag = jnp.einsum("bnn->bn", hess)
-    else:
-        diag = jnp.ones((B, n), dtype=f32)
-    lhs = hess + _diag_embed(damping[None, :] * diag)
-    delta = -jnp.linalg.solve(lhs, g[..., None])[..., 0]
-
-    pose = pose.astype(f32)
-    new = pose.at[:, act].add(delta)
-    if cfg.reinit and n == 3 and reinit_key is not None:
-        k1, k2 = jax.random.split(reinit_key)
-        rand_u = jax.random.uniform(k1, (B,), minval=-1.0, maxval=1.0)
-        rand_v = jax.random.uniform(k2, (B,), minval=-1.0, maxval=1.0)
-        lim = cfg.reinit_range
-        su, sv = new[:, 0], new[:, 1]
-        new = new.at[:, 0].set(jnp.where((su > -lim) & (su < lim), su, rand_u))
-        new = new.at[:, 1].set(jnp.where((sv > -lim) & (sv < lim), sv, rand_v))
-    return new
+    return _solve_and_reinit(pose, hess, g, damping_param, cfg, reinit_key)
 
 
 def lm_update_from_moments(pose, M, P0, dP, damping_param, cfg: LMConfig,
@@ -442,6 +400,9 @@ def lm_update_implicit_pixel(pose, out, dx, dy, target, duv, damping_param,
             + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Dv, syy))
     g = (jnp.einsum("bhwp,bhw->bp", Du, rx)
          + jnp.einsum("bhwp,bhw->bp", Dv, ry))
+    act = jnp.array(cfg.active_dims)
+    hess = hess[:, act[:, None], act[None, :]]
+    g = g[:, act]
     return _solve_and_reinit(pose, hess, g, damping_param, cfg, None)
 
 

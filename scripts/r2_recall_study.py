@@ -102,7 +102,10 @@ def evaluate(name, cfg, params, gen, n_batches):
     # timed window (time_per_image must reflect eval only)
     batches = [gen(jax.random.fold_in(jax.random.PRNGKey(777), i))
                for i in range(n_batches)]
-    jax.block_until_ready(batches)
+    # fence via a value fetch — block_until_ready is a no-op on the axon
+    # platform (CLAUDE.md); fetching the LAST batch bounds all of them
+    # (device executes FIFO)
+    np.asarray(batches[-1][0])
     out = ev(params, batches[0][0], batches[0][1], jax.random.PRNGKey(0))
     np.asarray(out[0])  # warm/compile fence
     t0 = time.perf_counter()

@@ -10,7 +10,7 @@ TINY = dict(grd_h=32, grd_w=128, sat_size=64, N_iters=1, level=-1)
 
 def test_predict_ragged_uint8():
     cfg = Config(**TINY)
-    loc = Localizer(cfg, batch_size=2)
+    loc = Localizer(cfg, batch_size=2, random_init=True)
     rng = np.random.RandomState(0)
     n = 5  # ragged: 2 + 2 + 1(padded)
     sat = (rng.rand(n, 64, 64, 3) * 255).astype(np.uint8)
@@ -26,7 +26,7 @@ def test_predict_ragged_uint8():
 def test_padded_tail_matches_unpadded():
     """The padded tail batch must produce the same result for real rows."""
     cfg = Config(**TINY)
-    loc = Localizer(cfg, batch_size=4, seed=7)
+    loc = Localizer(cfg, batch_size=4, seed=7, random_init=True)
     rng = np.random.RandomState(1)
     sat = rng.rand(4, 64, 64, 3).astype(np.float32)
     grd = rng.rand(4, 32, 128, 3).astype(np.float32)
@@ -44,7 +44,7 @@ def test_mesh_sharded_predict_matches_single():
     from highlyaccurate_tpu.train.step import make_mesh_for_batch
 
     cfg = Config(**TINY)
-    loc1 = Localizer(cfg, batch_size=8, seed=3)
+    loc1 = Localizer(cfg, batch_size=8, seed=3, random_init=True)
     rng = np.random.RandomState(2)
     sat = rng.rand(8, 64, 64, 3).astype(np.float32)
     grd = rng.rand(8, 32, 128, 3).astype(np.float32)
@@ -56,3 +56,16 @@ def test_mesh_sharded_predict_matches_single():
     got = loc8.predict(sat, grd)
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-5)
+
+
+def test_requires_weight_source():
+    import pytest
+    with pytest.raises(ValueError, match="no weight source"):
+        Localizer(Config(**TINY))
+
+
+def test_empty_batch():
+    loc = Localizer(Config(**TINY), batch_size=2, random_init=True)
+    out = loc.predict(np.zeros((0, 64, 64, 3), np.float32),
+                      np.zeros((0, 32, 128, 3), np.float32))
+    assert out["lateral_m"].shape == (0,)
