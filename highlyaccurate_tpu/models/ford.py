@@ -293,6 +293,9 @@ class LMS2GPFord(nn.Module):
         shift_lons = t_arr[..., 1]
         thetas = t_arr[..., 2]
 
+        if mode == "trajectory":
+            # full [B, N_iters, L] trajectories (parity tests / visualization)
+            return shift_lats, shift_lons, thetas
         if mode != "train":
             return shift_lats[:, -1, -1], shift_lons[:, -1, -1], thetas[:, -1, -1]
 

@@ -219,6 +219,9 @@ class LMG2SP(nn.Module):
             t = jnp.stack(traj, axis=1).reshape(B, cfg.N_iters, n_levels, 3)
         shift_lats, shift_lons, thetas = t[..., 1], t[..., 0], t[..., 2]
 
+        if mode == "trajectory":
+            # full [B, N_iters, L] trajectories (parity tests / visualization)
+            return shift_lats, shift_lons, thetas
         if mode != "train":
             return shift_lats[:, -1, -1], shift_lons[:, -1, -1], thetas[:, -1, -1]
 

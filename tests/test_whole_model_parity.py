@@ -1,0 +1,354 @@
+"""WHOLE-MODEL numeric parity vs the reference's composed torch forwards.
+
+Round-2 VERDICT item 1: per-op parity (test_reference_parity.py) does not
+imply end-to-end agreement — the unrolled (N_iters x levels) solver
+amplifies per-op fp32 deltas.  These tests build each reference model in
+torch (torchvision stubbed, random weights), push its state_dict through the
+repo's .pth importer, run BOTH composed forwards on identical inputs at a
+reduced config, and compare the full [B, N_iters, L] pose trajectories and
+the train-mode loss.
+
+Reference forwards exercised:
+  * LM_S2GP.forward_iter_first   /root/reference/models_kitti.py:1141-1316
+  * LM_G2SP.forward              /root/reference/models_kitti.py:381-499
+  * LM_S2GP_Ford.forward_iters_level /root/reference/models_ford.py:652-866
+
+Reduced-config semantics: the repo treats (grd_h, grd_w)=(32, 128) as the
+original camera size with the fixed K rescaled FOV-preserving
+(models/lm_s2gp.py:_scaled_default_k).  The reference's own grd_img2cam
+applies the same net scaling when called as grd_img2cam(h, w, 256, 1024)
+(models_kitti.py:664-667: K_x * w/1024), so the reference models' ray
+pyramids are rebuilt through their OWN builders at the reduced ladder —
+no repo geometry leaks into the reference side.
+
+Trajectories are captured from the reference by wrapping the module-global
+``loss_func`` each model calls in train mode (positions 4-6 of the call are
+shift_lats/shift_lons/thetas [B, N_iters, L]).
+
+Tolerance: per-op deltas are ~1e-6; the LM solve contracts over few-thousand
+-element residuals and each round multiplies the delta by O(1)-O(10) (the
+PERF.md recall study documents the chaos amplification).  At the flagship's
+full 15-round depth (S2GP, N_iters=5 x 3 levels) and the 6-round G2SP/Ford
+configs the observed end-to-end drift stays below atol=1e-4; each assert
+prints the per-round max-|delta| breakdown on failure.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference model modules with a stubbed torchvision whose
+    vgg16 returns a deterministic random-init features stack."""
+    import os
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not mounted")
+
+    def _fake_vgg16(*args, **kwargs):
+        torch.manual_seed(0)
+        feats = tnn.Sequential(
+            tnn.Conv2d(3, 64, 3, padding=1), tnn.ReLU(),
+            tnn.Conv2d(64, 64, 3, padding=1), tnn.ReLU(),
+            tnn.MaxPool2d(2),
+            tnn.Conv2d(64, 128, 3, padding=1), tnn.ReLU(),
+            tnn.Conv2d(128, 128, 3, padding=1), tnn.ReLU(),
+            tnn.MaxPool2d(2),
+            tnn.Conv2d(128, 256, 3, padding=1), tnn.ReLU(),
+            tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU(),
+            tnn.Conv2d(256, 256, 3, padding=1),
+        )
+        return types.SimpleNamespace(features=feats)
+
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.transforms.functional", "torchvision.models"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    sys.modules["torchvision.transforms"].functional = \
+        sys.modules["torchvision.transforms.functional"]
+    sys.modules["torchvision.models"].vgg16 = _fake_vgg16
+    sys.modules["torchvision"].models.vgg16 = _fake_vgg16
+    sys.path.insert(0, REF)
+    try:
+        import models_kitti as ref_kitti
+        import models_ford as ref_ford
+    finally:
+        sys.path.remove(REF)
+    return types.SimpleNamespace(kitti=ref_kitti, ford=ref_ford)
+
+
+class _Args:
+    """Reference argparse surface at the reduced parity config."""
+    rotation_range = 10.0
+    shift_range_lat = 20.0
+    shift_range_lon = 20.0
+    level = 3
+    N_iters = 2
+    using_weight = 0
+    loss_method = 0
+    damping = 0.1
+    train_damping = 0
+    dropout = 0
+    use_hessian = 0
+    use_gt_depth = 0
+    estimate_depth = 0
+    proj = "geo"
+    Optimizer = "LM"
+    direction = "S2GP"
+    level_first = 0
+    visualize = False
+    coe_shift_lat = 100.0
+    coe_shift_lon = 100.0
+    coe_heading = 100.0
+    coe_L1 = 100.0
+    coe_L2 = 100.0
+    coe_L3 = 100.0
+    coe_L4 = 100.0
+    beta1 = 0.9
+    beta2 = 0.999
+
+
+GRD_H, GRD_W, SAT = 32, 128, 64
+
+
+def _randomize(module, seed, scale=0.05):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * scale)
+    return module
+
+
+def _reduced_rays(tnet):
+    """Rebuild the reference model's ray pyramid through its OWN grd_img2cam
+    at the reduced ladder (net K scaling identical to full-size: K_x*w/1024,
+    K_y*h/256 — models_kitti.py:664-667 / models_ford.py:112-137)."""
+    return [tnet.grd_img2cam(GRD_H // (2 ** (3 - lvl)),
+                             GRD_W // (2 ** (3 - lvl)), 256, 1024)
+            for lvl in range(4)]
+
+
+def _inputs(seed, batch=2):
+    rng = np.random.RandomState(seed)
+    sat = rng.rand(batch, SAT, SAT, 3).astype(np.float32)
+    grd = rng.rand(batch, GRD_H, GRD_W, 3).astype(np.float32)
+    gt = rng.uniform(-0.6, 0.6, (batch, 3)).astype(np.float32)
+    return sat, grd, gt
+
+
+def _nchw(x):
+    return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+
+def _capture_loss(monkeypatch, module):
+    """Wrap module.loss_func to record the trajectory args (positions 4-6)."""
+    captured = {}
+    orig = module.loss_func
+
+    def wrapper(*args, **kwargs):
+        captured["lats"] = args[4].detach().numpy()
+        captured["lons"] = args[5].detach().numpy()
+        captured["thetas"] = args[6].detach().numpy()
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(module, "loss_func", wrapper)
+    return captured
+
+
+def _save_sd(tnet, tmp_path, name):
+    path = tmp_path / name
+    torch.save(tnet.state_dict(), path)
+    return str(path)
+
+
+def _compare_traj(jax_traj, ref_traj, names=("lat", "lon", "theta"),
+                  atol=1e-4):
+    """Assert trajectory agreement; print a per-round breakdown on failure."""
+    ok = True
+    report = []
+    for name, j, r in zip(names, jax_traj, ref_traj):
+        j = np.asarray(j)
+        d = np.abs(j - r)  # [B, I, L]
+        per_round = d.max(axis=0).ravel()
+        report.append(f"{name}: per-round max|delta| = "
+                      + " ".join(f"{x:.2e}" for x in per_round))
+        if d.max() > atol:
+            ok = False
+    assert ok, ("whole-model trajectory divergence (atol %.0e):\n" % atol
+                + "\n".join(report))
+
+
+def test_s2gp_whole_model(ref, tmp_path, monkeypatch):
+    """Composed LM_S2GP forward (train loss + full trajectories + test pose)
+    vs the flax model on imported weights and identical inputs."""
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.config import Config
+    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+    from highlyaccurate_tpu.train.checkpoint import import_pth
+
+    args = _Args()
+    args.N_iters = 5  # the reference default: full 15-round (5x3) solver depth
+    tnet = ref.kitti.LM_S2GP(args)
+    tnet.xyz_grds = _reduced_rays(tnet)
+    _randomize(tnet, seed=11)
+    tnet.eval()
+
+    sat, grd, gt = _inputs(seed=12)
+    sat_t, grd_t = _nchw(sat), _nchw(grd)
+    gt_u = torch.from_numpy(gt[:, 0:1])
+    gt_v = torch.from_numpy(gt[:, 1:2])
+    gt_h = torch.from_numpy(gt[:, 2:3])
+
+    captured = _capture_loss(monkeypatch, ref.kitti)
+    t_out = tnet.forward_iter_first(sat_t, grd_t, gt_u, gt_v, gt_h,
+                                    mode="train")
+    t_loss = float(t_out[0])
+    t_lat_f, t_lon_f, t_th_f = tnet.forward_iter_first(
+        sat_t, grd_t, gt_u, gt_v, gt_h, mode="test")
+    # the reference's random re-init must not have fired (it would inject
+    # un-seeded torch randomness and void the comparison)
+    for k in ("lats", "lons"):
+        assert np.all(np.abs(captured[k]) < 2.5)
+
+    cfg = Config(grd_h=GRD_H, grd_w=GRD_W, sat_size=SAT, N_iters=5, level=3,
+                 use_banded_warp=0, dropout=0, damping=0.1)
+    params = import_pth(_save_sd(tnet, tmp_path, "s2gp.pth"), cfg)
+    model = LMS2GP(cfg=cfg)
+    rngs = {"lm": jax.random.PRNGKey(0)}
+
+    j_lats, j_lons, j_ths = model.apply(
+        {"params": params}, jnp.asarray(sat), jnp.asarray(grd),
+        mode="trajectory", rngs=rngs)
+    _compare_traj((j_lats, j_lons, j_ths),
+                  (captured["lats"], captured["lons"], captured["thetas"]))
+
+    diag = model.apply({"params": params}, jnp.asarray(sat), jnp.asarray(grd),
+                       jnp.asarray(gt), mode="train", rngs=rngs)
+    np.testing.assert_allclose(float(diag.loss), t_loss, rtol=1e-4)
+
+    j_lat, j_lon, j_th = model.apply(
+        {"params": params}, jnp.asarray(sat), jnp.asarray(grd), mode="test",
+        rngs=rngs)
+    np.testing.assert_allclose(np.asarray(j_lat), t_lat_f.detach().numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_lon), t_lon_f.detach().numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_th), t_th_f.detach().numpy(),
+                               atol=1e-4)
+
+
+def test_g2sp_whole_model(ref, tmp_path, monkeypatch):
+    """Composed LM_G2SP forward vs the flax model (imported weights)."""
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.config import Config
+    from highlyaccurate_tpu.geometry.kitti import DEFAULT_CAMERA_K
+    from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
+    from highlyaccurate_tpu.train.checkpoint import import_pth
+
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    args = _Args()
+    args.direction = "G2SP"
+    tnet = ref.kitti.LM_G2SP(args)
+    _randomize(tnet, seed=21)
+    tnet.eval()
+
+    sat, grd, gt = _inputs(seed=22)
+    B = sat.shape[0]
+    # K scaled to the network input size, as the KITTI loader provides it
+    # (reference KITTI_dataset.py:84-100 rescales the calib K to 256x1024);
+    # both sides then rescale by (feat size / input size) per level.
+    k = np.broadcast_to(DEFAULT_CAMERA_K, (B, 3, 3)).astype(np.float32).copy()
+    k[:, 0, :] *= GRD_W / 1024.0
+    k[:, 1, :] *= GRD_H / 256.0
+    sat_t, grd_t = _nchw(sat), _nchw(grd)
+    k_t = torch.from_numpy(k)
+    gt_u = torch.from_numpy(gt[:, 0:1])
+    gt_v = torch.from_numpy(gt[:, 1:2])
+    gt_h = torch.from_numpy(gt[:, 2:3])
+
+    captured = _capture_loss(monkeypatch, ref.kitti)
+    t_out = tnet(sat_t, grd_t, k_t, gt_u, gt_v, gt_h, mode="train")
+    t_loss = float(t_out[0])
+
+    cfg = Config(grd_h=GRD_H, grd_w=GRD_W, sat_size=SAT, N_iters=2, level=3,
+                 direction="G2SP", use_banded_warp=0, damping=0.1)
+    params = import_pth(_save_sd(tnet, tmp_path, "g2sp.pth"), cfg)
+    model = LMG2SP(cfg=cfg)
+
+    j_lats, j_lons, j_ths = model.apply(
+        {"params": params}, jnp.asarray(sat), jnp.asarray(grd),
+        jnp.asarray(k), mode="trajectory")
+    _compare_traj((j_lats, j_lons, j_ths),
+                  (captured["lats"], captured["lons"], captured["thetas"]))
+
+    diag = model.apply({"params": params}, jnp.asarray(sat), jnp.asarray(grd),
+                       jnp.asarray(k), jnp.asarray(gt), mode="train")
+    np.testing.assert_allclose(float(diag.loss), t_loss, rtol=1e-4)
+
+
+def test_ford_whole_model(ref, tmp_path, monkeypatch):
+    """Composed LM_S2GP_Ford forward_iters_level vs the flax model."""
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.config import Config
+    from highlyaccurate_tpu.geometry import ford as fgeom
+    from highlyaccurate_tpu.models.ford import LMS2GPFord
+    from highlyaccurate_tpu.train.checkpoint import import_pth
+
+    args = _Args()
+    tnet = ref.ford.LM_S2GP_Ford(args)
+    tnet.xyz_grds = _reduced_rays(tnet)
+    _randomize(tnet, seed=31)
+    tnet.eval()
+
+    sat, grd, gt = _inputs(seed=32)
+    B = sat.shape[0]
+    rng = np.random.RandomState(33)
+    qs = rng.randn(B, 4)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    R_FL = np.stack([fgeom.qvec2rotmat(q) for q in qs]).astype(np.float32)
+    T_FL = (rng.randn(B, 3) * 0.5).astype(np.float32)
+    side_m = SAT * 0.22  # meters_per_pixel 0.22 (Ford_dataset.py:88)
+
+    sat_t, grd_t = _nchw(sat), _nchw(grd)
+    gt_u = torch.from_numpy(gt[:, 0])
+    gt_v = torch.from_numpy(gt[:, 1])
+    gt_h = torch.from_numpy(gt[:, 2])
+
+    captured = _capture_loss(monkeypatch, ref.ford)
+    t_out = tnet.forward_iters_level(
+        sat_t, grd_t, side_m, torch.from_numpy(R_FL), torch.from_numpy(T_FL),
+        gt_u, gt_v, gt_h, mode="train")
+    t_loss = float(t_out[0])
+    for kname in ("lats", "lons"):
+        assert np.all(np.abs(captured[kname]) < 2.5)
+
+    cfg = Config(grd_h=GRD_H, grd_w=GRD_W, sat_size=SAT, N_iters=2, level=3,
+                 use_banded_warp=0, damping=0.1)
+    params = import_pth(_save_sd(tnet, tmp_path, "ford.pth"), cfg)
+    model = LMS2GPFord(cfg=cfg)
+    rngs = {"lm": jax.random.PRNGKey(0)}
+
+    j_lats, j_lons, j_ths = model.apply(
+        {"params": params}, jnp.asarray(sat), jnp.asarray(grd), side_m,
+        jnp.asarray(R_FL), jnp.asarray(T_FL), mode="trajectory", rngs=rngs)
+    _compare_traj((j_lats, j_lons, j_ths),
+                  (captured["lats"], captured["lons"], captured["thetas"]))
+
+    diag = model.apply(
+        {"params": params}, jnp.asarray(sat), jnp.asarray(grd), side_m,
+        jnp.asarray(R_FL), jnp.asarray(T_FL), jnp.asarray(gt), mode="train",
+        rngs=rngs)
+    np.testing.assert_allclose(float(diag.loss), t_loss, rtol=1e-4)
