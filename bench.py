@@ -143,6 +143,15 @@ def extra_metrics(cfg, batch, on_tpu):
     except Exception as e:  # pragma: no cover
         out["g2sp_eval_fps"] = f"error: {type(e).__name__}"
     try:
+        # reference-faithful eval path (mandatory for imported .pth
+        # checkpoints — PERF.md recall study); implicit-J contraction rides
+        # the gather sampler (round-3 VERDICT #2)
+        gather_cfg = dataclasses.replace(cfg, use_banded_warp=0)
+        out["gather_eval_fps"] = round(
+            _bench_eval_fps(LMS2GP, gather_cfg, batch, n), 2)
+    except Exception as e:  # pragma: no cover
+        out["gather_eval_fps"] = f"error: {type(e).__name__}"
+    try:
         mh_cfg = dataclasses.replace(cfg, pose_hypotheses=4)
         out["multihyp4_eval_fps"] = round(
             _bench_eval_fps(LMS2GP, mh_cfg, batch, n), 2)

@@ -134,24 +134,41 @@ def evaluate(model, cfg: Config, params, args, save_path: str, epoch: int,
     if side_m is None:
         side_m = ds.satmap_sidelength_meters
     if eval_step is None:
+        if mesh is None and jax.device_count() > 1:
+            mesh = step_lib.make_mesh()
         eval_step = step_lib.make_eval_step(model, cfg, mesh,
                                             ford_side_m=side_m)
+    if mesh is not None:
+        # params may live on a smaller training mesh — replicate onto the
+        # eval mesh so inference engages every chip
+        params = step_lib.replicate(mesh, jax.device_get(params))
+    padded_bs = step_lib.eval_batch_pad(cfg.batch_size, mesh)
 
-    pu, pv, pt, gts = [], [], [], []
-    t0 = time.time()
-    n_images = 0
-    for i, batch in enumerate(loader):
+    def run_batch(batch, i):
         n = batch["sat"].shape[0]
-        pad = cfg.batch_size - n  # pad ragged final batch (trimmed below)
+        pad = padded_bs - n  # pad ragged/mesh-short batches (trimmed below)
 
         def p(x):
             if pad > 0:
                 x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
             return jnp.asarray(x)
 
-        u, v, th = eval_step(params, p(batch["sat"]), p(batch["grd"]),
-                             p(batch["R_FL"]), p(batch["T_FL"]),
-                             jax.random.fold_in(jax.random.PRNGKey(2022), i))
+        return n, eval_step(params, p(batch["sat"]), p(batch["grd"]),
+                            p(batch["R_FL"]), p(batch["T_FL"]),
+                            jax.random.fold_in(jax.random.PRNGKey(2022), i))
+
+    # warm-up: compile + first dispatch outside the timing window
+    # (time_per_image must measure steady-state inference, not jit compile)
+    for batch in loader:
+        _, (u, _, _) = run_batch(batch, 0)
+        np.asarray(u)  # fence (device->host fetch; see CLAUDE.md)
+        break
+
+    pu, pv, pt, gts = [], [], [], []
+    t0 = time.time()
+    n_images = 0
+    for i, batch in enumerate(loader):
+        n, (u, v, th) = run_batch(batch, i)
         pu.append(np.asarray(u)[:n])
         pv.append(np.asarray(v)[:n])
         pt.append(np.asarray(th)[:n])
@@ -210,7 +227,11 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
     state = step_lib.replicate(mesh, state)
     train_step = step_lib.make_train_step(model, cfg, mesh, ford_side_m=side_m,
                                           freeze_backbones=freeze)
-    eval_step = step_lib.make_eval_step(model, cfg, mesh, ford_side_m=side_m)
+    # eval shards over ALL chips even when the train batch size keeps the
+    # train mesh smaller (eval pads batches to a device multiple)
+    eval_mesh = step_lib.make_mesh() if jax.device_count() > 1 else mesh
+    eval_step = step_lib.make_eval_step(model, cfg, eval_mesh,
+                                        ford_side_m=side_m)
 
     best_rank = 0.0
     for epoch in range(args.resume, cfg.epochs):
@@ -236,7 +257,7 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
                     jax.device_get(state.params))
         best_rank = max(best_rank, evaluate(model, cfg, state.params, args,
                                             save_path, epoch, best_rank,
-                                            eval_step, mesh, side_m))
+                                            eval_step, eval_mesh, side_m))
     print("Finished Training")
 
 

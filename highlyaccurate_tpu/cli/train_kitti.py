@@ -85,9 +85,12 @@ def parse_args(argv=None):
     p.add_argument("--remat", type=int, default=0,
                    help="checkpoint the solver scan body (memory vs compile "
                         "size tradeoff)")
-    p.add_argument("--use_banded_warp", type=int, default=1,
+    p.add_argument("--use_banded_warp", type=int, default=None,
                    help="Pallas banded sampler in S2GP eval (0 = exact "
-                        "gather-path numerics)")
+                        "gather-path numerics). Default 1, except when "
+                        "evaluating --import_pth checkpoints (0: reference "
+                        "weights were trained through the gather-equivalent "
+                        "sampler — see PERF.md recall study)")
     p.add_argument("--pose_hypotheses", type=int, default=1,
                    help="multi-start LM hypotheses at eval (new capability)")
     p.add_argument("--seed", type=int, default=2022)
@@ -135,9 +138,49 @@ def init_model(cfg: Config, model):
                        "lm": jax.random.PRNGKey(1)}, sat, grd, gt, mode="train")
 
 
+def _eval_visualize(model, cfg: Config, params, batch, epoch: int,
+                    split: str):
+    """Eval-time ``--visualize``: trajectory plot + per-level feature-PCA
+    RGBs for the first batch (the reference triggers these inside the *test*
+    forward too — models_kitti.py:1285-1293, :1464-1469)."""
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.utils import geo as _geo
+    from highlyaccurate_tpu.viz.visualize import (features_to_rgb,
+                                                  pose_trajectory_plot)
+    params_h = jax.device_get(params)
+    sat1 = jnp.asarray(batch["sat"][:1])
+    grd1 = jnp.asarray(batch["grd"][:1])
+    lats, lons, ths = model.apply(
+        {"params": params_h}, sat1, grd1, mode="trajectory",
+        rngs={"lm": jax.random.PRNGKey(0)})
+    save_dir = f"./visualize_rot{cfg.rotation_range}"
+    pose_trajectory_plot(
+        batch["sat"][0], np.asarray(lats), np.asarray(lons), np.asarray(ths),
+        batch["gt_pose"], _geo.get_meter_per_pixel(), cfg.shift_range_lat,
+        cfg.shift_range_lon, cfg.rotation_range,
+        os.path.join(save_dir, f"traj_{split}_{epoch}.png"))
+    pred = jnp.asarray(np.stack([np.asarray(lons)[:, -1, -1],
+                                 np.asarray(lats)[:, -1, -1],
+                                 np.asarray(ths)[:, -1, -1]], -1))
+    gt1 = jnp.asarray(batch["gt_pose"][:1])
+    per_level = model.apply({"params": params_h}, sat1, grd1, pred, gt1,
+                            method="project_at_pose")
+    for lvl, maps in enumerate(per_level):
+        features_to_rgb([np.asarray(m) for m in maps], save_dir,
+                        prefix=f"feat_{split}_e{epoch}_L{lvl}", loop=0)
+
+
 def evaluate(model, cfg: Config, params, args, split: str, save_path: str,
              epoch: int, best_rank: float, eval_step=None, mesh=None):
-    """Reference test1/test2 protocol (train_kitti.py:34-172)."""
+    """Reference test1/test2 protocol (train_kitti.py:34-172).
+
+    Inference shards over ALL available chips: when no mesh/step is passed
+    (the ``--test 1`` CLI path) a full-device mesh is built and every batch
+    is padded to a device multiple (pad rows are duplicates, trimmed from
+    the outputs).  One warm-up dispatch runs before the clock so
+    ``time_per_image`` excludes jit compilation (reference semantics:
+    train_kitti.py:74-75 measures steady-state inference)."""
     import jax
     import jax.numpy as jnp
     from highlyaccurate_tpu.train import step as step_lib
@@ -145,27 +188,42 @@ def evaluate(model, cfg: Config, params, args, split: str, save_path: str,
 
     loader = make_loaders(cfg, args, split)
     if eval_step is None:
+        if mesh is None and jax.device_count() > 1:
+            mesh = step_lib.make_mesh()
         eval_step = step_lib.make_eval_step(model, cfg, mesh)
+    if mesh is not None:
+        # params may live on a smaller training mesh — replicate onto the
+        # eval mesh so inference engages every chip
+        params = step_lib.replicate(mesh, jax.device_get(params))
+    padded_bs = step_lib.eval_batch_pad(cfg.batch_size, mesh)
+
+    def run_batch(batch, i):
+        n = batch["sat"].shape[0]
+        pad = padded_bs - n  # pad ragged/mesh-short batches (trimmed below)
+        def p(x):
+            if pad > 0:
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+            return jnp.asarray(x)
+        rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        if cfg.direction == "G2SP":
+            return n, eval_step(params, p(batch["sat"]), p(batch["grd"]),
+                                p(batch["camera_k"]), rng)
+        return n, eval_step(params, p(batch["sat"]), p(batch["grd"]), rng)
+
+    # warm-up: compile + first dispatch outside the timing window
+    for batch in loader:
+        _, (lat, _, _) = run_batch(batch, 0)
+        np.asarray(lat)  # fence (device->host fetch; see CLAUDE.md)
+        if cfg.visualize and cfg.direction == "S2GP":
+            _eval_visualize(model, cfg, params, batch, epoch, split)
+        break
 
     preds_lat, preds_lon, preds_th = [], [], []
     gts = []
     t0 = time.time()
     n_images = 0
     for i, batch in enumerate(loader):
-        n = batch["sat"].shape[0]
-        pad = cfg.batch_size - n  # pad ragged final batch (trimmed below)
-        def p(x):
-            if pad > 0:
-                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-            return jnp.asarray(x)
-        sat = p(batch["sat"])
-        grd = p(batch["grd"])
-        rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
-        if cfg.direction == "G2SP":
-            lat, lon, th = eval_step(params, sat, grd, p(batch["camera_k"]),
-                                     rng)
-        else:
-            lat, lon, th = eval_step(params, sat, grd, rng)
+        n, (lat, lon, th) = run_batch(batch, i)
         preds_lat.append(np.asarray(lat)[:n])
         preds_lon.append(np.asarray(lon)[:n])
         preds_th.append(np.asarray(th)[:n])
@@ -221,7 +279,10 @@ def train(model, cfg: Config, args, save_path: str):
     state = create_train_state(cfg, params)
     state = step_lib.replicate(mesh, state)
     train_step = step_lib.make_train_step(model, cfg, mesh)
-    eval_step = step_lib.make_eval_step(model, cfg, mesh)
+    # eval shards over ALL chips even when the train batch size keeps the
+    # train mesh smaller (eval pads batches to a device multiple)
+    eval_mesh = step_lib.make_mesh() if jax.device_count() > 1 else mesh
+    eval_step = step_lib.make_eval_step(model, cfg, eval_mesh)
 
     best_rank = 0.0
     for epoch in range(args.resume, cfg.epochs):
@@ -289,16 +350,27 @@ def train(model, cfg: Config, args, save_path: str):
         save_params(save_path, epoch_ckpt_name(epoch),
                     jax.device_get(state.params))
         cur = evaluate(model, cfg, state.params, args, "test1", save_path,
-                       epoch, best_rank, eval_step, mesh)
+                       epoch, best_rank, eval_step, eval_mesh)
         best_rank = max(best_rank, cur)
         evaluate(model, cfg, state.params, args, "test2", save_path, epoch,
-                 best_rank, eval_step, mesh)
+                 best_rank, eval_step, eval_mesh)
     print("Finished Training")
 
 
 def main(argv=None):
     args = parse_args(argv)
     np.random.seed(args.seed)
+    if args.use_banded_warp is None:
+        # faithful-path default for imported reference checkpoints: they were
+        # trained through torch's gather-equivalent sampler, and the PERF.md
+        # recall study shows cross-sampler-path eval costs recall.  An
+        # explicit --use_banded_warp always wins.
+        args.use_banded_warp = 0 if (args.test and args.import_pth) else 1
+        if args.test and args.import_pth:
+            print("note: --import_pth defaults to the reference-faithful "
+                  "gather sampler (--use_banded_warp 0); pass "
+                  "--use_banded_warp 1 to opt into the banded kernel "
+                  "(see PERF.md recall study)")
     cfg = config_from_args(args)
     save_path = cfg.save_path(args.save_root)
     os.makedirs(save_path, exist_ok=True)

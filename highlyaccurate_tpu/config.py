@@ -99,8 +99,12 @@ class Config:
     #   the banded kernel (fp32 weights/accumulation).  Halves the map's VMEM
     #   footprint, which lets the finest level ride DMA-free in VMEM instead
     #   of re-DMAing an 8MB window per ground row (the round-1 eval
-    #   bottleneck).  Ignored by the gather path; recall impact quantified in
-    #   PERF.md.  Implied when compute_dtype is bfloat16.
+    #   bottleneck).  NOTE: this applies to every banded sampler call — the
+    #   banded TRAINING path included (lm_s2gp.py / models/ford.py), so under
+    #   fp32 compute the training map is bf16-quantized too (loss-curve
+    #   impact measured nil, scripts/r2_bf16_train_check.py; recall impact
+    #   quantified in PERF.md).  Set 0 for strictly-fp32 banded training.
+    #   Ignored by the gather path; implied when compute_dtype is bfloat16.
     keep_optimizer_state: int = 0  # fix for the reference's per-epoch Adam reset
 
     @property

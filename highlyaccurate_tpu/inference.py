@@ -59,7 +59,25 @@ class Localizer:
                 # (and no solver compile) needed
                 from highlyaccurate_tpu.train.checkpoint import import_pth
                 params = import_pth(pth_path, cfg)
-            else:
+            elif save_path is not None:
+                # orbax restore template via abstract init: eval_shape only
+                # traces — the multi-round LM solver is never compiled or
+                # executed just to obtain the params pytree
+                def _init(s, g):
+                    return self.model.init(
+                        {"params": jax.random.PRNGKey(0),
+                         "lm": jax.random.PRNGKey(1)},
+                        s, g, jnp.zeros((1, 3)), mode="train")
+                variables = jax.eval_shape(
+                    _init,
+                    jax.ShapeDtypeStruct((1, cfg.sat_size, cfg.sat_size, 3),
+                                         jnp.float32),
+                    jax.ShapeDtypeStruct((1, cfg.grd_h, cfg.grd_w, 3),
+                                         jnp.float32))
+                from highlyaccurate_tpu.train.checkpoint import load_params
+                params = load_params(save_path, ckpt_name,
+                                     variables["params"])
+            else:  # random_init
                 rng = np.random.RandomState(0)
                 sat = jnp.asarray(rng.rand(1, cfg.sat_size, cfg.sat_size, 3)
                                   .astype(np.float32))
@@ -70,9 +88,6 @@ class Localizer:
                      "lm": jax.random.PRNGKey(1)},
                     sat, grd, jnp.zeros((1, 3)), mode="train")
                 params = variables["params"]
-                if save_path is not None:
-                    from highlyaccurate_tpu.train.checkpoint import load_params
-                    params = load_params(save_path, ckpt_name, params)
         self.params = params
         if mesh is not None:
             self.params = step_lib.replicate(mesh, self.params)

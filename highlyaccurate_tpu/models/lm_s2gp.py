@@ -38,11 +38,13 @@ from highlyaccurate_tpu.geometry import kitti as geom
 from highlyaccurate_tpu.losses.losses import LossDiagnostics, loss_func
 from highlyaccurate_tpu.models.nnrefine import NNrefine
 from highlyaccurate_tpu.models.vggunet import VGGUnet
-from highlyaccurate_tpu.ops.grid_sample import grid_sample
+from highlyaccurate_tpu.ops.grid_sample import grid_sample, grid_sample_derivs
 from highlyaccurate_tpu.solver.updates import (LMConfig, adam_update,
                                                lm_update,
                                                lm_update_from_moments,
-                                               lm_update_implicit, sgd_update)
+                                               lm_update_implicit,
+                                               lm_update_implicit_pixel_norm,
+                                               sgd_update)
 from highlyaccurate_tpu.utils import geo
 
 # cache of compiled banded samplers keyed by static shape
@@ -134,6 +136,43 @@ class LMS2GP(nn.Module):
             geo.get_meter_per_pixel() * (2 ** (3 - s)) for s in range(4))
 
     # -- geometry + sampling for one level ---------------------------------
+    def _level_rays(self, slot: int, gt_depth, row_start: int):
+        """Ground-plane points + validity mask for one pyramid slot
+        (reference models_kitti.py:741-755: precomputed rays, or the
+        gt-depth lift).  Returns (xyz [H', W, 3] or [B, H', W, 3],
+        mask [1|B, H', W])."""
+        cfg = self.cfg
+        if cfg.use_gt_depth and gt_depth is not None:
+            h, w = _level_hw(cfg, slot)
+            xyz_w = jnp.asarray(self._rays[slot][2])  # [H, W, 3]
+            depth = jax.image.resize(gt_depth[..., None],
+                                     (gt_depth.shape[0], h, w, 1),
+                                     method="linear")
+            xyz = xyz_w[None] * depth
+            mask2d = jax.image.resize(
+                (gt_depth != -1).astype(jnp.float32)[..., None],
+                (gt_depth.shape[0], h, w, 1), method="nearest")[..., 0]
+            if row_start:
+                xyz = xyz[:, row_start:]
+                mask2d = mask2d[:, row_start:]
+            return xyz, mask2d
+        return (jnp.asarray(self._rays[slot][0][row_start:]),
+                jnp.asarray(self._rays[slot][1][row_start:])[None])
+
+    def _project_derivs(self, sat_feat, pose, slot: int, row_start: int,
+                        gt_depth=None):
+        """Gather-path implicit-J pieces: sampled value + screen derivatives
+        + per-pixel duv (the [B,H,W,C,3] Jacobian is never materialized —
+        ``lm_update_implicit_pixel_norm`` contracts H/g from these).
+        Returns (out, dx, dy, mask2d, duv)."""
+        cfg = self.cfg
+        A = sat_feat.shape[1]
+        xyz, mask2d = self._level_rays(slot, gt_depth, row_start)
+        uv, duv = geom.s2gp_uv_jac(pose, xyz, A, cfg.rotation_range,
+                                   cfg.shift_range_lat, cfg.shift_range_lon)
+        out, dx, dy = grid_sample_derivs(sat_feat, uv)
+        return out, dx, dy, mask2d, duv
+
     def _project(self, sat_feat, sat_conf, pose, slot: int, with_jac: bool,
                  gt_depth=None, row_start: int = 0):
         """Project satellite features into the ground view at ``pose``.
@@ -146,20 +185,7 @@ class LMS2GP(nn.Module):
         """
         cfg = self.cfg
         A = sat_feat.shape[1]
-        if cfg.use_gt_depth and gt_depth is not None:
-            h, w = _level_hw(cfg, slot)
-            xyz_w = jnp.asarray(self._rays[slot][2])  # [H, W, 3]
-            depth = jax.image.resize(gt_depth[..., None], (gt_depth.shape[0], h, w, 1),
-                                     method="linear")
-            xyz = xyz_w[None] * depth
-            mask2d = jax.image.resize((gt_depth != -1).astype(jnp.float32)[..., None],
-                                      (gt_depth.shape[0], h, w, 1), method="nearest")[..., 0]
-            if row_start:
-                xyz = xyz[:, row_start:]
-                mask2d = mask2d[:, row_start:]
-        else:
-            xyz = jnp.asarray(self._rays[slot][0][row_start:])  # [H', W, 3]
-            mask2d = jnp.asarray(self._rays[slot][1][row_start:])[None]
+        xyz, mask2d = self._level_rays(slot, gt_depth, row_start)
 
         if with_jac:
             uv, duv = geom.s2gp_uv_jac(pose, xyz, A, cfg.rotation_range,
@@ -320,6 +346,27 @@ class LMS2GP(nn.Module):
                 sat_feat, pose, slot, row_start, with_jac=True, implicit=True)
             new_pose = lm_update_implicit(
                 pose, out, dxs, dys, grd_feat[:, row_start:], m2, P0, dP,
+                self.damping, lm_cfg, key)
+            return new_pose, adam_state, None
+        if (not use_banded and cfg.Optimizer == "LM" and cfg.use_implicit_lm
+                and not need_conf and not collect):
+            # gather-path implicit-J fast path (round-2 VERDICT #2): same
+            # per-pixel moment contraction as the banded implicit path, fed
+            # by the gather sampler's (out, dx, dy) + the per-pixel duv —
+            # works for geo/polar/gt-depth alike
+            lm_cfg = LMConfig(
+                active_dims=cfg.active_pose_dims,
+                using_weight=False,
+                train_damping=bool(cfg.train_damping),
+                damping=cfg.damping,
+                use_hessian=bool(cfg.use_hessian),
+                dropout=cfg.dropout,
+                normalize=True,
+            )
+            out, dxs, dys, m2, duv = self._project_derivs(
+                sat_feat, pose, slot, row_start, gt_depth=gt_depth)
+            new_pose = lm_update_implicit_pixel_norm(
+                pose, out, dxs, dys, grd_feat[:, row_start:], m2, duv,
                 self.damping, lm_cfg, key)
             return new_pose, adam_state, None
         if use_banded:

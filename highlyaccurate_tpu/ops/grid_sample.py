@@ -72,18 +72,8 @@ def _gather_corners(image, ix, iy):
     return (nw_val, ne_val, sw_val, se_val), (cx_nw, cy_nw, cx_se, cy_se)
 
 
-def grid_sample(image, uv, duv_dpose=None):
-    """Bilinear sample ``image`` at ``uv``; optionally chain a pose Jacobian.
-
-    Args:
-      image: [B, IH, IW, C].
-      uv:    [B, H, W, 2] pixel coords (u = x in [0, IW], v = y in [0, IH]).
-      duv_dpose: optional [B, H, W, 2, P] Jacobian of uv w.r.t. P pose DoFs.
-
-    Returns:
-      out: [B, H, W, C]
-      jac: [B, H, W, C, P] = d(out)/d(pose), or None.
-    """
+def _sample_parts(image, uv):
+    """Shared bilinear core: out + the pieces for the uv-derivatives."""
     IH, IW = image.shape[1:3]
     ix = uv[..., 0]
     iy = uv[..., 1]
@@ -102,15 +92,22 @@ def grid_sample(image, uv, duv_dpose=None):
 
     out = (nw_val * nw[..., None] + ne_val * ne[..., None]
            + sw_val * sw[..., None] + se_val * se[..., None])
+    corners = (nw_val, ne_val, sw_val, se_val)
+    coords = (ix, iy, cx_nw, cy_nw, cx_se, cy_se, maskf)
+    return out, corners, coords
 
-    if duv_dpose is None:
-        return out, None
 
-    # d(out)/d(u), d(out)/d(v) from corner values (reference jacobian.py:190-194).
-    # dup factors: the reference clamps each corner separately, so at an exact
-    # boundary coordinate both x (or y) corners collapse to the same texel and
-    # the cross-derivative vanishes; the block fetch reads distinct texels, so
-    # (cx_se-cx_nw) / (cy_se-cy_nw) (1 interior, 0 collapsed) restores parity.
+def _screen_derivs(corners, coords):
+    """d(out)/d(u), d(out)/d(v) from corner values (reference
+    jacobian.py:190-194).
+
+    dup factors: the reference clamps each corner separately, so at an exact
+    boundary coordinate both x (or y) corners collapse to the same texel and
+    the cross-derivative vanishes; the block fetch reads distinct texels, so
+    (cx_se-cx_nw) / (cy_se-cy_nw) (1 interior, 0 collapsed) restores parity.
+    """
+    nw_val, ne_val, sw_val, se_val = corners
+    ix, iy, cx_nw, cy_nw, cx_se, cy_se, maskf = coords
     dup_x = (cx_se - cx_nw)
     dup_y = (cy_se - cy_nw)
     dout_du = (nw_val * (-(cy_se - iy) * maskf)[..., None]
@@ -121,8 +118,44 @@ def grid_sample(image, uv, duv_dpose=None):
                + ne_val * (-(ix - cx_nw) * maskf)[..., None]
                + sw_val * ((cx_se - ix) * maskf)[..., None]
                + se_val * ((ix - cx_nw) * maskf)[..., None]) * dup_y[..., None]
+    return dout_du, dout_dv
 
+
+def grid_sample(image, uv, duv_dpose=None):
+    """Bilinear sample ``image`` at ``uv``; optionally chain a pose Jacobian.
+
+    Args:
+      image: [B, IH, IW, C].
+      uv:    [B, H, W, 2] pixel coords (u = x in [0, IW], v = y in [0, IH]).
+      duv_dpose: optional [B, H, W, 2, P] Jacobian of uv w.r.t. P pose DoFs.
+
+    Returns:
+      out: [B, H, W, C]
+      jac: [B, H, W, C, P] = d(out)/d(pose), or None.
+    """
+    out, corners, coords = _sample_parts(image, uv)
+    if duv_dpose is None:
+        return out, None
+    dout_du, dout_dv = _screen_derivs(corners, coords)
     dout_duv = jnp.stack([dout_du, dout_dv], axis=-1)  # [B, H, W, C, 2]
     jac = jnp.einsum("bhwcu,bhwup->bhwcp", dout_duv,
                      duv_dpose.astype(dout_duv.dtype))
     return out, jac
+
+
+def grid_sample_derivs(image, uv):
+    """Bilinear sample + screen-space derivatives, NO pose-Jacobian chain.
+
+    Feeds the implicit-J LM updates (solver/updates.py): H and g contract
+    from (out, dout/du, dout/dv) and the analytic duv/dpose without ever
+    materializing the [B, H, W, C, P] feature Jacobian in HBM — the
+    gather-path analogue of the banded kernel's implicit fast path
+    (round-2 VERDICT next-step #2).
+
+    Returns (out, dout_du, dout_dv), each [B, H, W, C].  Identical numerics
+    to the pieces ``grid_sample`` chains (same corner gathers, clamped-corner
+    weights, dup factors, in-bounds masking).
+    """
+    out, corners, coords = _sample_parts(image, uv)
+    dout_du, dout_dv = _screen_derivs(corners, coords)
+    return out, dout_du, dout_dv

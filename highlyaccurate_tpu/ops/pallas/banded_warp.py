@@ -588,7 +588,18 @@ def _bwd_col_blocks(A: int, C: int, cfirst: bool,
     n = 1
     while A * (A // n) * C * 4 > target and (A // n) > (128 if cfirst else 8):
         n *= 2
-    return A // n
+    cb = A // n
+    # non-power-of-two A large enough to trigger halving can land on a CB
+    # that is neither alignment-divisible nor equal to A — a Mosaic-invalid
+    # output block tiling.  Fail with a clear message instead (production A
+    # values 64-512 never hit this).
+    align = 128 if cfirst else 8
+    if cb != A and cb % align != 0:
+        raise ValueError(
+            f"banded backward: column block {cb} for A={A}, C={C} is not "
+            f"{align}-aligned; choose a map side A that is a multiple of "
+            f"{align} times a power of two")
+    return cb
 
 
 def _raw_backward(A: int, C: int, V: int, W: int, cfirst: bool,

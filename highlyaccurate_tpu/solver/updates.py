@@ -362,6 +362,80 @@ def lm_update_from_moments(pose, M, P0, dP, damping_param, cfg: LMConfig,
     return _solve_and_reinit(pose, hess, g, damping_param, cfg, reinit_key)
 
 
+def lm_update_implicit_pixel_norm(pose, out, dx, dy, grd_feat, m2d, duv,
+                                  damping_param, cfg: LMConfig,
+                                  key: Optional[jax.Array] = None):
+    """S2GP LM update from per-pixel implicit Jacobians (gather path).
+
+    Mathematically identical to ``lm_update`` on the materialized Jacobian
+    ``jac = dx*duv_u + dy*duv_v`` — H and g contract through per-pixel
+    channel moments, so the [B,H,W,C,3] array never exists in HBM.  This is
+    the gather-sampler analogue of ``lm_update_implicit`` (whose duv is
+    row-affine); here duv is fully per-pixel, which also serves the polar /
+    gt-depth projections.  Full S2GP semantics: whole-map feature
+    normalization with 1e-6 floors, ray-mask, pixel dropout, Hessian-diag
+    damping, out-of-range re-init (reference models_kitti.py:939-1041).
+
+    Args:
+      out, dx, dy: sampled value + screen derivatives [B, H, W, C]
+        (in-bounds masking already inside, ops/grid_sample.py).
+      grd_feat: target features [B, H, W, C] (unmasked).
+      m2d: ray-validity mask [1|B, H, W].
+      duv: [B, H, W, 2, 3] per-pixel d(uv)/d(pose).
+    """
+    assert not cfg.using_weight, "implicit path never carries conf weights"
+    assert cfg.normalize, "implicit path implements the S2GP normalized LM"
+    B, H, W, C = out.shape
+    f32 = jnp.float32
+    out = out.astype(f32)
+    dx = dx.astype(f32)
+    dy = dy.astype(f32)
+    grd = grd_feat.astype(f32)
+
+    dropout_key = reinit_key = None
+    if key is not None:
+        dropout_key, reinit_key = jax.random.split(key)
+    m = jnp.broadcast_to(m2d.astype(f32), (m2d.shape[0], H, W))
+    if cfg.dropout > 0 and dropout_key is not None:
+        hw = H * W
+        perm = jax.random.permutation(dropout_key, hw)[: hw // 2]
+        dmask = jnp.zeros((hw,), f32).at[perm].set(1.0).reshape(H, W)
+        m = m * dmask[None]
+
+    # per-pixel channel contractions [B, H, W]
+    ss = jnp.sum(out * out, -1) * m
+    gg = jnp.sum(grd * grd, -1) * m
+    sxx = jnp.sum(dx * dx, -1) * m
+    sxy = jnp.sum(dx * dy, -1) * m
+    syy = jnp.sum(dy * dy, -1) * m
+    dxs = jnp.sum(dx * out, -1) * m
+    dys = jnp.sum(dy * out, -1) * m
+    dxg = jnp.sum(dx * grd, -1) * m
+    dyg = jnp.sum(dy * grd, -1) * m
+
+    ns = jnp.sqrt(jnp.maximum(jnp.sum(ss, (1, 2)), 1e-12))  # [B]
+    ng = jnp.sqrt(jnp.maximum(jnp.sum(gg, (1, 2)), 1e-12))
+
+    Du = duv[..., 0, :].astype(f32)   # [B, H, W, 3]
+    Dv = duv[..., 1, :].astype(f32)
+    hess = (jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Du, sxx)
+            + jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Dv, sxy)
+            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Du, sxy)
+            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Dv, syy)
+            ) / (ns * ns)[:, None, None]
+
+    # g = J^T r with r = s/ns - g/ng
+    qx = dxs / (ns[:, None, None] ** 2) - dxg / (ns * ng)[:, None, None]
+    qy = dys / (ns[:, None, None] ** 2) - dyg / (ns * ng)[:, None, None]
+    g_full = (jnp.einsum("bhwp,bhw->bp", Du, qx)
+              + jnp.einsum("bhwp,bhw->bp", Dv, qy))
+
+    act = jnp.array(cfg.active_dims)
+    hess = hess[:, act[:, None], act[None, :]]
+    g = g_full[:, act]
+    return _solve_and_reinit(pose, hess, g, damping_param, cfg, reinit_key)
+
+
 def lm_update_implicit_pixel(pose, out, dx, dy, target, duv, damping_param,
                              cfg: LMConfig):
     """G2SP LM update from per-pixel moments — the [B,H,W,C,3] Jacobian is

@@ -40,9 +40,13 @@ def save_params(save_path: str, name: str, params: Any) -> str:
 
 
 def load_params(save_path: str, name: str, like: Any) -> Any:
+    """Restore params shaped like ``like`` — concrete arrays or abstract
+    ``jax.ShapeDtypeStruct`` leaves (e.g. from ``jax.eval_shape`` over
+    ``model.init``, which avoids compiling the model just for a template)."""
     path = os.path.abspath(os.path.join(save_path, name))
     ckpt = _checkpointer()
-    like = jax.tree_util.tree_map(np.asarray, jax.device_get(like))
+    conv = lambda x: x if isinstance(x, jax.ShapeDtypeStruct) else np.asarray(x)
+    like = jax.tree_util.tree_map(conv, jax.device_get(like))
     return ckpt.restore(path, like)
 
 

@@ -78,3 +78,84 @@ def test_vendored_split_files_parse():
     name, sx, sy, th = ds.lines[0].split(" ")
     assert name.endswith(".png")
     float(sx), float(sy), float(th)
+
+
+FORD_FL_BODY_YAML = """\
+header:
+  seq: 0
+  stamp:
+    secs: 0
+    nsecs: 0
+  frame_id: "body"
+child_frame_id: "cameraFrontLeft"
+transform:
+  translation:
+    x: 1.470563
+    y: 0.405664
+    z: 1.243369
+  rotation:
+    x: -0.486630591
+    y: 0.507791308
+    z: -0.509084328
+    w: 0.496157034
+"""
+
+FORD_FL_INTRINSICS_YAML = """\
+header:
+  seq: 0
+  stamp:
+    secs: 0
+    nsecs: 0
+  frame_id: "cameraFrontLeft"
+height: 860
+width: 1656
+distortion_model: "plumb_bob"
+D: [-0.04849669, 0.01126224, 0.00086211, -0.00009653, 0.0]
+K: [945.391406, 0.0, 855.502825, 0.0, 945.668274, 566.372868, 0.0, 0.0, 1.0]
+R: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+P: [945.391406, 0.0, 855.502825, 0.0, 0.0, 945.668274, 566.372868, 0.0, 0.0, 0.0, 1.0, 0.0]
+binning_x: 0
+binning_y: 0
+roi:
+  x_offset: 0
+  y_offset: 0
+  height: 0
+  width: 0
+  do_rectify: False
+"""
+
+
+def test_ford_load_calibration_real_schema(tmp_path):
+    """`load_calibration` against fixture YAMLs in the actual Ford-AV
+    calibration schema (ROS TransformStamped / CameraInfo dumps — the
+    field names and nesting the reference parses at
+    Ford_dataset.py:118-145).  Round-2 VERDICT missing #3."""
+    import os
+    from highlyaccurate_tpu.data.ford import POSE_FILE_DIR, load_calibration
+    from highlyaccurate_tpu.geometry.ford import qvec2rotmat
+
+    cal_dir = tmp_path / POSE_FILE_DIR
+    os.makedirs(cal_dir, exist_ok=True)
+    (cal_dir / "cameraFrontLeft_body.yaml").write_text(FORD_FL_BODY_YAML)
+    (cal_dir / "cameraFrontLeftIntrinsics.yaml").write_text(
+        FORD_FL_INTRINSICS_YAML)
+
+    R_FL, T_FL, K_FL = load_calibration(str(tmp_path))
+
+    np.testing.assert_allclose(
+        T_FL, [1.470563, 0.405664, 1.243369], rtol=1e-6)
+    # reference order: qvec2rotmat([qw, qx, qy, qz]) (Ford_dataset.py:121-129)
+    expect_R = qvec2rotmat(
+        [0.496157034, -0.486630591, 0.507791308,
+         -0.509084328]).astype(np.float32)
+    np.testing.assert_allclose(R_FL, expect_R, atol=1e-6)
+    assert np.allclose(R_FL @ R_FL.T, np.eye(3), atol=1e-5)
+    # K rescaled from the 1656x860 sensor to the 1024x256 network input
+    # (Ford_dataset.py:138-146)
+    np.testing.assert_allclose(
+        K_FL[0], np.array([945.391406, 0.0, 855.502825]) / 1656 * 1024,
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        K_FL[1], np.array([0.0, 945.668274, 566.372868]) / 860 * 256,
+        rtol=1e-6)
+    np.testing.assert_allclose(K_FL[2], [0.0, 0.0, 1.0])

@@ -223,3 +223,68 @@ def test_grad_parity_end_to_end():
     for a, b in zip(flat_i, flat_m):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("overrides", [
+    {}, {"use_hessian": True}, {"active_dims": (0, 1)},
+    {"train_damping": True},
+])
+def test_pixel_norm_update_parity(overrides):
+    """lm_update_implicit_pixel_norm (gather-path implicit) vs lm_update on
+    the materialized per-pixel Jacobian jac = dx*duv_u + dy*duv_v."""
+    from highlyaccurate_tpu.ops.grid_sample import (grid_sample,
+                                                    grid_sample_derivs)
+    from highlyaccurate_tpu.solver.updates import \
+        lm_update_implicit_pixel_norm
+
+    rng = np.random.RandomState(3)
+    Bp, H, Wp, Cp, IA = 2, 6, 12, 8, 32
+    sat = jnp.asarray(rng.rand(Bp, IA, IA, Cp).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(-2, IA + 1, (Bp, H, Wp, 2))
+                     .astype(np.float32))
+    duv = jnp.asarray(rng.randn(Bp, H, Wp, 2, 3).astype(np.float32))
+    grd = jnp.asarray(rng.rand(Bp, H, Wp, Cp).astype(np.float32))
+    m2d = jnp.asarray((rng.rand(1, H, Wp) > 0.2).astype(np.float32))
+    pose = jnp.asarray(rng.uniform(-0.3, 0.3, (Bp, 3)).astype(np.float32))
+    damping = jnp.asarray(rng.rand(1, 3).astype(np.float32))
+
+    cfg = LMConfig(normalize=True, reinit=False, **overrides)
+
+    # materialized reference: mask applied to feat/jac/grd as _project does
+    feat, jac = grid_sample(sat, uv, duv)
+    feat = feat * m2d[..., None]
+    jac = jac * m2d[..., None, None]
+    conf = jnp.zeros_like(feat[..., :1])
+    ref = lm_update(pose, feat, conf, grd * m2d[..., None], conf, jac,
+                    damping, cfg, None)
+
+    out, dx, dy = grid_sample_derivs(sat, uv)
+    new = lm_update_implicit_pixel_norm(pose, out, dx, dy, grd, m2d, duv,
+                                        damping, cfg, None)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_gather_implicit_forward_matches_materialized():
+    """S2GP gather eval with use_implicit_lm on vs off: identical solver math
+    (up to fp32 reduction order) through the full forward."""
+    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+
+    rng = np.random.RandomState(4)
+    sat = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    grd = jnp.asarray(rng.rand(2, 32, 128, 3).astype(np.float32))
+    base = dict(grd_h=32, grd_w=128, sat_size=64, N_iters=2, level=3,
+                use_banded_warp=0)
+    poses = []
+    for impl in (0, 1):
+        cfg = Config(**base, use_implicit_lm=impl)
+        model = LMS2GP(cfg=cfg)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "lm": jax.random.PRNGKey(1)},
+                               sat, grd, jnp.zeros((2, 3)), mode="train")
+        lat, lon, th = model.apply(
+            {"params": variables["params"]}, sat, grd, mode="test",
+            rngs={"lm": jax.random.PRNGKey(2)})
+        poses.append(np.stack([np.asarray(lat), np.asarray(lon),
+                               np.asarray(th)], -1))
+    np.testing.assert_allclose(poses[0], poses[1], atol=5e-4)
