@@ -801,7 +801,7 @@ def pack_row_coefs(uv0, uv1, A: int, RB: int, W: int):
 # ground map fits VMEM at bf16).
 # ---------------------------------------------------------------------------
 
-_NCOEF_PL = 16  # nx0 dnx ny0 dny d0 dd slope oy nck xref yref pad...
+_NCOEF_PL = 16  # nx0 dnx ny0 dny d0 dd slope oy nck xref yref xlo xhi pad...
 
 
 def _cread_pl(coef_ref, b, v, i: int):
@@ -875,6 +875,126 @@ def _kernel_projline_fullmap(coef_ref, map_ref, out_ref, dx_ref, dy_ref, *,
                      RB=RB, W=W, A=AX, C=C, cfirst=cfirst, n_chunks=nck)
 
 
+def _kernel_projline_blocked(coef_ref, map_ref, out_ref, dx_ref, dy_ref, *,
+                             W: int, AY: int, AX: int, C: int, CBW: int,
+                             cfirst: bool):
+    """Column-blocked projective-line forward (round-3 VERDICT #3).
+
+    The full-map kernel scans the whole map width (and the row's full
+    y-range) per sheared row; on the real G2SP geometry the in-bounds
+    segment of a line touches only a few column blocks, and within one
+    CBW-column block the line's y-extent is at most |slope|*CBW + 4 rows —
+    far less than the row's total.  Processing the map in static CBW-column
+    blocks with a per-block dynamic chunk scan (and skipping blocks outside
+    the row's x-extent via pl.when) cuts the VPU select-scan work ~9-32x at
+    the production levels (PERF.md round-3 measurement).
+    """
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+    nx0 = _cread_pl(coef_ref, b, v, 0)
+    dnx = _cread_pl(coef_ref, b, v, 1)
+    ny0 = _cread_pl(coef_ref, b, v, 2)
+    dny = _cread_pl(coef_ref, b, v, 3)
+    d0 = _cread_pl(coef_ref, b, v, 4)
+    dd = _cread_pl(coef_ref, b, v, 5)
+    slope = _cread_pl(coef_ref, b, v, 6)
+    xref = _cread_pl(coef_ref, b, v, 9)
+    yref = _cread_pl(coef_ref, b, v, 10)
+    xlo = _cread_pl(coef_ref, b, v, 11)
+    xhi = _cread_pl(coef_ref, b, v, 12)
+
+    # per-sample coordinates (shared by every block)
+    u = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0].astype(jnp.float32)
+    den = d0 + dd * u
+    infront = den > 1e-6
+    deni = 1.0 / jnp.where(infront, den, 1.0)
+    x = (nx0 + dnx * u) * deni
+    y = (ny0 + dny * u) * deni
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    mask = ((x >= 0) & (x <= AX - 1) & (y >= 0) & (y <= AY - 1) & infront)
+    quirk = ((x0f < AX - 1) & (y0f < AY - 1)).astype(jnp.float32)
+    m = mask.astype(jnp.float32) * quirk
+    x0b = x0f[:, None]
+
+    out_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+    dx_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+    dy_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+
+    max_ck = AY // _SHEAR_CHUNK
+    for jb in range(AX // CBW):
+        col0 = jb * CBW
+        # columns j in [col0, col0+CBW) are hit by samples with
+        # x0f in [col0-1, col0+CBW-1] -> x in [col0-1, col0+CBW)
+        xa = jnp.maximum(jnp.float32(col0 - 1), xlo - 1.0)
+        xb_ = jnp.minimum(jnp.float32(col0 + CBW), xhi + 1.0)
+        blk_hit = xb_ >= xa
+        # y-window of the line segment over this block's x-range (the image
+        # line is y = yref + (x - xref)*slope exactly)
+        ya = yref + (xa - xref) * slope
+        yb = yref + (xb_ - xref) * slope
+        ymin_b = jnp.minimum(ya, yb)
+        ymax_b = jnp.clip(jnp.maximum(ya, yb), 0.0, AY - 1.0)
+        # chunk-aligned window start; bound trips so reads stay in the map
+        oy_i = jnp.clip(((jnp.floor(ymin_b) - 1.0).astype(jnp.int32)
+                         // _SHEAR_CHUNK) * _SHEAR_CHUNK,
+                        0, AY - _SHEAR_CHUNK)
+        avail = (AY - oy_i) // _SHEAR_CHUNK
+        nck_b = jnp.ceil((ymax_b + 4.0 - oy_i.astype(jnp.float32))
+                         / _SHEAR_CHUNK).astype(jnp.int32)
+        nck_b = jnp.clip(nck_b, 1, max_ck)
+        nck_b = jnp.minimum(nck_b, avail)
+
+        @pl.when(blk_hit)
+        def _block(col0=col0, oy_i=oy_i, nck_b=nck_b):
+            j = (jax.lax.broadcasted_iota(jnp.int32, (W, CBW), 1)
+                 .astype(jnp.float32) + jnp.float32(col0))
+            hit0 = (j == x0b).astype(jnp.float32)
+            hit1 = (j == (x0b + 1.0)).astype(jnp.float32)
+            mb = m[:, None]
+            wx = ((1.0 - fx)[:, None] * hit0 + fx[:, None] * hit1) * mb
+            dwx = (hit1 - hit0) * mb
+            jcols = j[:1]
+            yj = yref + (jcols - xref) * slope
+            sj = jnp.floor(yj)
+            rel = y0f[:, None] - sj + 1.0
+            oy_f = oy_i.astype(jnp.float32)
+
+            if cfirst:
+                def read_chunk(base):
+                    return map_ref[0, pl.ds(oy_i + base, _SHEAR_CHUNK), :,
+                                   col0:col0 + CBW]
+            else:
+                def read_chunk(base):
+                    return map_ref[0, pl.ds(oy_i + base, _SHEAR_CHUNK),
+                                   col0:col0 + CBW]
+
+            acc_o = jnp.zeros((W, C), jnp.float32)
+            acc_dx = jnp.zeros((W, C), jnp.float32)
+            acc_dy = jnp.zeros((W, C), jnp.float32)
+            for r in range(4):
+                sh = _shear_row(read_chunk, sj, oy_f, r, RB=AY, A=CBW, C=C,
+                                cfirst=cfirst, n_chunks=nck_b)
+                w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
+
+                def contract(wmat):
+                    if cfirst:
+                        return jax.lax.dot_general(
+                            wmat, sh, dimension_numbers=_DN_CFIRST,
+                            preferred_element_type=jnp.float32)
+                    return jnp.dot(wmat, sh,
+                                   preferred_element_type=jnp.float32)
+
+                acc_o = acc_o + contract(w_o)
+                acc_dx = acc_dx + contract(w_dx)
+                acc_dy = acc_dy + contract(w_dy)
+            out_ref[0, 0] += acc_o
+            dx_ref[0, 0] += acc_dx
+            dy_ref[0, 0] += acc_dy
+
+
 def pack_projline_coefs(h0, dh, AY: int, AX: int, RB: int, W: int):
     """Per-row projective-line coefficients.
 
@@ -928,9 +1048,22 @@ def pack_projline_coefs(h0, dh, AY: int, AX: int, RB: int, W: int):
     d0 = jnp.where(valid, d0, 1.0)
     dd = jnp.where(valid, dd, 0.0)
 
+    # x-extent of the valid segment (x(u) is Moebius in u with den > 0 on
+    # [lo, hi] -> monotone -> extent = endpoints).  The blocked kernel skips
+    # map-column blocks outside [xlo, xhi] entirely.
+    def xat(u):
+        den = d0 + dd * u
+        return (nx0 + dnx * u) / jnp.where(den > eps, den, 1.0)
+
+    xa_, xb_ = xat(lo), xat(hi)
+    xlo = jnp.clip(jnp.minimum(xa_, xb_), 0.0, AX - 1.0)
+    xhi = jnp.clip(jnp.maximum(xa_, xb_), 0.0, AX - 1.0)
+    xlo = jnp.where(valid, xlo, float(AX + 10))   # no block hits
+    xhi = jnp.where(valid, xhi, -10.0)
+
     z = jnp.zeros_like(slope)
     return jnp.stack([nx0, dnx, ny0, dny, d0, dd, slope, oy, nck,
-                      xref, yref, z, z, z, z, z], -1).astype(jnp.float32)
+                      xref, yref, xlo, xhi, z, z, z], -1).astype(jnp.float32)
 
 
 def projline_supported(AY: int, AX: int, C: int) -> bool:
@@ -940,7 +1073,7 @@ def projline_supported(AY: int, AX: int, C: int) -> bool:
 
 
 def make_projline_sampler(AY: int, AX: int, C: int, V: int, W: int,
-                          interpret: bool = False):
+                          interpret: bool = False, blocked: bool = True):
     """Build fn(img [B, AY, AX, C], coefs [B, V, _NCOEF_PL])
       -> (out, dx, dy) [B, V, W, C].
 
@@ -948,15 +1081,21 @@ def make_projline_sampler(AY: int, AX: int, C: int, V: int, W: int,
     each; bilinear semantics identical to grid_sample with the G2SP clamped
     denominator replaced by an explicit in-front mask.  bf16 full-map only
     (every ground-feature level fits VMEM at bf16); eval-only — NOT
-    differentiable.
+    differentiable.  ``blocked`` selects the column-blocked kernel (x-span
+    block skipping + per-block y-windows; see _kernel_projline_blocked).
     """
     assert AY % _SHEAR_CHUNK == 0
     cfirst = (C % 128 != 0) and (AX % 128 == 0)
     assert AY * AX * C * 2 <= _FULLMAP_VMEM_BUDGET, "map too large for VMEM"
     RB = AY  # window = whole height; the dynamic chunk bound does the work
     map_shape = (AY, C, AX) if cfirst else (AY, AX, C)
-    kernel = functools.partial(_kernel_projline_fullmap, RB=RB, W=W, AY=AY,
-                               AX=AX, C=C, cfirst=cfirst)
+    CBW = 128
+    if blocked and AX % CBW == 0:
+        kernel = functools.partial(_kernel_projline_blocked, W=W, AY=AY,
+                                   AX=AX, C=C, CBW=CBW, cfirst=cfirst)
+    else:
+        kernel = functools.partial(_kernel_projline_fullmap, RB=RB, W=W,
+                                   AY=AY, AX=AX, C=C, cfirst=cfirst)
 
     def build(B: int):
         out_spec = pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),

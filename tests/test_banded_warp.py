@@ -307,3 +307,43 @@ def test_projline_sampler_parity():
                                atol=2e-2)
     np.testing.assert_allclose(np.asarray(dy), wjac[..., 1], rtol=2e-2,
                                atol=2e-2)
+
+
+@pytest.mark.parametrize("Cp", [8, 128])
+def test_projline_blocked_matches_fullmap(Cp):
+    """Column-blocked projline kernel (x-span block skip + per-block
+    y-windows) vs the full-map kernel on identical inputs, both map
+    layouts (cfirst C=8, channel-last C=128)."""
+    from highlyaccurate_tpu.ops.pallas.banded_warp import (
+        make_projline_sampler, pack_projline_coefs)
+    Bp, AY, AX, Vp, Wp = 2, 16, 256, 6, 12
+    rng = np.random.RandomState(43)
+    img = jnp.asarray(rng.rand(Bp, AY, AX, Cp).astype(np.float32))
+
+    # lines spanning various x-extents incl. block boundaries & partial maps
+    x0 = rng.uniform(-10, AX - 30, (Bp, Vp))
+    y0 = rng.uniform(1, AY - 3, (Bp, Vp))
+    sl = rng.uniform(-0.5, 0.5, (Bp, Vp))
+    step = rng.uniform(2.0, 24.0, (Bp, Vp))
+    d0 = rng.uniform(0.8, 1.6, (Bp, Vp))
+    dd = rng.uniform(-0.02, 0.02, (Bp, Vp))
+    h0 = np.stack([x0 * d0, y0 * d0, d0], -1).astype(np.float32)
+    h1x = (x0 + step * (Wp - 1)) * (d0 + dd * (Wp - 1))
+    h1y = (y0 + sl * step * (Wp - 1)) * (d0 + dd * (Wp - 1))
+    h1 = np.stack([h1x, h1y, d0 + dd * (Wp - 1)], -1).astype(np.float32)
+    dh = (h1 - h0) / (Wp - 1)
+    coefs = pack_projline_coefs(jnp.asarray(h0), jnp.asarray(dh),
+                                AY, AX, AY, Wp)
+
+    full = make_projline_sampler(AY=AY, AX=AX, C=Cp, V=Vp, W=Wp,
+                                 interpret=True, blocked=False)
+    blk = make_projline_sampler(AY=AY, AX=AX, C=Cp, V=Vp, W=Wp,
+                                interpret=True, blocked=True)
+    o_f, dx_f, dy_f = full(img, coefs)
+    o_b, dx_b, dy_b = blk(img, coefs)
+    np.testing.assert_allclose(np.asarray(o_b), np.asarray(o_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx_b), np.asarray(dx_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dy_b), np.asarray(dy_f),
+                               rtol=1e-5, atol=1e-5)
