@@ -83,6 +83,9 @@ def main():
     skip = 0
     if "--skip" in sys.argv:
         skip = int(sys.argv[sys.argv.index("--skip") + 1])
+    stop = 99
+    if "--stop" in sys.argv:
+        stop = int(sys.argv[sys.argv.index("--stop") + 1])
     rng = np.random.RandomState(0)
     sat = jnp.asarray(rng.rand(B, 512, 512, 3).astype(np.float32))
     grd = jnp.asarray(rng.rand(B, 256, 1024, 3).astype(np.float32))
@@ -142,7 +145,7 @@ def main():
                   sampler, img, coefs)
 
     # --- 4: train profile (VERDICT #4) ---
-    if skip < 4:
+    if skip < 4 and stop >= 4:
         from highlyaccurate_tpu.train import step as step_lib
         from highlyaccurate_tpu.train.state import create_train_state
 
@@ -173,6 +176,48 @@ def main():
         dt = (time.perf_counter() - t0) / 10 * 1e3
         print(f"train_step: {dt:.2f} ms -> {B / dt * 1e3:.2f} fps", flush=True)
         mem_stats("train_step_b8")
+
+    # --- 5: train decomposition (where do the 230 ms go?) ---
+    if skip < 5 and stop >= 5:
+        import dataclasses
+
+        def vgg_loss(params, x_sat, x_grd):
+            sf, sc, gf, gc = model.apply({"params": params}, x_sat, x_grd,
+                                         method="extract_features")
+            return (sum(jnp.sum(f) for f in sf)
+                    + sum(jnp.sum(f) for f in gf)) * 1e-6
+
+        bench("vgg_fwd", vgg_loss, params, sat, grd)
+        bench("vgg_fwd_bwd",
+              lambda p, s, g: jax.value_and_grad(vgg_loss)(p, s, g)[0],
+              params, sat, grd)
+
+        # (solver-only share = full fwd_bwd minus the vgg numbers above)
+        # bf16 feature-compute training step
+        bf_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        bf_model = LMS2GP(cfg=bf_cfg)
+
+        def bf_loss(params, key):
+            return bf_model.apply({"params": params}, sat, grd, gt,
+                                  mode="train", rngs={"lm": key}).loss
+
+        bench("bf16_train_fwd_bwd",
+              lambda p, k: jax.value_and_grad(bf_loss)(p, k)[0],
+              params, jax.random.PRNGKey(0))
+
+        # batch-16 step
+        sat16 = jnp.concatenate([sat, sat])
+        grd16 = jnp.concatenate([grd, grd])
+        gt16 = jnp.concatenate([gt, gt])
+
+        def loss16(params, key):
+            return model.apply({"params": params}, sat16, grd16, gt16,
+                               mode="train", rngs={"lm": key}).loss
+
+        dt16 = bench("b16_train_fwd_bwd",
+                     lambda p, k: jax.value_and_grad(loss16)(p, k)[0],
+                     params, jax.random.PRNGKey(0), reps=10)
+        print(f"b16 train: {16 / dt16 * 1e3:.2f} fps", flush=True)
 
     print("r3_probe done", flush=True)
 

@@ -188,9 +188,17 @@ def _compare_traj(jax_traj, ref_traj, names=("lat", "lon", "theta"),
                 + "\n".join(report))
 
 
-def test_s2gp_whole_model(ref, tmp_path, monkeypatch):
+@pytest.mark.parametrize("overrides", [
+    {"N_iters": 5},                 # reference default: full 15-round depth
+    {"level_first": 1},             # forward_level_first loop order
+    {"Optimizer": "SGD"},
+    {"Optimizer": "ADAM"},
+    {"using_weight": 1, "use_hessian": 1, "train_damping": 1},
+], ids=["default15", "level_first", "sgd", "adam", "weight_hess_damp"])
+def test_s2gp_whole_model(ref, tmp_path, monkeypatch, overrides):
     """Composed LM_S2GP forward (train loss + full trajectories + test pose)
-    vs the flax model on imported weights and identical inputs."""
+    vs the flax model on imported weights and identical inputs, across the
+    loop orders and inner-loop optimizers."""
     import jax
     import jax.numpy as jnp
     from highlyaccurate_tpu.config import Config
@@ -198,7 +206,8 @@ def test_s2gp_whole_model(ref, tmp_path, monkeypatch):
     from highlyaccurate_tpu.train.checkpoint import import_pth
 
     args = _Args()
-    args.N_iters = 5  # the reference default: full 15-round (5x3) solver depth
+    for k_, v_ in overrides.items():
+        setattr(args, k_, v_)
     tnet = ref.kitti.LM_S2GP(args)
     tnet.xyz_grds = _reduced_rays(tnet)
     _randomize(tnet, seed=11)
@@ -211,18 +220,23 @@ def test_s2gp_whole_model(ref, tmp_path, monkeypatch):
     gt_h = torch.from_numpy(gt[:, 2:3])
 
     captured = _capture_loss(monkeypatch, ref.kitti)
-    t_out = tnet.forward_iter_first(sat_t, grd_t, gt_u, gt_v, gt_h,
-                                    mode="train")
+    fwd = tnet.forward_level_first if args.level_first \
+        else tnet.forward_iter_first
+    t_out = fwd(sat_t, grd_t, gt_u, gt_v, gt_h, mode="train")
     t_loss = float(t_out[0])
-    t_lat_f, t_lon_f, t_th_f = tnet.forward_iter_first(
-        sat_t, grd_t, gt_u, gt_v, gt_h, mode="test")
+    t_lat_f, t_lon_f, t_th_f = fwd(sat_t, grd_t, gt_u, gt_v, gt_h,
+                                   mode="test")
     # the reference's random re-init must not have fired (it would inject
     # un-seeded torch randomness and void the comparison)
     for k in ("lats", "lons"):
         assert np.all(np.abs(captured[k]) < 2.5)
 
-    cfg = Config(grd_h=GRD_H, grd_w=GRD_W, sat_size=SAT, N_iters=5, level=3,
-                 use_banded_warp=0, dropout=0, damping=0.1)
+    cfg = Config(grd_h=GRD_H, grd_w=GRD_W, sat_size=SAT, level=3,
+                 use_banded_warp=0, dropout=0, damping=0.1,
+                 N_iters=args.N_iters, level_first=args.level_first,
+                 Optimizer=args.Optimizer, using_weight=args.using_weight,
+                 use_hessian=args.use_hessian,
+                 train_damping=args.train_damping)
     params = import_pth(_save_sd(tnet, tmp_path, "s2gp.pth"), cfg)
     model = LMS2GP(cfg=cfg)
     rngs = {"lm": jax.random.PRNGKey(0)}
