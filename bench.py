@@ -168,6 +168,13 @@ def extra_metrics(cfg, batch, on_tpu):
             _bench_eval_fps(LMS2GP, bf16_cfg, batch, n), 2)
     except Exception as e:  # pragma: no cover
         out["bf16_eval_fps"] = f"error: {type(e).__name__}"
+    try:
+        # mixed-precision training (fp32 params/Adam/LM-solve): the
+        # recommended production config (PERF.md round-3 decomposition)
+        bf16_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        out["bf16_train_fps"] = round(_bench_train_step(bf16_cfg, batch), 2)
+    except Exception as e:  # pragma: no cover
+        out["bf16_train_fps"] = f"error: {type(e).__name__}"
     return out
 
 

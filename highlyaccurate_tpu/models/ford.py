@@ -28,8 +28,9 @@ from highlyaccurate_tpu.geometry import ford as fgeom
 from highlyaccurate_tpu.losses.losses import loss_func
 from highlyaccurate_tpu.models.nnrefine import NNrefine
 from highlyaccurate_tpu.models.vggunet import VGGUnet
-from highlyaccurate_tpu.ops.grid_sample import grid_sample
+from highlyaccurate_tpu.ops.grid_sample import grid_sample, grid_sample_derivs
 from highlyaccurate_tpu.solver.updates import (LMConfig, gn_update, lm_update,
+                                               lm_update_implicit_pixel_norm,
                                                sgd_update_l1)
 
 
@@ -182,6 +183,25 @@ class LMS2GPFord(nn.Module):
                 # aux maps (see lm_s2gp; halves the hot-loop gather work)
                 half = grd_H_full // 2 if cfg.proj == "geo" else 0
                 row_start = 0 if collect_aux else half
+                key = jax.random.fold_in(base_key, t)
+                if (not use_banded and cfg.Optimizer == "LM"
+                        and cfg.use_implicit_lm and not cfg.using_weight
+                        and not collect_aux and not cfg.estimate_depth):
+                    # gather-path implicit-J fast path (see lm_s2gp): H/g
+                    # contract from (out, dx, dy) + per-pixel duv — no
+                    # [B,H,W,C,3] Jacobian in HBM
+                    Xc = jnp.asarray(self._rays[slot][0][row_start:])
+                    m2 = jnp.asarray(self._rays[slot][1][row_start:])[None]
+                    uv, duv = fgeom.ford_uv_jac(
+                        p, R_FL, T_FL, Xc, satmap_sidelength_meters,
+                        sat_feats[lvl].shape[1], cfg.rotation_range,
+                        cfg.shift_range_lat, cfg.shift_range_lon,
+                        require_jac=True)
+                    out, dxs, dys = grid_sample_derivs(sat_feats[lvl], uv)
+                    new_p = lm_update_implicit_pixel_norm(
+                        p, out, dxs, dys, grd_feats[lvl][:, row_start:], m2,
+                        duv, self.damping, lm_cfg, key)
+                    return new_p, ()
                 if use_banded and not collect_aux:
                     sat_fp, jac, m2 = self._project_banded(
                         sat_feats[lvl], p, slot, R_FL, T_FL,

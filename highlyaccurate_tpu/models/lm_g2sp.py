@@ -32,7 +32,7 @@ from highlyaccurate_tpu.config import Config
 from highlyaccurate_tpu.geometry import kitti as geom
 from highlyaccurate_tpu.losses.losses import loss_func, soft_margin_triplet
 from highlyaccurate_tpu.models.vggunet import VGGUnet
-from highlyaccurate_tpu.ops.grid_sample import grid_sample
+from highlyaccurate_tpu.ops.grid_sample import grid_sample, grid_sample_derivs
 from highlyaccurate_tpu.solver.updates import (LMConfig, lm_update,
                                                lm_update_implicit_pixel)
 from highlyaccurate_tpu.utils import geo
@@ -180,6 +180,26 @@ class LMG2SP(nn.Module):
                     p, g_proj, dx, dy, sat_feats[lvl], duv,
                     self.damping, lm_cfg)
                 return new_p, g_proj
+            if (cfg.Optimizer == "LM" and cfg.use_implicit_lm
+                    and not cfg.using_weight and not collect_aux):
+                # gather-path implicit-J (train AND eval): the same per-pixel
+                # moment contraction as the Pallas path, fed by the gather
+                # sampler's (out, dx, dy) — differentiable, no [B,A,A,C,3]
+                # Jacobian in HBM (see ops/grid_sample.py)
+                if cfg.proj == "nn":
+                    uv, duv, _ = geom.inplane_uv_jac(
+                        p, A, cfg.rotation_range, cfg.shift_range_lat,
+                        cfg.shift_range_lon)
+                else:
+                    uv, duv, _ = geom.g2sp_uv_jac(
+                        p, jnp.asarray(self._xyz1[A]), camera_k, Hg, Wg,
+                        cfg.grd_h, cfg.grd_w, cfg.rotation_range,
+                        cfg.shift_range_lat, cfg.shift_range_lon)
+                out, dx, dy = grid_sample_derivs(grd_feats[lvl], uv)
+                new_p = lm_update_implicit_pixel(
+                    p, out, dx, dy, sat_feats[lvl], duv, self.damping,
+                    lm_cfg)
+                return new_p, out
             g_proj, c_proj, jac = self._project_grd_to_map(
                 grd_feats[lvl], grd_confs[lvl], p, camera_k, A)
             # residual grd_proj - sat; weight grd_conf_proj

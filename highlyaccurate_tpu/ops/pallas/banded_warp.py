@@ -471,54 +471,68 @@ def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_ref,
         grad_ref[...] = jnp.zeros_like(grad_ref)
 
     col0 = cb * CB
-    wx, dwx, rel, fy, sj, m, oy_f = _weights(coef_ref, b, v, W=W, A=A,
-                                             col0=col0, ncols=CB)
-    nck = _cread(coef_ref, b, v, 6).astype(jnp.int32)
-    c0 = oy_f.astype(jnp.int32) // _SHEAR_CHUNK
+    # (row, block) skip: row v's samples span kernel-x in [min, max] of the
+    # affine endpoints; a block the span never touches receives only zeros —
+    # skip its weights/matmuls/unshear entirely (round-3 backward lever).
+    ax = _cread(coef_ref, b, v, 0)
+    bx = _cread(coef_ref, b, v, 1)
+    xe = ax + bx * jnp.float32(W - 1)
+    xlo = jnp.minimum(ax, xe)
+    xhi = jnp.maximum(ax, xe)
+    blk_hit = (xhi >= jnp.float32(col0 - 1)) & (xlo <= jnp.float32(col0 + CB))
 
-    g_o = go_ref[0, 0]
-    g_dx = gdx_ref[0, 0]
-    g_dy = gdy_ref[0, 0]
+    @pl.when(blk_hit)
+    def _body():
+        wx, dwx, rel, fy, sj, m, oy_f = _weights(coef_ref, b, v, W=W, A=A,
+                                                 col0=col0, ncols=CB)
+        nck = _cread(coef_ref, b, v, 6).astype(jnp.int32)
+        c0 = oy_f.astype(jnp.int32) // _SHEAR_CHUNK
 
-    dn_t = (((0,), (0,)), ((), ()))
-    for r in range(4):
-        w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
-        if cfirst:
-            # G [C, CB] to match the [A, C, CB] block layout
-            G = (jax.lax.dot_general(g_o, w_o, dimension_numbers=dn_t,
-                                     preferred_element_type=jnp.float32)
-                 + jax.lax.dot_general(g_dx, w_dx, dimension_numbers=dn_t,
-                                       preferred_element_type=jnp.float32)
-                 + jax.lax.dot_general(g_dy, w_dy, dimension_numbers=dn_t,
-                                       preferred_element_type=jnp.float32))
-        else:
-            G = (jax.lax.dot_general(w_o, g_o, dimension_numbers=dn_t,
-                                     preferred_element_type=jnp.float32)
-                 + jax.lax.dot_general(w_dx, g_dx, dimension_numbers=dn_t,
-                                       preferred_element_type=jnp.float32)
-                 + jax.lax.dot_general(w_dy, g_dy, dimension_numbers=dn_t,
-                                       preferred_element_type=jnp.float32))
-        # un-shear: ABSOLUTE map row (sj + r - 1) at column j receives G[:, j]
-        tgt = sj + (r - 1.0)
+        g_o = go_ref[0, 0]
+        g_dx = gdx_ref[0, 0]
+        g_dy = gdy_ref[0, 0]
 
-        def chunk_body(ci, _):
-            base = (c0 + ci) * _SHEAR_CHUNK
+        dn_t = (((0,), (0,)), ((), ()))
+        for r in range(4):
+            w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
+            if cfirst:
+                # G [C, CB] to match the [A, C, CB] block layout
+                G = (jax.lax.dot_general(g_o, w_o, dimension_numbers=dn_t,
+                                         preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(g_dx, w_dx, dimension_numbers=dn_t,
+                                           preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(g_dy, w_dy, dimension_numbers=dn_t,
+                                           preferred_element_type=jnp.float32))
+            else:
+                G = (jax.lax.dot_general(w_o, g_o, dimension_numbers=dn_t,
+                                         preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(w_dx, g_dx, dimension_numbers=dn_t,
+                                           preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(w_dy, g_dy, dimension_numbers=dn_t,
+                                           preferred_element_type=jnp.float32))
+            # un-shear: ABSOLUTE map row (sj + r - 1) at column j gets G[:, j]
+            tgt = sj + (r - 1.0)
 
-            @pl.when(base < A)
-            def _acc():
-                rr = (jax.lax.broadcasted_iota(
-                    jnp.int32, (_SHEAR_CHUNK, CB), 0)
-                    .astype(jnp.float32) + base.astype(jnp.float32))
-                sel = (rr == tgt).astype(jnp.float32)          # [chunk, CB]
-                sl = pl.ds(base, _SHEAR_CHUNK)
-                if cfirst:
-                    grad_ref[0, sl] = grad_ref[0, sl] + sel[:, None, :] * G[None]
-                else:
-                    grad_ref[0, sl] = grad_ref[0, sl] + sel[:, :, None] * G[None]
-            return 0
+            def chunk_body(ci, _):
+                base = (c0 + ci) * _SHEAR_CHUNK
 
-        # +1 chunk of slack: c0 is floor-aligned below oy
-        jax.lax.fori_loop(0, nck + 1, chunk_body, 0)
+                @pl.when(base < A)
+                def _acc():
+                    rr = (jax.lax.broadcasted_iota(
+                        jnp.int32, (_SHEAR_CHUNK, CB), 0)
+                        .astype(jnp.float32) + base.astype(jnp.float32))
+                    sel = (rr == tgt).astype(jnp.float32)      # [chunk, CB]
+                    sl = pl.ds(base, _SHEAR_CHUNK)
+                    if cfirst:
+                        grad_ref[0, sl] = (grad_ref[0, sl]
+                                           + sel[:, None, :] * G[None])
+                    else:
+                        grad_ref[0, sl] = (grad_ref[0, sl]
+                                           + sel[:, :, None] * G[None])
+                return 0
+
+            # +1 chunk of slack: c0 is floor-aligned below oy
+            jax.lax.fori_loop(0, nck + 1, chunk_body, 0)
 
 
 def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
@@ -589,6 +603,11 @@ def _bwd_col_blocks(A: int, C: int, cfirst: bool,
     while A * (A // n) * C * 4 > target and (A // n) > (128 if cfirst else 8):
         n *= 2
     cb = A // n
+    # NOTE (round 3): shrinking non-cfirst blocks to CB=32 to sharpen the
+    # (row, block) skip measured NEUTRAL-to-negative end-to-end — the 4x
+    # per-program dispatch overhead offset the ~42% skipped pairs at L1.
+    # Keep the natural (VMEM-target) block size; the skip still prunes
+    # whatever the coarse blocks allow.
     # non-power-of-two A large enough to trigger halving can land on a CB
     # that is neither alignment-divisible nor equal to A — a Mosaic-invalid
     # output block tiling.  Fail with a clear message instead (production A

@@ -165,7 +165,7 @@ def main():
         bench("train_fwd_bwd", loss_grad, params, jax.random.PRNGKey(0))
         mem_stats("fwd_bwd_b8")
 
-        state = create_train_state(cfg, params)
+        state = create_train_state(cfg, jax.device_get(params))
         ts = step_lib.make_train_step(model, cfg, mesh=None)
         st, metrics = ts(state, sat, grd, gt, jax.random.PRNGKey(0))
         np.asarray(metrics["loss"])
@@ -177,19 +177,39 @@ def main():
         print(f"train_step: {dt:.2f} ms -> {B / dt * 1e3:.2f} fps", flush=True)
         mem_stats("train_step_b8")
 
+        # bf16 feature-compute full train step (mixed precision: fp32
+        # params/Adam/LM solve)
+        import dataclasses as _dc
+        bcfg = _dc.replace(cfg, compute_dtype="bfloat16")
+        bmodel = LMS2GP(cfg=bcfg)
+        bts = step_lib.make_train_step(bmodel, bcfg, mesh=None)
+        bstate = create_train_state(bcfg, jax.device_get(params))
+        bstate, m2 = bts(bstate, sat, grd, gt, jax.random.PRNGKey(0))
+        np.asarray(m2["loss"])
+        t0 = time.perf_counter()
+        for i in range(10):
+            bstate, m2 = bts(bstate, sat, grd, gt, jax.random.PRNGKey(i))
+        np.asarray(m2["loss"])
+        dt = (time.perf_counter() - t0) / 10 * 1e3
+        print(f"bf16_train_step: {dt:.2f} ms -> {B / dt * 1e3:.2f} fps",
+              flush=True)
+
     # --- 5: train decomposition (where do the 230 ms go?) ---
     if skip < 5 and stop >= 5:
         import dataclasses
 
+        # non-constant cotangent (sum of squares) + grads RETURNED from the
+        # benched fn — returning only the value lets XLA dead-code-eliminate
+        # the whole backward (the first phase-5 run proved it: fwd_bwd == fwd)
         def vgg_loss(params, x_sat, x_grd):
             sf, sc, gf, gc = model.apply({"params": params}, x_sat, x_grd,
                                          method="extract_features")
-            return (sum(jnp.sum(f) for f in sf)
-                    + sum(jnp.sum(f) for f in gf)) * 1e-6
+            return (sum(jnp.sum(f * f) for f in sf)
+                    + sum(jnp.sum(f * f) for f in gf)) * 1e-6
 
         bench("vgg_fwd", vgg_loss, params, sat, grd)
         bench("vgg_fwd_bwd",
-              lambda p, s, g: jax.value_and_grad(vgg_loss)(p, s, g)[0],
+              lambda p, s, g: jax.value_and_grad(vgg_loss)(p, s, g),
               params, sat, grd)
 
         # (solver-only share = full fwd_bwd minus the vgg numbers above)
@@ -202,7 +222,7 @@ def main():
                                   mode="train", rngs={"lm": key}).loss
 
         bench("bf16_train_fwd_bwd",
-              lambda p, k: jax.value_and_grad(bf_loss)(p, k)[0],
+              lambda p, k: jax.value_and_grad(bf_loss)(p, k),
               params, jax.random.PRNGKey(0))
 
         # batch-16 step
@@ -215,9 +235,22 @@ def main():
                                mode="train", rngs={"lm": key}).loss
 
         dt16 = bench("b16_train_fwd_bwd",
-                     lambda p, k: jax.value_and_grad(loss16)(p, k)[0],
+                     lambda p, k: jax.value_and_grad(loss16)(p, k),
                      params, jax.random.PRNGKey(0), reps=10)
         print(f"b16 train: {16 / dt16 * 1e3:.2f} fps", flush=True)
+
+        # remat at batch 8 (round-2 measured it HURTING; re-check on the
+        # current kernels)
+        rm_cfg = dataclasses.replace(cfg, remat=1)
+        rm_model = LMS2GP(cfg=rm_cfg)
+
+        def rm_loss(params, key):
+            return rm_model.apply({"params": params}, sat, grd, gt,
+                                  mode="train", rngs={"lm": key}).loss
+
+        bench("remat_train_fwd_bwd",
+              lambda p, k: jax.value_and_grad(rm_loss)(p, k),
+              params, jax.random.PRNGKey(0))
 
     print("r3_probe done", flush=True)
 

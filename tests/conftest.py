@@ -13,12 +13,23 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
-# Single-core VM: persistent compile cache amortizes XLA CPU compiles across
-# test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compile cache: XLA:CPU AOT deserialization SEGFAULTS
+# reproducibly on this platform (SIGSEGV inside
+# compilation_cache.get_executable_and_time on reads mid-suite — both with
+# cross-host stale entries and with entries written fresh the same day).
+# The suite compiles cold (~15-20 min on the 1-core VM); correctness over
+# speed.
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU also segfaults *compiling* a large scan program late in the
+    suite (hundreds of live executables; the same test passes in a fresh
+    process).  Dropping compiled programs between modules keeps the
+    in-process state small."""
+    jax.clear_caches()
+    yield

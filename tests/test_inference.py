@@ -69,3 +69,30 @@ def test_empty_batch():
     out = loc.predict(np.zeros((0, 64, 64, 3), np.float32),
                       np.zeros((0, 32, 128, 3), np.float32))
     assert out["lateral_m"].shape == (0,)
+
+
+def test_save_path_restore_via_eval_shape(tmp_path):
+    """Localizer(save_path=...) builds the orbax restore template with
+    jax.eval_shape — no solver compile/execution — and restores exact
+    params (ADVICE r2: the old path ran a full train-mode model.init)."""
+    import numpy as np
+    from highlyaccurate_tpu.config import Config
+    from highlyaccurate_tpu.inference import Localizer
+    from highlyaccurate_tpu.train.checkpoint import save_params
+
+    cfg = Config(**TINY)
+    loc = Localizer(cfg, batch_size=2, seed=5, random_init=True)
+    save_params(str(tmp_path), "Model_best", loc.params)
+
+    loc2 = Localizer(cfg, save_path=str(tmp_path), batch_size=2, seed=5)
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(loc.params),
+                    jax.tree_util.tree_leaves(loc2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    rng = np.random.RandomState(3)
+    sat = rng.rand(2, cfg.sat_size, cfg.sat_size, 3).astype(np.float32)
+    grd = rng.rand(2, cfg.grd_h, cfg.grd_w, 3).astype(np.float32)
+    o1 = loc.predict(sat, grd)
+    o2 = loc2.predict(sat, grd)
+    np.testing.assert_allclose(o1["lateral_m"], o2["lateral_m"])
