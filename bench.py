@@ -175,6 +175,13 @@ def extra_metrics(cfg, batch, on_tpu):
         out["bf16_train_fps"] = round(_bench_train_step(bf16_cfg, batch), 2)
     except Exception as e:  # pragma: no cover
         out["bf16_train_fps"] = f"error: {type(e).__name__}"
+    try:
+        # single-stream latency: one image per dispatch, chained (the
+        # reference's batch-1 "time per image" scenario)
+        fps1 = _bench_eval_fps(LMS2GP, cfg, 1, 3 * n)
+        out["batch1_latency_ms"] = round(1e3 / fps1, 2)
+    except Exception as e:  # pragma: no cover
+        out["batch1_latency_ms"] = f"error: {type(e).__name__}"
     return out
 
 

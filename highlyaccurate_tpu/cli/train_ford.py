@@ -199,7 +199,10 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
     import jax.numpy as jnp
     from highlyaccurate_tpu.train import step as step_lib
     from highlyaccurate_tpu.train.checkpoint import (epoch_ckpt_name,
-                                                     load_params, save_params)
+                                                     load_params,
+                                                     load_train_state,
+                                                     save_params,
+                                                     save_train_state)
     from highlyaccurate_tpu.train.state import create_train_state, reset_for_epoch
 
     ds, loader = make_loader(cfg, args, "train")
@@ -224,6 +227,13 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
 
     mesh = step_lib.make_mesh_for_batch(cfg.batch_size)
     state = create_train_state(cfg, params)
+    if args.resume and cfg.keep_optimizer_state:
+        try:
+            state = load_train_state(save_path,
+                                     epoch_ckpt_name(args.resume - 1), state)
+            print("resumed optimizer state")
+        except FileNotFoundError:
+            print("no full-state checkpoint; resuming params only")
     state = step_lib.replicate(mesh, state)
     train_step = step_lib.make_train_step(model, cfg, mesh, ford_side_m=side_m,
                                           freeze_backbones=freeze)
@@ -255,6 +265,8 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
         print("taking snapshot ...")
         save_params(save_path, epoch_ckpt_name(epoch),
                     jax.device_get(state.params))
+        if cfg.keep_optimizer_state:
+            save_train_state(save_path, epoch_ckpt_name(epoch), state)
         best_rank = max(best_rank, evaluate(model, cfg, state.params, args,
                                             save_path, epoch, best_rank,
                                             eval_step, eval_mesh, side_m))

@@ -260,7 +260,10 @@ def train(model, cfg: Config, args, save_path: str):
     import jax.numpy as jnp
     from highlyaccurate_tpu.train import step as step_lib
     from highlyaccurate_tpu.train.checkpoint import (epoch_ckpt_name,
-                                                     load_params, save_params)
+                                                     load_params,
+                                                     load_train_state,
+                                                     save_params,
+                                                     save_train_state)
     from highlyaccurate_tpu.train.state import create_train_state, reset_for_epoch
 
     mesh = step_lib.make_mesh_for_batch(cfg.batch_size)
@@ -277,6 +280,15 @@ def train(model, cfg: Config, args, save_path: str):
         print(f"encoder init from {args.pretrained_vgg16}")
 
     state = create_train_state(cfg, params)
+    if args.resume and cfg.keep_optimizer_state:
+        # resume with optimizer moments (the fix path; the reference loses
+        # them — it rebuilds Adam every epoch anyway, SURVEY §5.4)
+        try:
+            state = load_train_state(save_path,
+                                     epoch_ckpt_name(args.resume - 1), state)
+            print("resumed optimizer state")
+        except FileNotFoundError:
+            print("no full-state checkpoint; resuming params only")
     state = step_lib.replicate(mesh, state)
     train_step = step_lib.make_train_step(model, cfg, mesh)
     # eval shards over ALL chips even when the train batch size keeps the
@@ -349,6 +361,8 @@ def train(model, cfg: Config, args, save_path: str):
         print("taking snapshot ...")
         save_params(save_path, epoch_ckpt_name(epoch),
                     jax.device_get(state.params))
+        if cfg.keep_optimizer_state:
+            save_train_state(save_path, epoch_ckpt_name(epoch), state)
         cur = evaluate(model, cfg, state.params, args, "test1", save_path,
                        epoch, best_rank, eval_step, eval_mesh)
         best_rank = max(best_rank, cur)

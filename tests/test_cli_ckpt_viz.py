@@ -269,3 +269,29 @@ def test_make_mesh_for_batch_warns_on_chip_drop(capsys):
     mesh = step_lib.make_mesh_for_batch(8)
     assert mesh.devices.size == 8
     assert "WARNING" not in capsys.readouterr().out
+
+
+def test_kitti_cli_keep_optimizer_state_resume(tmp_path, capsys):
+    """--keep_optimizer_state 1: full-state checkpoint written per epoch and
+    restored (with Adam moments) on --resume."""
+    from highlyaccurate_tpu.cli import train_kitti as cli
+    from highlyaccurate_tpu.config import config_from_args
+
+    base = ["--test", "0", "--synthetic", "2", "--batch_size", "2",
+            "--level", "-1", "--N_iters", "1", "--grd_h", "32",
+            "--grd_w", "128", "--sat_size", "64",
+            "--keep_optimizer_state", "1", "--save_root", str(tmp_path)]
+    args = cli.parse_args(base + ["--epochs", "1"])
+    cfg = config_from_args(args)
+    save_path = cfg.save_path(str(tmp_path))
+    os.makedirs(save_path, exist_ok=True)
+    model = cli.build_model(cfg)
+    cli.train(model, cfg, args, save_path)
+    assert os.path.isdir(os.path.join(save_path, "model_0_full"))
+
+    args2 = cli.parse_args(base + ["--epochs", "2", "--resume", "1"])
+    cfg2 = config_from_args(args2)
+    cli.train(model, cfg2, args2, save_path)
+    out = capsys.readouterr().out
+    assert "resumed optimizer state" in out
+    assert os.path.isdir(os.path.join(save_path, "model_1_full"))
