@@ -393,3 +393,48 @@ def test_adam_update_parity(ref):
             jnp.asarray(np.transpose(grd, (0, 2, 3, 1))),
             jnp.asarray(np.transpose(jac, (1, 3, 4, 2, 0))), m, v, t, cfg)
     np.testing.assert_allclose(np.asarray(p), ref_new, rtol=1e-5, atol=1e-6)
+
+
+def test_ford_gn_update_parity(ref):
+    """Ford GN inner-loop update vs reference GN_update
+    (models_ford.py:534-598: sat-norm scaling, undamped solve, re-init).
+
+    Controlled tensors sized so H is well-conditioned and the step stays
+    within the re-init bounds (the undamped solve diverges on arbitrary
+    inputs — which is also why GN has no whole-model parity test)."""
+    from highlyaccurate_tpu.solver.updates import LMConfig, gn_update
+    import jax
+    import jax.numpy as jnp
+
+    obj = ref.ford.LM_S2GP_Ford.__new__(ref.ford.LM_S2GP_Ford)
+
+    class _A:
+        train_damping = 0
+        damping = 0.1
+    obj.args = _A()
+    obj.using_weight = False
+
+    rng = np.random.RandomState(9)
+    B, C, H, W = 1, 6, 8, 16
+    sat = rng.rand(B, C, H, W).astype(np.float32)
+    grd = (sat + rng.randn(B, C, H, W) * 0.05).astype(np.float32)
+    conf = rng.rand(B, 1, H, W).astype(np.float32)
+    jac = (rng.randn(3, B, C, H, W) * 1.0).astype(np.float32)
+    pose = rng.uniform(-0.3, 0.3, (B, 3)).astype(np.float32)
+
+    su, sv, th = (torch.from_numpy(pose[:, i:i + 1]) for i in range(3))
+    su2, sv2, th2 = ref.ford.LM_S2GP_Ford.GN_update(
+        obj, su, sv, th, torch.from_numpy(sat), torch.from_numpy(conf),
+        torch.from_numpy(grd), torch.from_numpy(conf), torch.from_numpy(jac))
+    ref_new = np.concatenate([x.detach().numpy() for x in (su2, sv2, th2)], 1)
+    assert np.all(np.abs(ref_new[:, :2]) < 2.5)  # re-init must not fire
+
+    cfg = LMConfig(active_dims=(0, 1, 2), using_weight=False)
+    new = gn_update(
+        jnp.asarray(pose),
+        jnp.asarray(np.transpose(sat, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(grd, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(conf, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(jac, (1, 3, 4, 2, 0))), cfg,
+        jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(new), ref_new, rtol=1e-4, atol=1e-4)

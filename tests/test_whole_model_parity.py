@@ -262,8 +262,11 @@ def test_s2gp_whole_model(ref, tmp_path, monkeypatch, overrides):
                                atol=1e-4)
 
 
-def test_g2sp_whole_model(ref, tmp_path, monkeypatch):
-    """Composed LM_G2SP forward vs the flax model (imported weights)."""
+@pytest.mark.parametrize("proj", ["geo", "nn"])
+def test_g2sp_whole_model(ref, tmp_path, monkeypatch, proj):
+    """Composed LM_G2SP forward vs the flax model (imported weights) —
+    perspective ('geo') and in-plane SE(2) ('nn', with the VGGUnet_G2S
+    re-laid-out ground branch) projections."""
     import jax
     import jax.numpy as jnp
     from highlyaccurate_tpu.config import Config
@@ -274,6 +277,7 @@ def test_g2sp_whole_model(ref, tmp_path, monkeypatch):
     monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
     args = _Args()
     args.direction = "G2SP"
+    args.proj = proj
     tnet = ref.kitti.LM_G2SP(args)
     _randomize(tnet, seed=21)
     tnet.eval()
@@ -297,23 +301,44 @@ def test_g2sp_whole_model(ref, tmp_path, monkeypatch):
     t_loss = float(t_out[0])
 
     cfg = Config(grd_h=GRD_H, grd_w=GRD_W, sat_size=SAT, N_iters=2, level=3,
-                 direction="G2SP", use_banded_warp=0, damping=0.1)
+                 direction="G2SP", proj=proj, use_banded_warp=0, damping=0.1)
     params = import_pth(_save_sd(tnet, tmp_path, "g2sp.pth"), cfg)
     model = LMG2SP(cfg=cfg)
 
     j_lats, j_lons, j_ths = model.apply(
         {"params": params}, jnp.asarray(sat), jnp.asarray(grd),
         jnp.asarray(k), mode="trajectory")
+    # 'nn': the SE(2) warp puts samples exactly on the in-bounds boundary
+    # (x == A-1), where a ~1e-7 coordinate difference flips the
+    # DIScontinuous bounds mask — observed as a one-time ~3e-4 bump at the
+    # finest level that the solver then contracts back to ~2e-6 by the
+    # final round.  geo has no boundary-exact samples and holds 1e-4.
     _compare_traj((j_lats, j_lons, j_ths),
-                  (captured["lats"], captured["lons"], captured["thetas"]))
+                  (captured["lats"], captured["lons"], captured["thetas"]),
+                  atol=1e-4 if proj == "geo" else 5e-4)
 
     diag = model.apply({"params": params}, jnp.asarray(sat), jnp.asarray(grd),
                        jnp.asarray(k), jnp.asarray(gt), mode="train")
     np.testing.assert_allclose(float(diag.loss), t_loss, rtol=1e-4)
 
 
-def test_ford_whole_model(ref, tmp_path, monkeypatch):
-    """Composed LM_S2GP_Ford forward_iters_level vs the flax model."""
+@pytest.mark.parametrize("overrides", [
+    {},
+    {"level_first": 1},            # forward_level_iters loop order
+    # GN at batch 1: the reference's GN_update runs `if torch.isnan(...)` on
+    # a [B,1] tensor, which raises for B>1 (latent upstream bug).  The
+    # reference's Ford SGD_update is broken outright (`delta_pose[:, 0, 0]`
+    # on a 2-D tensor) and cannot be executed for comparison — see
+    # PARITY.md known deltas.
+    # GN is not whole-model-testable: the reference's UNDAMPED H^-1 step on
+    # random features walks off the satellite patch within a round (its
+    # sampler hard-asserts), and its `if torch.isnan(tensor)` breaks B>1.
+    # GN parity is covered per-op in test_reference_parity.py; the
+    # reference's Ford SGD_update is broken outright (delta_pose[:, 0, 0]
+    # on a 2-D tensor) — see PARITY.md known deltas.
+], ids=["default", "level_first"])
+def test_ford_whole_model(ref, tmp_path, monkeypatch, overrides):
+    """Composed LM_S2GP_Ford forwards vs the flax model."""
     import jax
     import jax.numpy as jnp
     from highlyaccurate_tpu.config import Config
@@ -321,13 +346,17 @@ def test_ford_whole_model(ref, tmp_path, monkeypatch):
     from highlyaccurate_tpu.models.ford import LMS2GPFord
     from highlyaccurate_tpu.train.checkpoint import import_pth
 
+    overrides = dict(overrides)
+    batch = overrides.pop("_batch", 2)
     args = _Args()
+    for k_, v_ in overrides.items():
+        setattr(args, k_, v_)
     tnet = ref.ford.LM_S2GP_Ford(args)
     tnet.xyz_grds = _reduced_rays(tnet)
     _randomize(tnet, seed=31)
     tnet.eval()
 
-    sat, grd, gt = _inputs(seed=32)
+    sat, grd, gt = _inputs(seed=32, batch=batch)
     B = sat.shape[0]
     rng = np.random.RandomState(33)
     qs = rng.randn(B, 4)
@@ -342,15 +371,20 @@ def test_ford_whole_model(ref, tmp_path, monkeypatch):
     gt_h = torch.from_numpy(gt[:, 2])
 
     captured = _capture_loss(monkeypatch, ref.ford)
-    t_out = tnet.forward_iters_level(
-        sat_t, grd_t, side_m, torch.from_numpy(R_FL), torch.from_numpy(T_FL),
-        gt_u, gt_v, gt_h, mode="train")
+    fwd = tnet.forward_level_iters if args.level_first \
+        else tnet.forward_iters_level
+    t_out = fwd(sat_t, grd_t, side_m, torch.from_numpy(R_FL),
+                torch.from_numpy(T_FL), gt_u, gt_v, gt_h, mode="train")
     t_loss = float(t_out[0])
     for kname in ("lats", "lons"):
         assert np.all(np.abs(captured[kname]) < 2.5)
 
     cfg = Config(grd_h=GRD_H, grd_w=GRD_W, sat_size=SAT, N_iters=2, level=3,
-                 use_banded_warp=0, damping=0.1)
+                 use_banded_warp=0, damping=0.1,
+                 level_first=args.level_first, Optimizer=args.Optimizer,
+                 shift_range_lat=args.shift_range_lat,
+                 shift_range_lon=args.shift_range_lon,
+                 rotation_range=args.rotation_range)
     params = import_pth(_save_sd(tnet, tmp_path, "ford.pth"), cfg)
     model = LMS2GPFord(cfg=cfg)
     rngs = {"lm": jax.random.PRNGKey(0)}
