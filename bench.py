@@ -52,8 +52,12 @@ def main():
         return run(cfg, batch, on_tpu)
 
 
-def _bench_train_step(cfg, batch):
-    """Training throughput (loss+backprop+Adam), frames/sec."""
+def _bench_train_step(cfg, batch, model_cls=None, extra=(),
+                      ford_side_m=None):
+    """Training throughput (loss+backprop+Adam), frames/sec.
+
+    ``extra``: extra per-batch data args between grd and gt (G2SP camera_k,
+    Ford R_FL/T_FL); ``ford_side_m`` selects the Ford step signature."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -62,23 +66,33 @@ def _bench_train_step(cfg, batch):
     from highlyaccurate_tpu.train import step as step_lib
     from highlyaccurate_tpu.train.state import create_train_state
 
-    model = LMS2GP(cfg=cfg)
+    model = (model_cls or LMS2GP)(cfg=cfg)
     rng = np.random.RandomState(0)
     sat = jnp.asarray(rng.rand(batch, cfg.sat_size, cfg.sat_size, 3)
                       .astype(np.float32))
     grd = jnp.asarray(rng.rand(batch, cfg.grd_h, cfg.grd_w, 3)
                       .astype(np.float32))
     gt = jnp.zeros((batch, 3))
+    extra = tuple(jnp.asarray(a) for a in extra)
+    init_args = ([sat, grd, ford_side_m] if ford_side_m is not None
+                 else [sat, grd]) + list(extra) + [gt]
     v = model.init({"params": jax.random.PRNGKey(0),
-                    "lm": jax.random.PRNGKey(1)}, sat, grd, gt, mode="train")
+                    "lm": jax.random.PRNGKey(1)}, *init_args, mode="train")
     state = create_train_state(cfg, v["params"])
-    ts = step_lib.make_train_step(model, cfg, mesh=None)
-    state, metrics = ts(state, sat, grd, gt, jax.random.PRNGKey(0))
+    ts = step_lib.make_train_step(model, cfg, mesh=None,
+                                  ford_side_m=ford_side_m)
+    state, metrics = ts(state, sat, grd, *extra, gt, jax.random.PRNGKey(0))
     np.asarray(metrics["loss"])  # fence (see run())
-    n = 10
+    # one timed step picks n: slow paths (e.g. G2SP's scatter-bound gather
+    # backward) get fewer reps so the bench suite stays bounded
+    t0 = time.perf_counter()
+    state, metrics = ts(state, sat, grd, *extra, gt, jax.random.PRNGKey(99))
+    np.asarray(metrics["loss"])
+    n = 10 if (time.perf_counter() - t0) < 2.0 else 3
     t0 = time.perf_counter()
     for i in range(n):
-        state, metrics = ts(state, sat, grd, gt, jax.random.PRNGKey(i))
+        state, metrics = ts(state, sat, grd, *extra, gt,
+                            jax.random.PRNGKey(i))
     np.asarray(metrics["loss"])
     return batch * n / (time.perf_counter() - t0)
 
@@ -182,6 +196,37 @@ def extra_metrics(cfg, batch, on_tpu):
         out["batch1_latency_ms"] = round(1e3 / fps1, 2)
     except Exception as e:  # pragma: no cover
         out["batch1_latency_ms"] = f"error: {type(e).__name__}"
+    try:
+        # G2SP training (differentiable gather path; the projline kernel is
+        # eval-only).  remat per solver round is REQUIRED at batch 8: the
+        # implicit-path (out, dx, dy) residuals of 15 unrolled rounds
+        # otherwise exceed v5e HBM (measured OOM, PERF.md round 3).
+        g2sp_cfg = dataclasses.replace(cfg, direction="G2SP", remat=1)
+        import numpy as np
+        k = np.broadcast_to(
+            np.array([[582.9802, 0.0, 496.2420],
+                      [0.0, 482.7076, 125.0034],
+                      [0.0, 0.0, 1.0]], np.float32), (batch, 3, 3)).copy()
+        out["g2sp_train_fps"] = round(
+            _bench_train_step(g2sp_cfg, batch, model_cls=LMG2SP,
+                              extra=(k,)), 2)
+    except Exception as e:  # pragma: no cover
+        out["g2sp_train_fps"] = f"error: {type(e).__name__}"
+    try:
+        # Ford training (banded custom-VJP kernels, cam->body->world chain)
+        import numpy as np
+        from highlyaccurate_tpu.geometry import ford as fgeom
+        from highlyaccurate_tpu.models.ford import LMS2GPFord
+        R = np.broadcast_to(np.asarray(fgeom.qvec2rotmat(
+            [0.997, 0.01, 0.05, 0.02]), np.float32), (batch, 3, 3)).copy()
+        T = np.broadcast_to(np.array([1.0, 0.5, -1.4], np.float32),
+                            (batch, 3)).copy()
+        out["ford_train_fps"] = round(
+            _bench_train_step(cfg, batch, model_cls=LMS2GPFord,
+                              extra=(R, T),
+                              ford_side_m=cfg.sat_size * 0.22), 2)
+    except Exception as e:  # pragma: no cover
+        out["ford_train_fps"] = f"error: {type(e).__name__}"
     return out
 
 

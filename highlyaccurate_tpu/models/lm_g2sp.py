@@ -285,8 +285,11 @@ class LMG2SP(nn.Module):
 
             crop_h = int(A - cfg.shift_range_lat * 2 / mpp)
             crop_w = int(A - cfg.shift_range_lon * 2 / mpp)
-            t0 = (A - crop_h) // 2
-            l0 = (A - crop_w) // 2
+            # torchvision center_crop rounds the margin with Python round()
+            # (banker's), not floor — matters for odd margins
+            # (reference models_kitti.py:549 via TF.center_crop)
+            t0 = int(round((A - crop_h) / 2.0))
+            l0 = int(round((A - crop_w) / 2.0))
             kernel = g_proj[:, t0:t0 + crop_h, l0:l0 + crop_w, :]  # [B,h,w,C]
             kflat = kernel.reshape(B, -1)
             knorm = jnp.sqrt(jnp.maximum(jnp.sum(kflat * kflat, -1), 1e-24))

@@ -145,13 +145,16 @@ class LMS2GP(nn.Module):
         if cfg.use_gt_depth and gt_depth is not None:
             h, w = _level_hw(cfg, slot)
             xyz_w = jnp.asarray(self._rays[slot][2])  # [H, W, 3]
-            depth = jax.image.resize(gt_depth[..., None],
-                                     (gt_depth.shape[0], h, w, 1),
-                                     method="linear")
+            # the reference downsamples depth AND mask with F.interpolate
+            # mode='nearest' (models_kitti.py:741-748), whose index rule is
+            # floor(i * in/out) — NOT half-pixel-center nearest; replicate
+            # exactly (asymmetric subsample, no averaging)
+            H, W = gt_depth.shape[1:3]
+            ri = jnp.floor(jnp.arange(h) * (H / h)).astype(jnp.int32)
+            ci = jnp.floor(jnp.arange(w) * (W / w)).astype(jnp.int32)
+            depth = gt_depth[:, ri][:, :, ci][..., None]  # [B, h, w, 1]
             xyz = xyz_w[None] * depth
-            mask2d = jax.image.resize(
-                (gt_depth != -1).astype(jnp.float32)[..., None],
-                (gt_depth.shape[0], h, w, 1), method="nearest")[..., 0]
+            mask2d = (depth[..., 0] != -1).astype(jnp.float32)
             if row_start:
                 xyz = xyz[:, row_start:]
                 mask2d = mask2d[:, row_start:]

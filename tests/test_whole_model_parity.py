@@ -78,6 +78,17 @@ def ref():
         sys.modules["torchvision.transforms.functional"]
     sys.modules["torchvision.models"].vgg16 = _fake_vgg16
     sys.modules["torchvision"].models.vgg16 = _fake_vgg16
+
+    def _center_crop(t, size):
+        # torchvision.transforms.functional.center_crop semantics (needed by
+        # the reference's corr head, models_kitti.py:549)
+        ch, cw = size
+        H, W = t.shape[-2:]
+        top = int(round((H - ch) / 2.0))
+        left = int(round((W - cw) / 2.0))
+        return t[..., top:top + ch, left:left + cw]
+
+    sys.modules["torchvision.transforms.functional"].center_crop = _center_crop
     sys.path.insert(0, REF)
     try:
         import models_kitti as ref_kitti
@@ -129,13 +140,37 @@ def _randomize(module, seed, scale=0.05):
     return module
 
 
-def _reduced_rays(tnet):
+def _reduced_rays(tnet, proj="geo"):
     """Rebuild the reference model's ray pyramid through its OWN grd_img2cam
-    at the reduced ladder (net K scaling identical to full-size: K_x*w/1024,
-    K_y*h/256 — models_kitti.py:664-667 / models_ford.py:112-137)."""
-    return [tnet.grd_img2cam(GRD_H // (2 ** (3 - lvl)),
-                             GRD_W // (2 ** (3 - lvl)), 256, 1024)
+    (or grd_img2cam_polar) at the reduced ladder (net K scaling identical to
+    full-size: K_x*w/1024, K_y*h/256 — models_kitti.py:664-667 /
+    models_ford.py:112-137; polar rays models_kitti.py:684-698)."""
+    builder = tnet.grd_img2cam if proj == "geo" else tnet.grd_img2cam_polar
+    return [builder(GRD_H // (2 ** (3 - lvl)),
+                    GRD_W // (2 ** (3 - lvl)), 256, 1024)
             for lvl in range(4)]
+
+
+def _reduced_polar_grids(tnet, sat_size):
+    """Rebuild the reference's polar satellite->panorama grids at a reduced
+    satellite size.  The reference's polar_coordinates hardcodes the full
+    A = 512 / 2**(3-level) ladder (models_kitti.py:1518-1541); this applies
+    the same formula at A = sat_size / 2**(3-level) with meters-per-pixel
+    rescaled by (512 / sat_size) so the 40 m radius covers the same map
+    fraction — matching models/lm_s2gp.py:polar_grid."""
+    grids = []
+    for level in range(4):
+        A = sat_size // (2 ** (3 - level))
+        mpp = tnet.meters_per_pixel[level] * (512.0 / sat_size)
+        gh, gw = A // 2, A * 2
+        v, u = torch.meshgrid(torch.arange(gh, dtype=torch.float32),
+                              torch.arange(4 * gw, dtype=torch.float32))
+        theta = u / gw * np.pi * 2
+        radius = (1 - v / gh) * 40.0 / mpp
+        us = A / 2 + radius * torch.cos(np.pi / 4 - theta)
+        vs = A / 2 - radius * torch.sin(np.pi / 4 - theta)
+        grids.append(torch.stack([us, vs], dim=-1).unsqueeze(0))
+    return grids
 
 
 def _inputs(seed, batch=2):
@@ -194,7 +229,12 @@ def _compare_traj(jax_traj, ref_traj, names=("lat", "lon", "theta"),
     {"Optimizer": "SGD"},
     {"Optimizer": "ADAM"},
     {"using_weight": 1, "use_hessian": 1, "train_damping": 1},
-], ids=["default15", "level_first", "sgd", "adam", "weight_hess_damp"])
+    {"Optimizer": "NN"},            # NNrefine learned pose head (RNNs.py:93)
+    {"proj": "polar"},              # polar ray projection (models_kitti.py:684)
+    {"loss_method": 3},             # four-term loss (models_ford.py:1157-1202)
+    {"use_gt_depth": 1},            # gt-depth ray lift (models_kitti.py:741-748)
+], ids=["default15", "level_first", "sgd", "adam", "weight_hess_damp",
+        "nn_refine", "polar", "loss3", "gt_depth"])
 def test_s2gp_whole_model(ref, tmp_path, monkeypatch, overrides):
     """Composed LM_S2GP forward (train loss + full trajectories + test pose)
     vs the flax model on imported weights and identical inputs, across the
@@ -209,7 +249,7 @@ def test_s2gp_whole_model(ref, tmp_path, monkeypatch, overrides):
     for k_, v_ in overrides.items():
         setattr(args, k_, v_)
     tnet = ref.kitti.LM_S2GP(args)
-    tnet.xyz_grds = _reduced_rays(tnet)
+    tnet.xyz_grds = _reduced_rays(tnet, proj=args.proj)
     _randomize(tnet, seed=11)
     tnet.eval()
 
@@ -219,13 +259,24 @@ def test_s2gp_whole_model(ref, tmp_path, monkeypatch, overrides):
     gt_v = torch.from_numpy(gt[:, 1:2])
     gt_h = torch.from_numpy(gt[:, 2:3])
 
+    depth_np = depth_t = None
+    if args.use_gt_depth:
+        # per-pixel depth at the original ground resolution, with invalid
+        # (-1) holes, as the KITTI depth annotations provide it
+        drng = np.random.RandomState(13)
+        depth_np = drng.uniform(2.0, 50.0,
+                                (sat.shape[0], GRD_H, GRD_W)).astype(np.float32)
+        depth_np[drng.rand(*depth_np.shape) < 0.2] = -1.0
+        depth_t = torch.from_numpy(depth_np)
+
     captured = _capture_loss(monkeypatch, ref.kitti)
     fwd = tnet.forward_level_first if args.level_first \
         else tnet.forward_iter_first
-    t_out = fwd(sat_t, grd_t, gt_u, gt_v, gt_h, mode="train")
+    t_out = fwd(sat_t, grd_t, gt_u, gt_v, gt_h, mode="train",
+                gt_depth=depth_t)
     t_loss = float(t_out[0])
     t_lat_f, t_lon_f, t_th_f = fwd(sat_t, grd_t, gt_u, gt_v, gt_h,
-                                   mode="test")
+                                   mode="test", gt_depth=depth_t)
     # the reference's random re-init must not have fired (it would inject
     # un-seeded torch randomness and void the comparison)
     for k in ("lats", "lons"):
@@ -235,25 +286,28 @@ def test_s2gp_whole_model(ref, tmp_path, monkeypatch, overrides):
                  use_banded_warp=0, dropout=0, damping=0.1,
                  N_iters=args.N_iters, level_first=args.level_first,
                  Optimizer=args.Optimizer, using_weight=args.using_weight,
-                 use_hessian=args.use_hessian,
+                 use_hessian=args.use_hessian, proj=args.proj,
+                 loss_method=args.loss_method, use_gt_depth=args.use_gt_depth,
                  train_damping=args.train_damping)
     params = import_pth(_save_sd(tnet, tmp_path, "s2gp.pth"), cfg)
     model = LMS2GP(cfg=cfg)
     rngs = {"lm": jax.random.PRNGKey(0)}
 
+    j_depth = None if depth_np is None else jnp.asarray(depth_np)
     j_lats, j_lons, j_ths = model.apply(
         {"params": params}, jnp.asarray(sat), jnp.asarray(grd),
-        mode="trajectory", rngs=rngs)
+        mode="trajectory", gt_depth=j_depth, rngs=rngs)
     _compare_traj((j_lats, j_lons, j_ths),
                   (captured["lats"], captured["lons"], captured["thetas"]))
 
     diag = model.apply({"params": params}, jnp.asarray(sat), jnp.asarray(grd),
-                       jnp.asarray(gt), mode="train", rngs=rngs)
+                       jnp.asarray(gt), mode="train", gt_depth=j_depth,
+                       rngs=rngs)
     np.testing.assert_allclose(float(diag.loss), t_loss, rtol=1e-4)
 
     j_lat, j_lon, j_th = model.apply(
         {"params": params}, jnp.asarray(sat), jnp.asarray(grd), mode="test",
-        rngs=rngs)
+        gt_depth=j_depth, rngs=rngs)
     np.testing.assert_allclose(np.asarray(j_lat), t_lat_f.detach().numpy(),
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(j_lon), t_lon_f.detach().numpy(),
@@ -400,3 +454,103 @@ def test_ford_whole_model(ref, tmp_path, monkeypatch, overrides):
         jnp.asarray(R_FL), jnp.asarray(T_FL), jnp.asarray(gt), mode="train",
         rngs=rngs)
     np.testing.assert_allclose(float(diag.loss), t_loss, rtol=1e-4)
+
+
+def test_g2sp_corr_head_parity(ref, tmp_path, monkeypatch):
+    """Dense-correlation translation-search head (LM_G2SP.corr) vs the
+    reference: train-mode soft-margin triplet loss and test-mode argmin
+    shifts on imported weights (reference models_kitti.py:501-595)."""
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.config import Config
+    from highlyaccurate_tpu.geometry.kitti import DEFAULT_CAMERA_K
+    from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
+    from highlyaccurate_tpu.train.checkpoint import import_pth
+
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    args = _Args()
+    args.direction = "G2SP"
+    # keep every level's crop window positive at SAT=64 and the crop margins
+    # even (torchvision center-crop rounding is exercised by the even case;
+    # the odd-margin rounding is covered by the stub itself)
+    args.shift_range_lat = args.shift_range_lon = 1.6
+    tnet = ref.kitti.LM_G2SP(args)
+    _randomize(tnet, seed=41)
+    tnet.eval()
+
+    sat, grd, gt = _inputs(seed=42)
+    B = sat.shape[0]
+    k = np.broadcast_to(DEFAULT_CAMERA_K, (B, 3, 3)).astype(np.float32).copy()
+    k[:, 0, :] *= GRD_W / 1024.0
+    k[:, 1, :] *= GRD_H / 256.0
+    sat_t, grd_t = _nchw(sat), _nchw(grd)
+    k_t = torch.from_numpy(k)
+    gt_u = torch.from_numpy(gt[:, 0:1])
+    gt_v = torch.from_numpy(gt[:, 1:2])
+
+    with torch.no_grad():
+        t_loss = float(tnet.corr(sat_t, grd_t, k_t, gt_u, gt_v, mode="train"))
+        t_pu, t_pv = tnet.corr(sat_t, grd_t, k_t, mode="test")
+
+    cfg = Config(grd_h=GRD_H, grd_w=GRD_W, sat_size=SAT, level=3,
+                 direction="G2SP", shift_range_lat=1.6, shift_range_lon=1.6)
+    params = import_pth(_save_sd(tnet, tmp_path, "g2sp_corr.pth"), cfg)
+    model = LMG2SP(cfg=cfg)
+
+    j_loss = model.apply({"params": params}, jnp.asarray(sat),
+                         jnp.asarray(grd), jnp.asarray(k), jnp.asarray(gt),
+                         mode="train", method="corr")
+    np.testing.assert_allclose(float(j_loss), t_loss, rtol=1e-4)
+
+    j_pu, j_pv = model.apply({"params": params}, jnp.asarray(sat),
+                             jnp.asarray(grd), jnp.asarray(k), mode="test",
+                             method="corr")
+    np.testing.assert_allclose(np.asarray(j_pu), t_pu.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_pv), t_pv.numpy(), atol=1e-5)
+
+
+def test_s2gp_orien_corr_parity(ref, tmp_path, monkeypatch):
+    """Orientation-only polar correlation head (LM_S2GP.orien_corr) vs the
+    reference on imported weights: train-mode heading triplet loss and
+    test-mode argmin orientation (reference models_kitti.py:1543-1624),
+    with the reference's polar grids rebuilt at the reduced satellite size
+    (see _reduced_polar_grids)."""
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.config import Config
+    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+    from highlyaccurate_tpu.train.checkpoint import import_pth
+
+    args = _Args()
+    tnet = ref.kitti.LM_S2GP(args)
+    tnet.xyz_grds = _reduced_rays(tnet)
+    tnet.polar_grids = _reduced_polar_grids(tnet, SAT)
+    _randomize(tnet, seed=51)
+    tnet.eval()
+
+    sat, grd, gt = _inputs(seed=52)
+    sat_t, grd_t = _nchw(sat), _nchw(grd)
+    gt_u = torch.from_numpy(gt[:, 0:1])
+    gt_v = torch.from_numpy(gt[:, 1:2])
+    gt_h = torch.from_numpy(gt[:, 2:3])
+
+    with torch.no_grad():
+        t_loss = float(tnet.orien_corr(sat_t, grd_t, gt_u, gt_v, gt_h,
+                                       mode="train"))
+        t_orien = tnet.orien_corr(sat_t, grd_t, mode="test")
+
+    cfg = Config(grd_h=GRD_H, grd_w=GRD_W, sat_size=SAT, level=3,
+                 use_banded_warp=0)
+    params = import_pth(_save_sd(tnet, tmp_path, "s2gp_oc.pth"), cfg)
+    model = LMS2GP(cfg=cfg)
+    rngs = {"lm": jax.random.PRNGKey(0)}
+
+    j_loss = model.apply({"params": params}, jnp.asarray(sat),
+                         jnp.asarray(grd), jnp.asarray(gt), mode="train",
+                         method="orien_corr", rngs=rngs)
+    np.testing.assert_allclose(float(j_loss), t_loss, rtol=1e-4)
+
+    j_orien = model.apply({"params": params}, jnp.asarray(sat),
+                          jnp.asarray(grd), mode="test",
+                          method="orien_corr", rngs=rngs)
+    np.testing.assert_allclose(np.asarray(j_orien),
+                               t_orien.numpy().astype(np.float32), atol=1e-5)
