@@ -87,8 +87,10 @@ class LMG2SP(nn.Module):
             conf_proj, _ = grid_sample(grd_conf, uv)
         return feat_proj, conf_proj, jac
 
-    def _project_grd_banded(self, grd_feat, pose, camera_k, A: int):
-        """Projective-line Pallas sampler (G2SP eval fast path).
+    def _project_grd_banded(self, grd_feat, pose, camera_k, A: int,
+                            diff: bool = False):
+        """Projective-line Pallas sampler (G2SP eval fast path; with
+        ``diff`` the differentiable custom-VJP variant serving TRAINING).
 
         Along one sat COLUMN the ground-plane points form a 3D line whose
         perspective image is a straight, near-horizontal line — the
@@ -116,12 +118,13 @@ class LMG2SP(nn.Module):
         dh = jnp.einsum("bik,jk->bji", P, dX)
         coefs = pack_projline_coefs(h0, dh, Hg, Wg, Hg, A)
 
-        key_ = ("projline", Hg, Wg, C, A)
+        key_ = ("projline", Hg, Wg, C, A, diff)
         sampler = _BANDED_CACHE.get(key_)
         if sampler is None:
             sampler = make_projline_sampler(
                 AY=Hg, AX=Wg, C=C, V=A, W=A,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                differentiable=diff)
             _BANDED_CACHE[key_] = sampler
         out, dx, dy = sampler(grd_feat, coefs)            # [B, j, i, C]
         tr = lambda t: jnp.transpose(t, (0, 2, 1, 3))     # -> [B, i, j, C]
@@ -157,12 +160,14 @@ class LMG2SP(nn.Module):
         collect_aux = mode == "train" and cfg.loss_method > 0
         aux_feats = {lvl: [] for lvl in range(len(self._slots))}
 
-        # projective-line Pallas fast path: eval-only (no VJP), geo proj,
-        # unweighted LM (using_weight folds conf into the update otherwise);
-        # needs the bf16 full-map residency.  use_banded_warp=2 forces the
-        # interpret-mode kernel off-TPU (tests).
-        banded = (mode != "train" and cfg.proj == "geo"
-                  and cfg.Optimizer == "LM"
+        # projective-line Pallas fast path: geo proj, unweighted LM
+        # (using_weight folds conf into the update otherwise); needs the
+        # bf16 full-map residency.  Eval uses the VJP-free kernel; TRAIN
+        # uses the differentiable custom-VJP variant (the XLA
+        # gather/scatter formulation measured 0.43 fps at batch 8 —
+        # PERF.md round 3).  use_banded_warp=2 forces the interpret-mode
+        # kernel off-TPU (tests).
+        banded = (cfg.proj == "geo" and cfg.Optimizer == "LM"
                   and bool(cfg.use_banded_warp) and not cfg.using_weight
                   and bool(cfg.banded_bf16_map) and not collect_aux
                   and (jax.default_backend() == "tpu"
@@ -175,7 +180,7 @@ class LMG2SP(nn.Module):
                 projline_supported
             if banded and projline_supported(Hg, Wg, Cg):
                 g_proj, dx, dy, duv = self._project_grd_banded(
-                    grd_feats[lvl], p, camera_k, A)
+                    grd_feats[lvl], p, camera_k, A, diff=(mode == "train"))
                 new_p = lm_update_implicit_pixel(
                     p, g_proj, dx, dy, sat_feats[lvl], duv,
                     self.damping, lm_cfg)
@@ -228,10 +233,13 @@ class LMG2SP(nn.Module):
         else:
             order = [(it, lvl) for it in range(cfg.N_iters)
                      for lvl in range(n_levels)]
+            # G2SP train rounds ALWAYS remat: the per-round (out, dx, dy)
+            # residuals are sat-grid-sized [B, A, A, C] — 15 unrolled rounds
+            # of them exceed v5e HBM at batch 8 on both the gather and the
+            # kernel path (measured OOM, PERF.md round 3); recomputing one
+            # round's forward in the backward is minor next to its VJP.
             for it, lvl in order:
-                fn = (lambda p, lvl=lvl: level_round(p, lvl))
-                if cfg.remat:
-                    fn = jax.checkpoint(fn)
+                fn = jax.checkpoint(lambda p, lvl=lvl: level_round(p, lvl))
                 pose, g_proj = fn(pose)
                 traj.append(pose)
                 if collect_aux:

@@ -992,12 +992,17 @@ def _cread_pl(coef_ref, b, v, i: int):
     return coef_ref[b, v * _NCOEF_PL + i]
 
 
-def _weights_projline(coef_ref, b, v, *, W: int, AY: int, AX: int):
+def _weights_projline(coef_ref, b, v, *, W: int, AY: int, AX: int,
+                      col0=None, ncols=None):
     """Per-row weight construction for projective lines.
 
-    Same contract as _weights (wx/dwx [W, AX], rel, fy, sj, m, oy_f) with
+    Same contract as _weights (wx/dwx [W, ncols], rel, fy, sj, m, oy_f) with
     x(u), y(u) from the homogeneous divide and the in-bounds mask extended
-    by the den > eps (in-front-of-camera) condition."""
+    by the den > eps (in-front-of-camera) condition.  ``col0``/``ncols``
+    restrict the map-column extent to a block (backward accumulator
+    blocking); default = all AX columns."""
+    if ncols is None:
+        ncols = AX
     nx0 = _cread_pl(coef_ref, b, v, 0)
     dnx = _cread_pl(coef_ref, b, v, 1)
     ny0 = _cread_pl(coef_ref, b, v, 2)
@@ -1024,7 +1029,10 @@ def _weights_projline(coef_ref, b, v, *, W: int, AY: int, AX: int):
     quirk = ((x0f < AX - 1) & (y0f < AY - 1)).astype(jnp.float32)
     m = mask.astype(jnp.float32) * quirk
 
-    j = jax.lax.broadcasted_iota(jnp.int32, (W, AX), 1).astype(jnp.float32)
+    j = jax.lax.broadcasted_iota(jnp.int32, (W, ncols), 1).astype(jnp.float32)
+    if col0 is not None:
+        j = j + (jnp.float32(col0) if isinstance(col0, (int, float))
+                 else col0.astype(jnp.float32))
     x0b = x0f[:, None]
     hit0 = (j == x0b).astype(jnp.float32)
     hit1 = (j == (x0b + 1.0)).astype(jnp.float32)
@@ -1039,10 +1047,13 @@ def _weights_projline(coef_ref, b, v, *, W: int, AY: int, AX: int):
     return wx, dwx, rel, fy, sj, m, oy_f
 
 
-def _kernel_projline_fullmap(coef_ref, map_ref, out_ref, dx_ref, dy_ref, *,
-                             RB: int, W: int, AY: int, AX: int, C: int,
-                             cfirst: bool):
-    """Full-map projective-line forward (map VMEM-resident, dynamic scan)."""
+def _kernel_projline_fullmap(coef_ref, map_ref, out_ref, dx_ref, dy_ref,
+                             *rest, RB: int, W: int, AY: int, AX: int,
+                             C: int, cfirst: bool, with_dxy: bool = False):
+    """Full-map projective-line forward (map VMEM-resident, dynamic scan).
+    ``with_dxy`` adds the cross-derivative output (the differentiable train
+    variant's VJP needs it for the coefficient gradients)."""
+    dxy_ref = rest[0] if with_dxy else None
     b = pl.program_id(0)
     v = pl.program_id(1)
     oy_f = _cread_pl(coef_ref, b, v, 7)
@@ -1055,13 +1066,13 @@ def _kernel_projline_fullmap(coef_ref, map_ref, out_ref, dx_ref, dy_ref, *,
         return map_ref[0, pl.ds(oy + base, _SHEAR_CHUNK)]
 
     _accumulate_rows(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
-                     out_ref, dx_ref, dy_ref, None,
+                     out_ref, dx_ref, dy_ref, dxy_ref,
                      RB=RB, W=W, A=AX, C=C, cfirst=cfirst, n_chunks=nck)
 
 
-def _kernel_projline_blocked(coef_ref, map_ref, out_ref, dx_ref, dy_ref, *,
-                             W: int, AY: int, AX: int, C: int, CBW: int,
-                             cfirst: bool):
+def _kernel_projline_blocked(coef_ref, map_ref, out_ref, dx_ref, dy_ref,
+                             *rest, W: int, AY: int, AX: int, C: int,
+                             CBW: int, cfirst: bool, with_dxy: bool = False):
     """Column-blocked projective-line forward (round-3 VERDICT #3).
 
     The full-map kernel scans the whole map width (and the row's full
@@ -1073,6 +1084,7 @@ def _kernel_projline_blocked(coef_ref, map_ref, out_ref, dx_ref, dy_ref, *,
     the row's x-extent via pl.when) cuts the VPU select-scan work ~9-32x at
     the production levels (PERF.md round-3 measurement).
     """
+    dxy_ref = rest[0] if with_dxy else None
     b = pl.program_id(0)
     v = pl.program_id(1)
     nx0 = _cread_pl(coef_ref, b, v, 0)
@@ -1106,6 +1118,8 @@ def _kernel_projline_blocked(coef_ref, map_ref, out_ref, dx_ref, dy_ref, *,
     out_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
     dx_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
     dy_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+    if with_dxy:
+        dxy_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
 
     max_ck = AY // _SHEAR_CHUNK
     for jb in range(AX // CBW):
@@ -1158,10 +1172,12 @@ def _kernel_projline_blocked(coef_ref, map_ref, out_ref, dx_ref, dy_ref, *,
             acc_o = jnp.zeros((W, C), jnp.float32)
             acc_dx = jnp.zeros((W, C), jnp.float32)
             acc_dy = jnp.zeros((W, C), jnp.float32)
+            acc_dxy = jnp.zeros((W, C), jnp.float32) if with_dxy else None
             for r in range(4):
                 sh = _shear_row(read_chunk, sj, oy_f, r, RB=AY, A=CBW, C=C,
                                 cfirst=cfirst, n_chunks=nck_b)
-                w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
+                w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy,
+                                                          m, r)
 
                 def contract(wmat):
                     if cfirst:
@@ -1174,9 +1190,13 @@ def _kernel_projline_blocked(coef_ref, map_ref, out_ref, dx_ref, dy_ref, *,
                 acc_o = acc_o + contract(w_o)
                 acc_dx = acc_dx + contract(w_dx)
                 acc_dy = acc_dy + contract(w_dy)
+                if with_dxy:
+                    acc_dxy = acc_dxy + contract(w_dxy)
             out_ref[0, 0] += acc_o
             dx_ref[0, 0] += acc_dx
             dy_ref[0, 0] += acc_dy
+            if with_dxy:
+                dxy_ref[0, 0] += acc_dxy
 
 
 def pack_projline_coefs(h0, dh, AY: int, AX: int, RB: int, W: int):
@@ -1256,30 +1276,22 @@ def projline_supported(AY: int, AX: int, C: int) -> bool:
     return AY % _SHEAR_CHUNK == 0 and AY * AX * C * 2 <= _FULLMAP_VMEM_BUDGET
 
 
-def make_projline_sampler(AY: int, AX: int, C: int, V: int, W: int,
-                          interpret: bool = False, blocked: bool = True):
-    """Build fn(img [B, AY, AX, C], coefs [B, V, _NCOEF_PL])
-      -> (out, dx, dy) [B, V, W, C].
-
-    Samples the (rectangular) image along V projective lines with W samples
-    each; bilinear semantics identical to grid_sample with the G2SP clamped
-    denominator replaced by an explicit in-front mask.  bf16 full-map only
-    (every ground-feature level fits VMEM at bf16); eval-only — NOT
-    differentiable.  ``blocked`` selects the column-blocked kernel (x-span
-    block skipping + per-block y-windows; see _kernel_projline_blocked).
-    """
-    assert AY % _SHEAR_CHUNK == 0
-    cfirst = (C % 128 != 0) and (AX % 128 == 0)
-    assert AY * AX * C * 2 <= _FULLMAP_VMEM_BUDGET, "map too large for VMEM"
+def _raw_projline_forward(AY: int, AX: int, C: int, V: int, W: int,
+                          cfirst: bool, interpret: bool, blocked: bool,
+                          with_dxy: bool):
+    """fn(img_kernel_layout bf16, coefs_flat) -> (out, dx, dy[, dxy])."""
     RB = AY  # window = whole height; the dynamic chunk bound does the work
     map_shape = (AY, C, AX) if cfirst else (AY, AX, C)
     CBW = 128
+    n_out = 4 if with_dxy else 3
     if blocked and AX % CBW == 0:
         kernel = functools.partial(_kernel_projline_blocked, W=W, AY=AY,
-                                   AX=AX, C=C, CBW=CBW, cfirst=cfirst)
+                                   AX=AX, C=C, CBW=CBW, cfirst=cfirst,
+                                   with_dxy=with_dxy)
     else:
         kernel = functools.partial(_kernel_projline_fullmap, RB=RB, W=W,
-                                   AY=AY, AX=AX, C=C, cfirst=cfirst)
+                                   AY=AY, AX=AX, C=C, cfirst=cfirst,
+                                   with_dxy=with_dxy)
 
     def build(B: int):
         out_spec = pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),
@@ -1291,21 +1303,263 @@ def make_projline_sampler(AY: int, AX: int, C: int, V: int, W: int,
                 (1,) + map_shape, lambda b, v, c: (b, 0, 0, 0),
                 pipeline_mode=pl.Buffered(buffer_count=1),
                 memory_space=pltpu.VMEM)],
-            out_specs=(out_spec,) * 3,
+            out_specs=(out_spec,) * n_out,
         )
         return pl.pallas_call(
             kernel,
             out_shape=tuple(jax.ShapeDtypeStruct((B, V, W, C), jnp.float32)
-                            for _ in range(3)),
+                            for _ in range(n_out)),
             grid_spec=grid_spec,
             interpret=interpret,
         )
 
-    def sample(img, coefs):
+    def fwd(img_k, coefs_flat):
+        return build(img_k.shape[0])(coefs_flat, img_k)
+
+    return fwd
+
+
+def _bwd_kernel_projline(coef_ref, go_ref, gdx_ref, gdy_ref, grad_ref,
+                         *, W: int, AY: int, AX: int, C: int, CB: int,
+                         cfirst: bool):
+    """Backward w.r.t. the (rectangular) image for the projective-line
+    sampler: the same scatter-free banded transpose as _bwd_kernel, with
+    the per-row weights built from the projective divide and the block
+    skip / y-window driven by the packed x-extent + exact image line
+    (slope, xref, yref — pack_projline_coefs lanes 6/9-12)."""
+    b = pl.program_id(0)
+    cb = pl.program_id(1)
+    v = pl.program_id(2)
+
+    @pl.when(v == 0)
+    def _zero():
+        grad_ref[...] = jnp.zeros_like(grad_ref)
+
+    col0 = cb * CB
+    xlo = _cread_pl(coef_ref, b, v, 11)
+    xhi = _cread_pl(coef_ref, b, v, 12)
+    blk_hit = (xhi >= jnp.float32(col0 - 1)) & (xlo <= jnp.float32(col0 + CB))
+
+    @pl.when(blk_hit)
+    def _body():
+        wx, dwx, rel, fy, sj, m, _ = _weights_projline(
+            coef_ref, b, v, W=W, AY=AY, AX=AX, col0=col0, ncols=CB)
+        slope = _cread_pl(coef_ref, b, v, 6)
+        xref = _cread_pl(coef_ref, b, v, 9)
+        yref = _cread_pl(coef_ref, b, v, 10)
+        xa2 = jnp.maximum(jnp.float32(col0 - 1), xlo - 1.0)
+        xb2 = jnp.minimum(jnp.float32(col0 + CB), xhi + 1.0)
+        ya2 = yref + (xa2 - xref) * slope
+        yb2 = yref + (xb2 - xref) * slope
+        ymin_b = jnp.minimum(ya2, yb2)
+        ymax_b = jnp.clip(jnp.maximum(ya2, yb2), 0.0, AY - 1.0)
+        oy_b = jnp.clip(((jnp.floor(ymin_b) - 1.0).astype(jnp.int32)
+                         // _SHEAR_CHUNK) * _SHEAR_CHUNK,
+                        0, max(AY - _SHEAR_CHUNK, 0))
+        avail = (AY - oy_b) // _SHEAR_CHUNK
+        nck = jnp.ceil((ymax_b + 4.0 - oy_b.astype(jnp.float32))
+                       / _SHEAR_CHUNK).astype(jnp.int32)
+        nck = jnp.minimum(jnp.clip(nck, 1, AY // _SHEAR_CHUNK), avail)
+        c0 = oy_b // _SHEAR_CHUNK
+
+        g_o = go_ref[0, 0]
+        g_dx = gdx_ref[0, 0]
+        g_dy = gdy_ref[0, 0]
+
+        dn_t = (((0,), (0,)), ((), ()))
+        for r in range(4):
+            w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
+            if cfirst:
+                # G [C, CB] to match the [AY, C, CB] block layout
+                G = (jax.lax.dot_general(g_o, w_o, dimension_numbers=dn_t,
+                                         preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(g_dx, w_dx, dimension_numbers=dn_t,
+                                           preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(g_dy, w_dy, dimension_numbers=dn_t,
+                                           preferred_element_type=jnp.float32))
+            else:
+                G = (jax.lax.dot_general(w_o, g_o, dimension_numbers=dn_t,
+                                         preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(w_dx, g_dx, dimension_numbers=dn_t,
+                                           preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(w_dy, g_dy, dimension_numbers=dn_t,
+                                           preferred_element_type=jnp.float32))
+            tgt = sj + (r - 1.0)
+
+            def chunk_body(ci, _):
+                base = (c0 + ci) * _SHEAR_CHUNK
+
+                @pl.when(base < AY)
+                def _acc():
+                    rr = (jax.lax.broadcasted_iota(
+                        jnp.int32, (_SHEAR_CHUNK, CB), 0)
+                        .astype(jnp.float32) + base.astype(jnp.float32))
+                    sel = (rr == tgt).astype(jnp.float32)      # [chunk, CB]
+                    sl = pl.ds(base, _SHEAR_CHUNK)
+                    if cfirst:
+                        grad_ref[0, sl] = (grad_ref[0, sl]
+                                           + sel[:, None, :] * G[None])
+                    else:
+                        grad_ref[0, sl] = (grad_ref[0, sl]
+                                           + sel[:, :, None] * G[None])
+                return 0
+
+            jax.lax.fori_loop(0, nck, chunk_body, 0)
+
+
+def _bwd_col_blocks_rect(AY: int, AX: int, C: int, cfirst: bool,
+                         target: int = 8 * 2 ** 20):
+    """Column-block width over AX for the projline backward accumulator
+    (rectangular-map variant of _bwd_col_blocks)."""
+    n = 1
+    while AY * (AX // n) * C * 4 > target and (AX // n) > (128 if cfirst
+                                                           else 8):
+        n *= 2
+    cb = AX // n
+    align = 128 if cfirst else 8
+    if cb != AX and cb % align != 0:
+        raise ValueError(
+            f"projline backward: column block {cb} for AX={AX}, C={C} is "
+            f"not {align}-aligned; use a map width that is a multiple of "
+            f"{align} times a power of two")
+    return cb
+
+
+def _raw_projline_backward(AY: int, AX: int, C: int, V: int, W: int,
+                           cfirst: bool, interpret: bool):
+    """fn(coefs_flat, g_o, g_dx, g_dy) -> grad_img (kernel layout, f32),
+    accumulated in VMEM-resident column blocks (see _bwd_kernel_projline)."""
+    assert AY % _SHEAR_CHUNK == 0
+    CB = _bwd_col_blocks_rect(AY, AX, C, cfirst)
+    n_cb = AX // CB
+    kernel = functools.partial(_bwd_kernel_projline, W=W, AY=AY, AX=AX, C=C,
+                               CB=CB, cfirst=cfirst)
+    img_shape = (AY, C, AX) if cfirst else (AY, AX, C)
+    if cfirst:
+        out_spec = pl.BlockSpec((1, AY, C, CB),
+                                lambda b, cb, v, c: (b, 0, 0, cb),
+                                pipeline_mode=pl.Buffered(buffer_count=1),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_spec = pl.BlockSpec((1, AY, CB, C),
+                                lambda b, cb, v, c: (b, 0, cb, 0),
+                                pipeline_mode=pl.Buffered(buffer_count=1),
+                                memory_space=pltpu.VMEM)
+
+    def build(B: int):
+        g_spec = pl.BlockSpec((1, 1, W, C), lambda b, cb, v, c: (b, v, 0, 0),
+                              memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_cb, V),
+            in_specs=[g_spec, g_spec, g_spec],
+            out_specs=out_spec,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B,) + img_shape, jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )
+
+    def bwd(coefs_flat, g_o, g_dx, g_dy):
+        return build(g_o.shape[0])(coefs_flat, g_o, g_dx, g_dy)
+
+    return bwd
+
+
+def make_projline_sampler(AY: int, AX: int, C: int, V: int, W: int,
+                          interpret: bool = False, blocked: bool = True,
+                          differentiable: bool = False):
+    """Build fn(img [B, AY, AX, C], coefs [B, V, _NCOEF_PL])
+      -> (out, dx, dy) [B, V, W, C].
+
+    Samples the (rectangular) image along V projective lines with W samples
+    each; bilinear semantics identical to grid_sample with the G2SP clamped
+    denominator replaced by an explicit in-front mask.  bf16 full-map only
+    (every ground-feature level fits VMEM at bf16).  ``blocked`` selects the
+    column-blocked kernel (x-span block skipping + per-block y-windows; see
+    _kernel_projline_blocked).
+
+    ``differentiable`` wraps the sampler in a custom VJP (the G2SP TRAIN
+    path): grad w.r.t. the image comes from the scatter-free resident-block
+    transpose kernel (_bwd_kernel_projline — the XLA scatter formulation
+    measured 0.43 fps at batch 8, PERF.md round 3), grad w.r.t. the first 6
+    coefficient lanes (nx0, dnx, ny0, dny, d0, dd) from the analytic
+    quotient-rule chain through the saved (dx, dy, dxy); window/mask lanes
+    get zero gradient (they only move masking discontinuities).  Autodiff
+    then chains coef gradients through pack_projline_coefs to h0/dh and the
+    pose."""
+    assert AY % _SHEAR_CHUNK == 0
+    cfirst = (C % 128 != 0) and (AX % 128 == 0)
+    assert AY * AX * C * 2 <= _FULLMAP_VMEM_BUDGET, "map too large for VMEM"
+
+    def _prep(img):
         img = img.astype(jnp.bfloat16)
         if cfirst:
             img = jnp.transpose(img, (0, 1, 3, 2))
-        coefs = coefs.astype(jnp.float32).reshape(coefs.shape[0], -1)
-        return build(img.shape[0])(coefs, img)
+        return img
 
-    return sample
+    raw_eval = _raw_projline_forward(AY, AX, C, V, W, cfirst, interpret,
+                                     blocked, with_dxy=False)
+
+    if not differentiable:
+        def sample(img, coefs):
+            coefs = coefs.astype(jnp.float32).reshape(coefs.shape[0], -1)
+            return raw_eval(_prep(img), coefs)
+        return sample
+
+    raw_fwd = _raw_projline_forward(AY, AX, C, V, W, cfirst, interpret,
+                                    blocked, with_dxy=True)
+    raw_bwd = _raw_projline_backward(AY, AX, C, V, W, cfirst, interpret)
+
+    @jax.custom_vjp
+    def sample(img, coefs):
+        return raw_eval(_prep(img), coefs.reshape(coefs.shape[0], -1))
+
+    def sample_fwd(img, coefs):
+        out, dx, dy, dxy = raw_fwd(_prep(img),
+                                   coefs.reshape(coefs.shape[0], -1))
+        return (out, dx, dy), (coefs, dx, dy, dxy)
+
+    def sample_bwd(res, cts):
+        coefs, dx, dy, dxy = res
+        g_o, g_dx, g_dy = cts
+        grad_img = raw_bwd(coefs.reshape(coefs.shape[0], -1),
+                           g_o, g_dx, g_dy)
+        if cfirst:
+            grad_img = jnp.transpose(grad_img, (0, 1, 3, 2))
+
+        # coef gradients: out depends on (x, y) via the bilinear surface
+        # (d2/dx2 = d2/dy2 = 0 a.e., the cross term dxy survives) and
+        # x = (nx0 + dnx*u)/den, y = (ny0 + dny*u)/den, den = d0 + dd*u
+        nx0, dnx = coefs[..., 0], coefs[..., 1]
+        ny0, dny = coefs[..., 2], coefs[..., 3]
+        d0, dd = coefs[..., 4], coefs[..., 5]
+        u = jnp.arange(W, dtype=jnp.float32)
+        den = d0[..., None] + dd[..., None] * u            # [B, V, W]
+        infront = (den > 1e-6).astype(jnp.float32)
+        deni = infront / jnp.where(den > 1e-6, den, 1.0)
+        x = (nx0[..., None] + dnx[..., None] * u) * deni
+        y = (ny0[..., None] + dny[..., None] * u) * deni
+        g_x = jnp.sum(g_o * dx + g_dy * dxy, axis=-1)      # [B, V, W]
+        g_y = jnp.sum(g_o * dy + g_dx * dxy, axis=-1)
+        gd = g_x * deni
+        ge = g_y * deni
+        gden = -(x * g_x + y * g_y) * deni
+        cols = [jnp.sum(gd, -1), jnp.sum(gd * u, -1),
+                jnp.sum(ge, -1), jnp.sum(ge * u, -1),
+                jnp.sum(gden, -1), jnp.sum(gden * u, -1)]
+        zeros = jnp.zeros_like(cols[0])
+        grad_coefs = jnp.stack(cols + [zeros] * (_NCOEF_PL - 6), axis=-1)
+        return grad_img, grad_coefs
+
+    sample.defvjp(sample_fwd, sample_bwd)
+
+    def sample_pub(img, coefs):
+        # f32 casts OUTSIDE the custom_vjp: the cotangents the VJP returns
+        # are then f32 and autodiff casts them back upstream (bf16 feature
+        # compute), same pattern as make_banded_sampler.sample_uv
+        return sample(img.astype(jnp.float32), coefs.astype(jnp.float32))
+
+    return sample_pub

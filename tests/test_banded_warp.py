@@ -347,3 +347,95 @@ def test_projline_blocked_matches_fullmap(Cp):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dy_b), np.asarray(dy_f),
                                rtol=1e-5, atol=1e-5)
+
+
+def _projlines(Bp, AY, AX, Vp, Wp, seed):
+    """Random projective lines (h0, dh) with gentle slope and den > 0."""
+    rng = np.random.RandomState(seed)
+    x0 = rng.uniform(2, AX - 14, (Bp, Vp))
+    y0 = rng.uniform(2, AY - 4, (Bp, Vp))
+    sl = rng.uniform(-0.4, 0.4, (Bp, Vp))
+    step = rng.uniform(1.0, 3.0, (Bp, Vp))
+    d0 = rng.uniform(0.8, 1.6, (Bp, Vp))
+    dd = rng.uniform(-0.02, 0.02, (Bp, Vp))
+    h0 = np.stack([x0 * d0, y0 * d0, d0], -1).astype(np.float32)
+    h1x = (x0 + step * (Wp - 1)) * (d0 + dd * (Wp - 1))
+    h1y = (y0 + sl * step * (Wp - 1)) * (d0 + dd * (Wp - 1))
+    h1 = np.stack([h1x, h1y, d0 + dd * (Wp - 1)], -1).astype(np.float32)
+    dh = (h1 - h0) / (Wp - 1)
+    return jnp.asarray(h0), jnp.asarray(dh)
+
+
+def test_projline_diff_primal_matches_eval():
+    """The differentiable projline sampler's primal equals the eval-only
+    kernel bit-for-bit (same inputs, interpret mode)."""
+    from highlyaccurate_tpu.ops.pallas.banded_warp import (
+        make_projline_sampler, pack_projline_coefs)
+    Bp, AY, AX, Cp, Vp, Wp = 2, 16, 48, 8, 6, 12
+    rng = np.random.RandomState(51)
+    img = jnp.asarray(rng.rand(Bp, AY, AX, Cp).astype(np.float32))
+    h0, dh = _projlines(Bp, AY, AX, Vp, Wp, seed=52)
+    coefs = pack_projline_coefs(h0, dh, AY, AX, AY, Wp)
+
+    ev = make_projline_sampler(AY=AY, AX=AX, C=Cp, V=Vp, W=Wp,
+                               interpret=True)
+    df = make_projline_sampler(AY=AY, AX=AX, C=Cp, V=Vp, W=Wp,
+                               interpret=True, differentiable=True)
+    for a, b in zip(ev(img, coefs), df(img, coefs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("Cp,AX", [(8, 48), (128, 256)], ids=["cfirst", "cl"])
+def test_projline_diff_grad_parity(Cp, AX):
+    """Gradients through the differentiable projline sampler (w.r.t. the
+    image and the homogeneous line params h0/dh) match autodiff through
+    the grid_sample composition on the SAME bf16-quantized image, both
+    map layouts.  Covers the custom VJP's resident-block backward kernel
+    and the analytic quotient-rule coefficient chain."""
+    from highlyaccurate_tpu.ops.pallas.banded_warp import (
+        make_projline_sampler, pack_projline_coefs)
+    Bp, AY, Vp, Wp = 2, 16, 6, 12
+    rng = np.random.RandomState(61)
+    img = jnp.asarray(rng.rand(Bp, AY, AX, Cp).astype(np.float32))
+    h0, dh = _projlines(Bp, AY, AX, Vp, Wp, seed=62)
+    cw = jnp.asarray(rng.randn(Bp, Vp, Wp, Cp).astype(np.float32))
+    cx = jnp.asarray(rng.randn(Bp, Vp, Wp, Cp).astype(np.float32))
+    cy = jnp.asarray(rng.randn(Bp, Vp, Wp, Cp).astype(np.float32))
+
+    df = make_projline_sampler(AY=AY, AX=AX, C=Cp, V=Vp, W=Wp,
+                               interpret=True, differentiable=True)
+
+    def loss_kernel(img, h0, dh):
+        coefs = pack_projline_coefs(h0, dh, AY, AX, AY, Wp)
+        out, dx, dy = df(img, coefs)
+        return jnp.sum(cw * out) + jnp.sum(cx * dx) + jnp.sum(cy * dy)
+
+    def loss_oracle(img, h0, dh):
+        # same bf16 map quantization as the kernel; same divide + in-front
+        # mask semantics as _weights_projline
+        img_q = img.astype(jnp.bfloat16).astype(jnp.float32)
+        u = jnp.arange(Wp, dtype=jnp.float32)
+        hu = h0[:, :, None, :] + u[None, None, :, None] * dh[:, :, None, :]
+        infront = (hu[..., 2] > 1e-6).astype(jnp.float32)
+        den = jnp.where(hu[..., 2] > 1e-6, hu[..., 2], 1.0)
+        uv = hu[..., :2] / den[..., None]
+        duv = jnp.broadcast_to(jnp.eye(2), uv.shape[:-1] + (2, 2))
+        out, jac = grid_sample(img_q, uv.reshape(Bp, Vp * Wp, 1, 2),
+                               duv.reshape(Bp, Vp * Wp, 1, 2, 2))
+        out = out.reshape(Bp, Vp, Wp, Cp) * infront[..., None]
+        jac = jac.reshape(Bp, Vp, Wp, Cp, 2) * infront[..., None, None]
+        return (jnp.sum(cw * out) + jnp.sum(cx * jac[..., 0])
+                + jnp.sum(cy * jac[..., 1]))
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(img, h0, dh)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2))(img, h0, dh)
+    # img: the oracle's astype(bf16) rounds the COTANGENT to bf16 on the way
+    # back (convert_element_type transpose); the kernel VJP keeps the fp32
+    # bilinear weights — allow bf16-epsilon relative slack there
+    tols = {"img": dict(rtol=8e-3, atol=2e-3),
+            "h0": dict(rtol=1e-3, atol=2e-3),
+            "dh": dict(rtol=1e-3, atol=2e-3)}
+    for name, a, b in zip(("img", "h0", "dh"), gk, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   err_msg=name, **tols[name])
