@@ -30,6 +30,8 @@ from highlyaccurate_tpu.models.nnrefine import NNrefine
 from highlyaccurate_tpu.models.vggunet import VGGUnet
 from highlyaccurate_tpu.ops.grid_sample import grid_sample, grid_sample_derivs
 from highlyaccurate_tpu.solver.updates import (LMConfig, gn_update, lm_update,
+                                               lm_update_from_moments,
+                                               lm_update_implicit,
                                                lm_update_implicit_pixel_norm,
                                                sgd_update_l1)
 
@@ -61,13 +63,21 @@ class LMS2GPFord(nn.Module):
 
     def _project_banded(self, sat_feat, pose, slot: int, R_FL, T_FL,
                         satmap_sidelength_meters, row_start: int,
-                        with_jac: bool):
+                        with_jac: bool, implicit: bool = False,
+                        moments_grd=None):
         """Pallas banded line sampler for the Ford chain (the cam->body->
         world->sat map is affine per ground row, like KITTI S2GP; see
-        ops/pallas/banded_warp.py).  Returns (out, jac, mask2d)."""
+        ops/pallas/banded_warp.py).  Returns (out, jac, mask2d).
+
+        Fast-path variants mirror ``LMS2GP._project_banded``:
+        ``implicit`` returns (out, dx, dy, mask2d, P0, dP) for
+        ``lm_update_implicit`` (no [B,V,W,C,3] Jacobian in HBM);
+        ``moments_grd`` routes through the fused-moment kernel and returns
+        (M [B,V,3,16], P0s, dPs) for ``lm_update_from_moments`` (P0s/dPs
+        component-swapped to kernel axis order)."""
         from highlyaccurate_tpu.models.lm_s2gp import _BANDED_CACHE
         from highlyaccurate_tpu.ops.pallas.banded_warp import (
-            default_rb, make_banded_sampler)
+            default_rb, make_banded_moments, make_banded_sampler)
         cfg = self.cfg
         A, C = sat_feat.shape[1], sat_feat.shape[-1]
         Xc = jnp.asarray(self._rays[slot][0][row_start:])      # [V, W, 3]
@@ -76,6 +86,8 @@ class LMS2GPFord(nn.Module):
         RB = default_rb(A)
 
         Xc01 = Xc[:, :2]
+        if moments_grd is not None:
+            with_jac = True
         uv01, duv01 = fgeom.ford_uv_jac(
             pose, R_FL, T_FL, Xc01, satmap_sidelength_meters, A,
             cfg.rotation_range, cfg.shift_range_lat, cfg.shift_range_lon,
@@ -85,16 +97,38 @@ class LMS2GPFord(nn.Module):
         uv01s = uv01[..., ::-1]
         bf16_map = (cfg.compute_dtype == "bfloat16"
                     or bool(cfg.banded_bf16_map))
+        interp = jax.default_backend() != "tpu"
+        sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))
+
+        if moments_grd is not None:
+            key_ = ("mom", A, C, V, Wg, RB, bf16_map)
+            msampler = _BANDED_CACHE.get(key_)
+            if msampler is None:
+                msampler = make_banded_moments(
+                    A=A, C=C, V=V, W=Wg, RB=RB, bf16_map=bf16_map,
+                    interpret=interp)
+                _BANDED_CACHE[key_] = msampler
+            mask_vw = jnp.asarray(self._rays[slot][1][row_start:])  # [V, W]
+            M = msampler(sat_t, moments_grd, mask_vw,
+                         uv01s[:, :, 0], uv01s[:, :, 1])
+            P0s = duv01[:, :, 0][:, :, ::-1]                   # [B, V, 2, 3]
+            dPs = (duv01[:, :, 1] - duv01[:, :, 0])[:, :, ::-1]
+            return M, P0s, dPs
+
         key_ = (A, C, V, Wg, RB, bf16_map)
         sampler = _BANDED_CACHE.get(key_)
         if sampler is None:
             sampler = make_banded_sampler(
                 A=A, C=C, V=V, W=Wg, RB=RB, bf16_map=bf16_map,
-                interpret=jax.default_backend() != "tpu")
+                interpret=interp)
             _BANDED_CACHE[key_] = sampler
-        sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))
         out, dv_, du_ = sampler(sat_t, uv01s[:, :, 0], uv01s[:, :, 1])
         dx, dy = du_, dv_
+
+        if implicit:
+            P0 = duv01[:, :, 0]                                # [B, V, 2, 3]
+            dP = duv01[:, :, 1] - P0
+            return out, dx, dy, mask2d, P0, dP
 
         jac = None
         if with_jac:
@@ -168,9 +202,11 @@ class LMS2GPFord(nn.Module):
         n_levels = len(self._slots)
         pose0 = jnp.zeros((B, 3), dtype=jnp.float32)
 
+        # use_banded_warp=2 forces the path off-TPU (interpret mode, tests)
         use_banded = (bool(cfg.use_banded_warp) and cfg.proj == "geo"
                       and not cfg.estimate_depth
-                      and jax.default_backend() == "tpu")
+                      and (jax.default_backend() == "tpu"
+                           or cfg.use_banded_warp >= 2))
 
         def level_round(p, it, lvl):
             t = (it * n_levels + lvl) if not cfg.level_first \
@@ -184,6 +220,32 @@ class LMS2GPFord(nn.Module):
                 half = grd_H_full // 2 if cfg.proj == "geo" else 0
                 row_start = 0 if collect_aux else half
                 key = jax.random.fold_in(base_key, t)
+                if (use_banded and cfg.Optimizer == "LM"
+                        and cfg.use_implicit_lm and not cfg.using_weight
+                        and not collect_aux):
+                    # banded implicit-J fast paths (see lm_s2gp): H/g
+                    # contract from the kernel outputs + the per-row affine
+                    # duv — no [B,V,W,C,3] Jacobian in HBM.  At eval the
+                    # fused-moment kernel contracts the 9 LM moments
+                    # in-register, so even out/dx/dy never land in HBM.
+                    if (mode != "train" and bool(cfg.use_fused_moments)
+                            and cfg.dropout == 0):
+                        M, P0s, dPs = self._project_banded(
+                            sat_feats[lvl], p, slot, R_FL, T_FL,
+                            satmap_sidelength_meters, row_start,
+                            with_jac=True,
+                            moments_grd=grd_feats[lvl][:, row_start:])
+                        new_p = lm_update_from_moments(
+                            p, M, P0s, dPs, self.damping, lm_cfg, key)
+                        return new_p, ()
+                    out, dxk, dyk, m2, P0, dP = self._project_banded(
+                        sat_feats[lvl], p, slot, R_FL, T_FL,
+                        satmap_sidelength_meters, row_start,
+                        with_jac=True, implicit=True)
+                    new_p = lm_update_implicit(
+                        p, out, dxk, dyk, grd_feats[lvl][:, row_start:],
+                        m2, P0, dP, self.damping, lm_cfg, key)
+                    return new_p, ()
                 if (not use_banded and cfg.Optimizer == "LM"
                         and cfg.use_implicit_lm and not cfg.using_weight
                         and not collect_aux and not cfg.estimate_depth):

@@ -84,8 +84,9 @@ def test_g2sp_corr_head():
     assert pu.shape == (2,)
 
 
-def _ford_setup(estimate_depth=0, optimizer="LM"):
-    cfg = Config(Optimizer=optimizer, estimate_depth=estimate_depth, **TINY)
+def _ford_setup(estimate_depth=0, optimizer="LM", **over):
+    cfg = Config(Optimizer=optimizer, estimate_depth=estimate_depth,
+                 **{**TINY, **over})
     from highlyaccurate_tpu.models.ford import LMS2GPFord
     model = LMS2GPFord(cfg=cfg)
     rng = np.random.RandomState(1)
@@ -126,3 +127,44 @@ def test_ford_gn_optimizer():
     lat, lon, th = model.apply(params, sat, grd, side_m, R, T, mode="test",
                                rngs={"lm": jax.random.PRNGKey(2)})
     assert np.isfinite(np.asarray([lat, lon, th])).all()
+
+
+def test_ford_banded_implicit_matches_gather():
+    """Ford banded implicit-J eval == gather implicit eval (fp32 map).
+
+    The banded fast paths mirror LMS2GP._project_banded; this pins the
+    Ford wiring (cam->body->world->sat per-row affine duv fed to
+    lm_update_implicit) to the reference-faithful gather path
+    (models_ford.py:380-470 LM forward semantics)."""
+    from highlyaccurate_tpu.models.ford import LMS2GPFord
+    cfg_g, model_g, params, (sat, grd, side_m, R, T, gt) = _ford_setup(
+        use_banded_warp=0, banded_bf16_map=0, N_iters=2)
+    cfg_b = Config(Optimizer="LM", use_banded_warp=2, banded_bf16_map=0,
+                   use_fused_moments=0, **{**TINY, "N_iters": 2})
+    model_b = LMS2GPFord(cfg=cfg_b)
+
+    def run(model):
+        return model.apply(params, sat, grd, side_m, R, T,
+                           mode="trajectory", rngs={"lm": jax.random.PRNGKey(3)})
+
+    for a, b in zip(run(model_g), run(model_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_ford_fused_moments_matches_implicit():
+    """Ford fused-moment eval kernel == banded implicit eval (fp32 map)."""
+    from highlyaccurate_tpu.models.ford import LMS2GPFord
+    _, model_i, params, (sat, grd, side_m, R, T, gt) = _ford_setup(
+        use_banded_warp=2, banded_bf16_map=0, use_fused_moments=0, N_iters=2)
+    cfg_f = Config(Optimizer="LM", use_banded_warp=2, banded_bf16_map=0,
+                   use_fused_moments=1, **{**TINY, "N_iters": 2})
+    model_f = LMS2GPFord(cfg=cfg_f)
+
+    def run(model):
+        return model.apply(params, sat, grd, side_m, R, T,
+                           mode="trajectory", rngs={"lm": jax.random.PRNGKey(3)})
+
+    for a, b in zip(run(model_i), run(model_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
