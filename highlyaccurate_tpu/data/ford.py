@@ -240,8 +240,14 @@ class SyntheticFord:
                  sat_size: int = SIDELENGTH, seed: int = 0):
         self.n, self.grd_h, self.grd_w, self.sat_size = n, grd_h, grd_w, sat_size
         self.seed = seed
-        self.R_FL = qvec2rotmat([0.5, 0.5, -0.5, 0.5]).astype(np.float32)
-        self.T_FL = np.array([1.0, 0.5, -1.4], np.float32)
+        # the actual Ford-AV FL-camera rig (cameraFrontLeft_body.yaml values,
+        # reference Ford_dataset.py:118-129): optical->vehicle rotation
+        # ~[0.5,-0.5,0.5,-0.5].  A wrong axis permutation here (e.g.
+        # [0.5,0.5,-0.5,0.5]) maps camera-forward to body-UP, collapsing the
+        # ground footprint to one satellite row and freezing the solver.
+        self.R_FL = qvec2rotmat([0.496157034, -0.486630591,
+                                 0.507791308, -0.509084328]).astype(np.float32)
+        self.T_FL = np.array([1.470563, 0.405664, 1.243369], np.float32)
         self.satmap_sidelength_meters = sat_size * METERS_PER_PIXEL
 
     def __len__(self):

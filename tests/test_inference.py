@@ -71,6 +71,56 @@ def test_empty_batch():
     assert out["lateral_m"].shape == (0,)
 
 
+def _ford_extrinsics():
+    # near-identity rig: keeps the tiny 64-px (14 m) patch's ground rays
+    # on-map so the solver actually moves the pose (a rotated rig projects
+    # every ray off this small patch -> vacuous zero outputs)
+    from highlyaccurate_tpu.geometry import ford as fgeom
+    R = np.asarray(fgeom.qvec2rotmat([0.997, 0.01, 0.05, 0.02]), np.float32)
+    T = np.array([1.0, 0.5, -1.4], np.float32)
+    return R, T
+
+
+def test_ford_predict_ragged():
+    """Ford-chain serving: constructor extrinsics, ragged tail, metric
+    outputs (reference models_ford.py:652-1026 test forward)."""
+    cfg = Config(**TINY)
+    R, T = _ford_extrinsics()
+    loc = Localizer(cfg, batch_size=2, random_init=True,
+                    ford_extrinsics=(R, T), ford_side_m=64 * 0.22)
+    rng = np.random.RandomState(4)
+    n = 3
+    sat = rng.rand(n, 64, 64, 3).astype(np.float32)
+    grd = rng.rand(n, 32, 128, 3).astype(np.float32)
+    out = loc.predict(sat, grd)
+    for k in ("lateral_m", "longitudinal_m", "heading_deg"):
+        assert out[k].shape == (n,)
+        assert np.isfinite(out[k]).all()
+    assert max(np.abs(out[k]).max() for k in out) > 1e-4, \
+        "degenerate setup: pose never moved"
+
+    # per-image extrinsics override pads with the batch and matches the
+    # constructor values when identical (fresh Localizer: same RNG stream)
+    loc2 = Localizer(cfg, params=loc.params, batch_size=2,
+                     ford_extrinsics=(R, T), ford_side_m=64 * 0.22)
+    out2 = loc2.predict(sat, grd, R_FL=np.broadcast_to(R, (n, 3, 3)),
+                        T_FL=np.broadcast_to(T, (n, 3)))
+    for k in out:
+        np.testing.assert_allclose(out2[k], out[k], rtol=1e-6)
+
+
+def test_ford_requires_both_calibration_args():
+    import pytest
+    R, T = _ford_extrinsics()
+    with pytest.raises(ValueError, match="BOTH"):
+        Localizer(Config(**TINY), random_init=True, ford_extrinsics=(R, T))
+    loc = Localizer(Config(**TINY), batch_size=2, random_init=True)
+    with pytest.raises(ValueError, match="Ford"):
+        loc.predict(np.zeros((1, 64, 64, 3), np.float32),
+                    np.zeros((1, 32, 128, 3), np.float32),
+                    R_FL=np.zeros((1, 3, 3), np.float32))
+
+
 def test_save_path_restore_via_eval_shape(tmp_path):
     """Localizer(save_path=...) builds the orbax restore template with
     jax.eval_shape — no solver compile/execution — and restores exact

@@ -92,8 +92,12 @@ def _ford_setup(estimate_depth=0, optimizer="LM", **over):
     rng = np.random.RandomState(1)
     sat = jnp.asarray(rng.rand(2, cfg.sat_size, cfg.sat_size, 3).astype(np.float32))
     grd = jnp.asarray(rng.rand(2, cfg.grd_h, cfg.grd_w, 3).astype(np.float32))
+    # near-identity extrinsics: with the tiny 64-px (14 m) patch, a rotated
+    # rig (e.g. q=[.5,.5,-.5,.5]) projects every valid ground ray OFF the
+    # map -> fully-masked residual -> the pose never moves and every
+    # trajectory comparison is vacuously 0==0.  Keep rays on-map.
     R_FL = jnp.broadcast_to(jnp.asarray(fgeom.qvec2rotmat(
-        [0.5, 0.5, -0.5, 0.5]).astype(np.float32)), (2, 3, 3))
+        [0.997, 0.01, 0.05, 0.02]).astype(np.float32)), (2, 3, 3))
     T_FL = jnp.broadcast_to(jnp.array([1.0, 0.5, -1.4], jnp.float32), (2, 3))
     gt = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 3)).astype(np.float32))
     side_m = cfg.sat_size * 0.22  # Ford meters-per-pixel convention
@@ -147,9 +151,47 @@ def test_ford_banded_implicit_matches_gather():
         return model.apply(params, sat, grd, side_m, R, T,
                            mode="trajectory", rngs={"lm": jax.random.PRNGKey(3)})
 
-    for a, b in zip(run(model_g), run(model_b)):
+    got = run(model_g)
+    assert max(float(np.abs(np.asarray(t)).max()) for t in got) > 1e-3, \
+        "degenerate setup: pose never moved, parity would be vacuous"
+    for a, b in zip(got, run(model_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_ford_banded_train_grad_parity():
+    """Ford banded-implicit TRAIN path: loss + parameter-gradient parity vs
+    the banded materialized-Jacobian path (interpret mode).
+
+    The implicit branch is what TPU training runs by default
+    (use_implicit_lm=1); its backward goes through lm_update_implicit and
+    the banded sampler's custom VJP, so gradient parity is the test that
+    the Ford wiring differentiates correctly (reference semantics:
+    models_ford.py:380-470 LM + train_ford.py:233-240 backprop)."""
+    from highlyaccurate_tpu.models.ford import LMS2GPFord
+    _, model_i, params, (sat, grd, side_m, R, T, gt) = _ford_setup(
+        use_banded_warp=2, banded_bf16_map=0, use_fused_moments=0,
+        use_implicit_lm=1)
+    cfg_m = Config(Optimizer="LM", use_banded_warp=2, banded_bf16_map=0,
+                   use_fused_moments=0, use_implicit_lm=0, **TINY)
+    model_m = LMS2GPFord(cfg=cfg_m)
+
+    def loss_fn(model, p):
+        out = model.apply(p, sat, grd, side_m, R, T, gt, mode="train",
+                          rngs={"lm": jax.random.PRNGKey(3)})
+        return out.loss
+
+    li, gi = jax.value_and_grad(lambda p: loss_fn(model_i, p))(params)
+    lm_, gm = jax.value_and_grad(lambda p: loss_fn(model_m, p))(params)
+    gnorm = max(float(np.abs(np.asarray(a)).max())
+                for a in jax.tree_util.tree_leaves(gi))
+    assert gnorm > 1e-6, \
+        "degenerate setup: zero gradients, parity would be vacuous"
+    np.testing.assert_allclose(float(li), float(lm_), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gi),
+                    jax.tree_util.tree_leaves(gm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
 
 
 def test_ford_fused_moments_matches_implicit():
@@ -165,6 +207,9 @@ def test_ford_fused_moments_matches_implicit():
         return model.apply(params, sat, grd, side_m, R, T,
                            mode="trajectory", rngs={"lm": jax.random.PRNGKey(3)})
 
-    for a, b in zip(run(model_i), run(model_f)):
+    got = run(model_i)
+    assert max(float(np.abs(np.asarray(t)).max()) for t in got) > 1e-3, \
+        "degenerate setup: pose never moved, parity would be vacuous"
+    for a, b in zip(got, run(model_f)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
