@@ -209,6 +209,12 @@ def _save_sd(tnet, tmp_path, name):
 def _compare_traj(jax_traj, ref_traj, names=("lat", "lon", "theta"),
                   atol=1e-4):
     """Assert trajectory agreement; print a per-round breakdown on failure."""
+    # guard against vacuous parity: if the reference solver never moved the
+    # pose (e.g. a fully-masked projection), 0==0 proves nothing
+    ref_mag = max(float(np.abs(np.asarray(r)).max()) for r in ref_traj)
+    assert ref_mag > 1e-3, (
+        "degenerate parity setup: reference trajectory never moved "
+        f"(max |pose| = {ref_mag:.1e}) — comparison would be vacuous")
     ok = True
     report = []
     for name, j, r in zip(names, jax_traj, ref_traj):
