@@ -44,6 +44,12 @@ def load_params(save_path: str, name: str, like: Any) -> Any:
     ``jax.ShapeDtypeStruct`` leaves (e.g. from ``jax.eval_shape`` over
     ``model.init``, which avoids compiling the model just for a template)."""
     path = os.path.abspath(os.path.join(save_path, name))
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"no checkpoint '{name}' under {save_path} — train first "
+            f"(--test 0), point --save_root/--resume at an existing "
+            f"experiment directory, or evaluate a released reference "
+            f"checkpoint with --import_pth <model.pth>")
     ckpt = _checkpointer()
     conv = lambda x: x if isinstance(x, jax.ShapeDtypeStruct) else np.asarray(x)
     like = jax.tree_util.tree_map(conv, jax.device_get(like))
