@@ -79,6 +79,12 @@ def parse_args(argv=None):
     p.add_argument("--dataset_root", type=str, default=None)
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--import_pth", type=str, default=None)
+    p.add_argument("--use_banded_warp", type=int, default=None,
+                   help="Pallas banded sampler (0 = exact gather-path "
+                        "numerics). Default 1, except when evaluating "
+                        "--import_pth checkpoints (0: reference weights "
+                        "were trained through the gather-equivalent "
+                        "sampler — see PERF.md recall study)")
     p.add_argument("--save_root", type=str, default=".")
     p.add_argument("--keep_optimizer_state", type=int, default=0)
     p.add_argument("--seed", type=int, default=2022)
@@ -276,6 +282,12 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
 def main(argv=None):
     args = parse_args(argv)
     np.random.seed(args.seed)
+    if args.use_banded_warp is None and args.test and args.import_pth:
+        # resolution lives in config_from_args; just surface it
+        print("note: --import_pth defaults to the reference-faithful "
+              "gather sampler (--use_banded_warp 0); pass "
+              "--use_banded_warp 1 to opt into the banded kernel "
+              "(see PERF.md recall study)")
     cfg = config_from_args(args)
     restore_path, save_path = cfg.ford_paths(args.save_root)
     os.makedirs(save_path, exist_ok=True)

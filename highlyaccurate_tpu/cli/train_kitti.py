@@ -138,11 +138,12 @@ def init_model(cfg: Config, model):
                        "lm": jax.random.PRNGKey(1)}, sat, grd, gt, mode="train")
 
 
-def _eval_visualize(model, cfg: Config, params, batch, epoch: int,
-                    split: str):
-    """Eval-time ``--visualize``: trajectory plot + per-level feature-PCA
-    RGBs for the first batch (the reference triggers these inside the *test*
-    forward too — models_kitti.py:1285-1293, :1464-1469)."""
+def _visualize_batch(model, cfg: Config, params, batch, rng, traj_name: str,
+                     feat_prefix: str, loop: int = 0):
+    """``--visualize``: trajectory plot + per-level feature-PCA RGBs for the
+    first sample of a batch.  The reference triggers these inside both the
+    train and *test* forwards (models_kitti.py:1285-1293, :1464-1469);
+    shared by the train loop and evaluate()."""
     import jax
     import jax.numpy as jnp
     from highlyaccurate_tpu.utils import geo as _geo
@@ -152,14 +153,13 @@ def _eval_visualize(model, cfg: Config, params, batch, epoch: int,
     sat1 = jnp.asarray(batch["sat"][:1])
     grd1 = jnp.asarray(batch["grd"][:1])
     lats, lons, ths = model.apply(
-        {"params": params_h}, sat1, grd1, mode="trajectory",
-        rngs={"lm": jax.random.PRNGKey(0)})
+        {"params": params_h}, sat1, grd1, mode="trajectory", rngs={"lm": rng})
     save_dir = f"./visualize_rot{cfg.rotation_range}"
     pose_trajectory_plot(
         batch["sat"][0], np.asarray(lats), np.asarray(lons), np.asarray(ths),
         batch["gt_pose"], _geo.get_meter_per_pixel(), cfg.shift_range_lat,
         cfg.shift_range_lon, cfg.rotation_range,
-        os.path.join(save_dir, f"traj_{split}_{epoch}.png"))
+        os.path.join(save_dir, f"traj_{traj_name}.png"))
     pred = jnp.asarray(np.stack([np.asarray(lons)[:, -1, -1],
                                  np.asarray(lats)[:, -1, -1],
                                  np.asarray(ths)[:, -1, -1]], -1))
@@ -168,7 +168,7 @@ def _eval_visualize(model, cfg: Config, params, batch, epoch: int,
                             method="project_at_pose")
     for lvl, maps in enumerate(per_level):
         features_to_rgb([np.asarray(m) for m in maps], save_dir,
-                        prefix=f"feat_{split}_e{epoch}_L{lvl}", loop=0)
+                        prefix=f"{feat_prefix}_L{lvl}", loop=loop)
 
 
 def evaluate(model, cfg: Config, params, args, split: str, save_path: str,
@@ -215,7 +215,10 @@ def evaluate(model, cfg: Config, params, args, split: str, save_path: str,
         _, (lat, _, _) = run_batch(batch, 0)
         np.asarray(lat)  # fence (device->host fetch; see CLAUDE.md)
         if cfg.visualize and cfg.direction == "S2GP":
-            _eval_visualize(model, cfg, params, batch, epoch, split)
+            _visualize_batch(model, cfg, params, batch,
+                             jax.random.PRNGKey(0),
+                             traj_name=f"{split}_{epoch}",
+                             feat_prefix=f"feat_{split}_e{epoch}")
         break
 
     preds_lat, preds_lon, preds_th = [], [], []
@@ -318,33 +321,10 @@ def train(model, cfg: Config, args, save_path: str):
             if cfg.visualize and loop % 100 == 0 and cfg.direction == "S2GP":
                 # reference dumps trajectory plots AND per-level feature-PCA
                 # RGBs under --visualize (models_kitti.py:1285-1293)
-                from highlyaccurate_tpu.viz.visualize import (
-                    features_to_rgb, pose_trajectory_plot)
-                params_h = jax.device_get(state.params)
-                sat1 = jnp.asarray(batch["sat"][:1])
-                grd1 = jnp.asarray(batch["grd"][:1])
-                lats, lons, ths = model.apply(
-                    {"params": params_h}, sat1, grd1,
-                    mode="trajectory", rngs={"lm": rng})
-                from highlyaccurate_tpu.utils import geo as _geo
-                save_dir = f"./visualize_rot{cfg.rotation_range}"
-                pose_trajectory_plot(
-                    batch["sat"][0], np.asarray(lats), np.asarray(lons),
-                    np.asarray(ths), batch["gt_pose"],
-                    _geo.get_meter_per_pixel(), cfg.shift_range_lat,
-                    cfg.shift_range_lon, cfg.rotation_range,
-                    os.path.join(save_dir, f"traj_{epoch}_{loop}.png"))
-                pred = jnp.asarray(
-                    np.stack([np.asarray(lons)[:, -1, -1],
-                              np.asarray(lats)[:, -1, -1],
-                              np.asarray(ths)[:, -1, -1]], -1))
-                gt1 = jnp.asarray(batch["gt_pose"][:1])
-                per_level = model.apply({"params": params_h}, sat1, grd1,
-                                        pred, gt1, method="project_at_pose")
-                for lvl, maps in enumerate(per_level):
-                    features_to_rgb([np.asarray(m) for m in maps], save_dir,
-                                    prefix=f"feat_e{epoch}_l{loop}_L{lvl}",
-                                    loop=loop)
+                _visualize_batch(model, cfg, state.params, batch, rng,
+                                 traj_name=f"{epoch}_{loop}",
+                                 feat_prefix=f"feat_e{epoch}_l{loop}",
+                                 loop=loop)
             if loop % 10 == 9:
                 lvl = cfg.n_levels - 1
                 print(f"Epoch: {epoch} Loop: {loop} Delta: Level-{lvl}"
@@ -374,17 +354,12 @@ def train(model, cfg: Config, args, save_path: str):
 def main(argv=None):
     args = parse_args(argv)
     np.random.seed(args.seed)
-    if args.use_banded_warp is None:
-        # faithful-path default for imported reference checkpoints: they were
-        # trained through torch's gather-equivalent sampler, and the PERF.md
-        # recall study shows cross-sampler-path eval costs recall.  An
-        # explicit --use_banded_warp always wins.
-        args.use_banded_warp = 0 if (args.test and args.import_pth) else 1
-        if args.test and args.import_pth:
-            print("note: --import_pth defaults to the reference-faithful "
-                  "gather sampler (--use_banded_warp 0); pass "
-                  "--use_banded_warp 1 to opt into the banded kernel "
-                  "(see PERF.md recall study)")
+    if args.use_banded_warp is None and args.test and args.import_pth:
+        # resolution itself lives in config_from_args; just surface it
+        print("note: --import_pth defaults to the reference-faithful "
+              "gather sampler (--use_banded_warp 0); pass "
+              "--use_banded_warp 1 to opt into the banded kernel "
+              "(see PERF.md recall study)")
     cfg = config_from_args(args)
     save_path = cfg.save_path(args.save_root)
     os.makedirs(save_path, exist_ok=True)

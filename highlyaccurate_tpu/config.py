@@ -198,6 +198,19 @@ class Config:
 
 
 def config_from_args(args) -> Config:
-    """Build a Config from an argparse Namespace (unknown fields ignored)."""
+    """Build a Config from an argparse Namespace (unknown fields ignored).
+
+    ``--use_banded_warp`` defaults to None in the CLIs so "unset" is
+    distinguishable: imported reference checkpoints (``--test --import_pth``)
+    were trained through torch's gather-equivalent sampler, and the PERF.md
+    recall study shows cross-sampler-path eval costs recall — so unset
+    resolves to the faithful gather path (0) there and to the banded kernel
+    (1) everywhere else.  Resolved HERE so every consumer of a parsed
+    Namespace gets a concrete int (not just the CLI main())."""
     fields = {f.name for f in dataclasses.fields(Config)}
-    return Config(**{k: v for k, v in vars(args).items() if k in fields})
+    kw = {k: v for k, v in vars(args).items() if k in fields}
+    if kw.get("use_banded_warp", 1) is None:
+        kw["use_banded_warp"] = 0 if (getattr(args, "test", 0)
+                                      and getattr(args, "import_pth", None)) \
+            else 1
+    return Config(**kw)

@@ -74,16 +74,14 @@ class LMS2GPFord(nn.Module):
         ``lm_update_implicit`` (no [B,V,W,C,3] Jacobian in HBM);
         ``moments_grd`` routes through the fused-moment kernel and returns
         (M [B,V,3,16], P0s, dPs) for ``lm_update_from_moments`` (P0s/dPs
-        component-swapped to kernel axis order)."""
-        from highlyaccurate_tpu.models.lm_s2gp import _BANDED_CACHE
-        from highlyaccurate_tpu.ops.pallas.banded_warp import (
-            default_rb, make_banded_moments, make_banded_sampler)
+        component-swapped to kernel axis order).  All kernel dispatch is
+        shared with the KITTI model (lm_s2gp.banded_project) — only the
+        uv/jac geometry differs."""
+        from highlyaccurate_tpu.models.lm_s2gp import banded_project
         cfg = self.cfg
-        A, C = sat_feat.shape[1], sat_feat.shape[-1]
+        A = sat_feat.shape[1]
         Xc = jnp.asarray(self._rays[slot][0][row_start:])      # [V, W, 3]
-        mask2d = jnp.asarray(self._rays[slot][1][row_start:])[None]
-        V, Wg = Xc.shape[:2]
-        RB = default_rb(A)
+        mask_vw = jnp.asarray(self._rays[slot][1][row_start:])  # [V, W]
 
         Xc01 = Xc[:, :2]
         if moments_grd is not None:
@@ -93,54 +91,9 @@ class LMS2GPFord(nn.Module):
             cfg.rotation_range, cfg.shift_range_lat, cfg.shift_range_lon,
             require_jac=with_jac)
 
-        # ground rows trace near-vertical sat lines (see lm_s2gp) -> swap axes
-        uv01s = uv01[..., ::-1]
-        bf16_map = (cfg.compute_dtype == "bfloat16"
-                    or bool(cfg.banded_bf16_map))
-        interp = jax.default_backend() != "tpu"
-        sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))
-
-        if moments_grd is not None:
-            key_ = ("mom", A, C, V, Wg, RB, bf16_map)
-            msampler = _BANDED_CACHE.get(key_)
-            if msampler is None:
-                msampler = make_banded_moments(
-                    A=A, C=C, V=V, W=Wg, RB=RB, bf16_map=bf16_map,
-                    interpret=interp)
-                _BANDED_CACHE[key_] = msampler
-            mask_vw = jnp.asarray(self._rays[slot][1][row_start:])  # [V, W]
-            M = msampler(sat_t, moments_grd, mask_vw,
-                         uv01s[:, :, 0], uv01s[:, :, 1])
-            P0s = duv01[:, :, 0][:, :, ::-1]                   # [B, V, 2, 3]
-            dPs = (duv01[:, :, 1] - duv01[:, :, 0])[:, :, ::-1]
-            return M, P0s, dPs
-
-        key_ = (A, C, V, Wg, RB, bf16_map)
-        sampler = _BANDED_CACHE.get(key_)
-        if sampler is None:
-            sampler = make_banded_sampler(
-                A=A, C=C, V=V, W=Wg, RB=RB, bf16_map=bf16_map,
-                interpret=interp)
-            _BANDED_CACHE[key_] = sampler
-        out, dv_, du_ = sampler(sat_t, uv01s[:, :, 0], uv01s[:, :, 1])
-        dx, dy = du_, dv_
-
-        if implicit:
-            P0 = duv01[:, :, 0]                                # [B, V, 2, 3]
-            dP = duv01[:, :, 1] - P0
-            return out, dx, dy, mask2d, P0, dP
-
-        jac = None
-        if with_jac:
-            P0 = duv01[:, :, 0]
-            dP = duv01[:, :, 1] - P0
-            u = jnp.arange(Wg, dtype=jnp.float32)
-            duv = P0[:, :, None] + u[None, None, :, None, None] * dP[:, :, None]
-            jac = (dx[..., None] * duv[:, :, :, None, 0, :]
-                   + dy[..., None] * duv[:, :, :, None, 1, :])
-            jac = jac * mask2d[..., None, None]
-        out = out * mask2d[..., None]
-        return out, jac, mask2d
+        return banded_project(cfg, sat_feat, uv01, duv01, mask_vw,
+                              with_jac=with_jac, implicit=implicit,
+                              moments_grd=moments_grd)
 
     def _project(self, sat_feat, sat_conf, pose, slot: int, R_FL, T_FL,
                  satmap_sidelength_meters, with_jac: bool, depth=None,
@@ -290,7 +243,6 @@ class LMS2GPFord(nn.Module):
                 else:
                     s_f, s_c, g_f, g_c, j = sat_fp, sat_cp, g_feat, g_conf, jac
 
-                key = jax.random.fold_in(base_key, t)
                 if cfg.Optimizer == "LM":
                     new_p = lm_update(p, s_f, s_c, g_f, g_c, j, self.damping,
                                       lm_cfg, key)

@@ -51,6 +51,89 @@ from highlyaccurate_tpu.utils import geo
 _BANDED_CACHE: dict = {}
 
 
+def banded_project(cfg: Config, sat_feat, uv01, duv01, mask_vw,
+                   with_jac: bool, implicit: bool = False, moments_grd=None):
+    """Shared Pallas banded-sampler dispatch for every per-row-affine
+    projection (KITTI S2GP geo and the Ford cam->body->world->sat chain —
+    both map each ground row to a straight satellite line, so one kernel
+    family serves both models).
+
+    Geometry note: sat-u is the (near-)constant-depth axis, so ground rows
+    trace near-VERTICAL lines in sat space.  The kernel shears along its x
+    axis (needs |dy/dx| < 1), so the sat axes and uv components are swapped
+    here and the returned d/dx, d/dy are swapped back accordingly.
+
+    Args:
+      uv01: [B, V, 2, 2] satellite uv of each row's u=0,1 pixels (the two
+        endpoints determine the per-row affine map exactly).
+      duv01: [B, V, 2, 2, 3] d(uv)/d(pose) at u=0,1, or None.
+      mask_vw: [V, W] ray-validity mask.
+
+    Returns (mirroring the three fast-path contracts):
+      * default: (out*mask, jac*mask or None, mask2d [1, V, W]);
+      * ``implicit``: (out, dx, dy, mask2d, P0, dP) for
+        ``lm_update_implicit`` — out/dx/dy unmasked kernel outputs,
+        duv(v, u) = P0 + u*dP;
+      * ``moments_grd`` given ([B, V, W, C] target rows): (M [B, V, 3, 16],
+        P0s, dPs) for ``lm_update_from_moments`` — even out/dx/dy never
+        exist in HBM; P0s/dPs in kernel axis order.
+    """
+    from highlyaccurate_tpu.ops.pallas.banded_warp import (
+        default_rb, make_banded_moments, make_banded_sampler)
+    A, C = sat_feat.shape[1], sat_feat.shape[-1]
+    V, Wg = mask_vw.shape
+    RB = default_rb(A)
+    mask2d = mask_vw[None]
+
+    uv01s = uv01[..., ::-1]
+    bf16_map = (cfg.compute_dtype == "bfloat16"
+                or bool(cfg.banded_bf16_map))
+    interp = jax.default_backend() != "tpu"
+    sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))         # swap sat axes
+
+    if moments_grd is not None:
+        key_ = ("mom", A, C, V, Wg, RB, bf16_map)
+        msampler = _BANDED_CACHE.get(key_)
+        if msampler is None:
+            msampler = make_banded_moments(
+                A=A, C=C, V=V, W=Wg, RB=RB, bf16_map=bf16_map,
+                interpret=interp)
+            _BANDED_CACHE[key_] = msampler
+        M = msampler(sat_t, moments_grd, mask_vw,
+                     uv01s[:, :, 0], uv01s[:, :, 1])
+        # kernel axis order (x = our v): swap the duv component axis too
+        P0s = duv01[:, :, 0][:, :, ::-1]                  # [B, V, 2, 3]
+        dPs = (duv01[:, :, 1] - duv01[:, :, 0])[:, :, ::-1]
+        return M, P0s, dPs
+
+    key_ = (A, C, V, Wg, RB, bf16_map)
+    sampler = _BANDED_CACHE.get(key_)
+    if sampler is None:
+        sampler = make_banded_sampler(
+            A=A, C=C, V=V, W=Wg, RB=RB, bf16_map=bf16_map,
+            interpret=interp)
+        _BANDED_CACHE[key_] = sampler
+    out, dv_, du_ = sampler(sat_t, uv01s[:, :, 0], uv01s[:, :, 1])
+    dx, dy = du_, dv_  # kernel x == our v; kernel y == our u
+
+    if implicit:
+        P0 = duv01[:, :, 0]                               # [B, V, 2, 3]
+        dP = duv01[:, :, 1] - P0
+        return out, dx, dy, mask2d, P0, dP
+
+    jac = None
+    if with_jac:
+        P0 = duv01[:, :, 0]                               # [B, V, 2, 3]
+        dP = duv01[:, :, 1] - P0
+        u = jnp.arange(Wg, dtype=jnp.float32)
+        duv = P0[:, :, None] + u[None, None, :, None, None] * dP[:, :, None]
+        jac = (dx[..., None] * duv[:, :, :, None, 0, :]
+               + dy[..., None] * duv[:, :, :, None, 1, :])
+        jac = jac * mask2d[..., None, None]
+    out = out * mask2d[..., None]
+    return out, jac, mask2d
+
+
 def _level_hw(cfg: Config, level_idx: int):
     """Feature map H, W of pyramid slot ``level_idx`` (0 coarse ... 3 fine)."""
     f = 2 ** (3 - level_idx)
@@ -230,14 +313,10 @@ class LMS2GP(nn.Module):
         (M [B,V,3,16], P0s, dPs) for ``lm_update_from_moments`` (P0s/dPs in
         kernel axis order).
         """
-        from highlyaccurate_tpu.ops.pallas.banded_warp import (
-            default_rb, make_banded_moments, make_banded_sampler)
         cfg = self.cfg
-        A, C = sat_feat.shape[1], sat_feat.shape[-1]
+        A = sat_feat.shape[1]
         xyz = jnp.asarray(self._rays[slot][0][row_start:])   # [V, W, 3]
-        mask2d = jnp.asarray(self._rays[slot][1][row_start:])[None]
-        V, Wg = xyz.shape[:2]
-        RB = default_rb(A)
+        mask_vw = jnp.asarray(self._rays[slot][1][row_start:])  # [V, W]
 
         # uv and duv at u=0,1 determine the per-row affine maps exactly
         xyz01 = xyz[:, :2]                                    # [V, 2, 3]
@@ -252,58 +331,9 @@ class LMS2GP(nn.Module):
                                 cfg.shift_range_lat, cfg.shift_range_lon)
             duv01 = None
 
-        # Geometry note: sat-u is the (near-)constant-depth axis, so ground
-        # rows trace near-VERTICAL lines in sat space.  The kernel shears
-        # along its x axis (needs |dy/dx| < 1), so swap the sat axes and uv
-        # components; the returned d/dx,d/dy swap back accordingly.
-        uv01s = uv01[..., ::-1]
-        bf16_map = (cfg.compute_dtype == "bfloat16"
-                    or bool(cfg.banded_bf16_map))
-        interp = jax.default_backend() != "tpu"
-        sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))         # swap sat axes
-
-        if moments_grd is not None:
-            key_ = ("mom", A, C, V, Wg, RB, bf16_map)
-            msampler = _BANDED_CACHE.get(key_)
-            if msampler is None:
-                msampler = make_banded_moments(
-                    A=A, C=C, V=V, W=Wg, RB=RB, bf16_map=bf16_map,
-                    interpret=interp)
-                _BANDED_CACHE[key_] = msampler
-            mask_vw = jnp.asarray(self._rays[slot][1][row_start:])  # [V, W]
-            M = msampler(sat_t, moments_grd, mask_vw,
-                         uv01s[:, :, 0], uv01s[:, :, 1])
-            # kernel axis order (x = our v): swap the duv component axis too
-            P0s = duv01[:, :, 0][:, :, ::-1]                  # [B, V, 2, 3]
-            dPs = (duv01[:, :, 1] - duv01[:, :, 0])[:, :, ::-1]
-            return M, P0s, dPs
-
-        key_ = (A, C, V, Wg, RB, bf16_map)
-        sampler = _BANDED_CACHE.get(key_)
-        if sampler is None:
-            sampler = make_banded_sampler(
-                A=A, C=C, V=V, W=Wg, RB=RB, bf16_map=bf16_map,
-                interpret=interp)
-            _BANDED_CACHE[key_] = sampler
-        out, dv_, du_ = sampler(sat_t, uv01s[:, :, 0], uv01s[:, :, 1])                 # [B, V, W, C]
-        dx, dy = du_, dv_  # kernel x == our v; kernel y == our u
-
-        if implicit:
-            P0 = duv01[:, :, 0]                               # [B, V, 2, 3]
-            dP = duv01[:, :, 1] - P0
-            return out, dx, dy, mask2d, P0, dP
-
-        jac = None
-        if with_jac:
-            P0 = duv01[:, :, 0]                               # [B, V, 2, 3]
-            dP = duv01[:, :, 1] - P0
-            u = jnp.arange(Wg, dtype=jnp.float32)
-            duv = P0[:, :, None] + u[None, None, :, None, None] * dP[:, :, None]
-            jac = (dx[..., None] * duv[:, :, :, None, 0, :]
-                   + dy[..., None] * duv[:, :, :, None, 1, :])
-            jac = jac * mask2d[..., None, None]
-        out = out * mask2d[..., None]
-        return out, jac, mask2d
+        return banded_project(cfg, sat_feat, uv01, duv01, mask_vw,
+                              with_jac=with_jac, implicit=implicit,
+                              moments_grd=moments_grd)
 
     def _solver_round(self, pose, level_pos: int, slot: int, sat_feat, sat_conf,
                       grd_feat, grd_conf, key, adam_state, t, gt_depth=None,
@@ -706,7 +736,9 @@ class LMS2GP(nn.Module):
         """
         cfg = self.cfg
         B = sat_map.shape[0]
-        if mode != "train" and cfg.pose_hypotheses > 1:
+        # trajectory mode always reports the single-start [B, I, L] path
+        # (visualization/parity consumers index it as such)
+        if mode == "test" and cfg.pose_hypotheses > 1:
             return self.multi_hypothesis_test(sat_map, grd_img,
                                               cfg.pose_hypotheses,
                                               gt_depth=gt_depth)

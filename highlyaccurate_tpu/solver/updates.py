@@ -187,6 +187,56 @@ def _solve_and_reinit(pose, hess, g, damping_param, cfg: LMConfig,
     return new
 
 
+def _implicit_moments(out, dx, dy, grd_feat, m2d, cfg: LMConfig,
+                      key: Optional[jax.Array]):
+    """Shared preamble of the implicit-J LM updates (banded row-affine and
+    gather per-pixel variants): f32 casts, the reference's half-pixel
+    dropout (models_kitti.py:968-974 — the keep-set must match
+    _flatten_residual_system's permutation exactly so the implicit and
+    materialized paths stay bit-comparable), the 9 masked per-pixel channel
+    moments, and the floored whole-map feature norms (reference :982-989).
+
+    Returns (moments dict of [B, H, W] arrays, ns [B], ng [B], reinit_key).
+    """
+    f32 = jnp.float32
+    out = out.astype(f32)
+    dx = dx.astype(f32)
+    dy = dy.astype(f32)
+    grd = grd_feat.astype(f32)
+    _, H, W, _ = out.shape
+
+    dropout_key = reinit_key = None
+    if key is not None:
+        dropout_key, reinit_key = jax.random.split(key)
+    m = jnp.broadcast_to(m2d.astype(f32), (m2d.shape[0], H, W))
+    if cfg.dropout > 0 and dropout_key is not None:
+        # the reference keeps a random half of the flattened pixels;
+        # dropped pixels leave the norms too, exactly like the
+        # index-selection in _flatten_residual_system
+        hw = H * W
+        perm = jax.random.permutation(dropout_key, hw)[: hw // 2]
+        dmask = jnp.zeros((hw,), f32).at[perm].set(1.0).reshape(H, W)
+        m = m * dmask[None]
+
+    # per-pixel channel contractions [B, H, W] (one fused pass over the
+    # four [B,H,W,C] arrays; the only O(N) work in these updates)
+    mom = {
+        "ss": jnp.sum(out * out, -1) * m,
+        "gg": jnp.sum(grd * grd, -1) * m,
+        "sxx": jnp.sum(dx * dx, -1) * m,
+        "sxy": jnp.sum(dx * dy, -1) * m,
+        "syy": jnp.sum(dy * dy, -1) * m,
+        "dxs": jnp.sum(dx * out, -1) * m,
+        "dys": jnp.sum(dy * out, -1) * m,
+        "dxg": jnp.sum(dx * grd, -1) * m,
+        "dyg": jnp.sum(dy * grd, -1) * m,
+    }
+    # whole-map feature norms, floored (reference :982-989 / _safe_norm)
+    ns = jnp.sqrt(jnp.maximum(jnp.sum(mom["ss"], (1, 2)), 1e-12))  # [B]
+    ng = jnp.sqrt(jnp.maximum(jnp.sum(mom["gg"], (1, 2)), 1e-12))
+    return mom, ns, ng, reinit_key
+
+
 def lm_update_implicit(pose, out, dx, dy, grd_feat, m2d, P0, dP,
                        damping_param, cfg: LMConfig,
                        key: Optional[jax.Array] = None):
@@ -217,43 +267,13 @@ def lm_update_implicit(pose, out, dx, dy, grd_feat, m2d, P0, dP,
     """
     assert not cfg.using_weight, "banded implicit path never carries conf weights"
     assert cfg.normalize, "implicit path implements the S2GP normalized LM"
-    B, V, W, C = out.shape
+    W = out.shape[2]
     active = cfg.active_dims
-    n = len(active)
     f32 = jnp.float32
-    out = out.astype(f32)
-    dx = dx.astype(f32)
-    dy = dy.astype(f32)
-    grd = grd_feat.astype(f32)
-
-    dropout_key = reinit_key = None
-    if key is not None:
-        dropout_key, reinit_key = jax.random.split(key)
-    m = jnp.broadcast_to(m2d.astype(f32), (m2d.shape[0], V, W))
-    if cfg.dropout > 0 and dropout_key is not None:
-        # the reference keeps a random half of the flattened pixels
-        # (models_kitti.py:968-974); dropped pixels leave the norms too,
-        # exactly like the index-selection in _flatten_residual_system
-        hw = V * W
-        perm = jax.random.permutation(dropout_key, hw)[: hw // 2]
-        dmask = jnp.zeros((hw,), f32).at[perm].set(1.0).reshape(V, W)
-        m = m * dmask[None]
-
-    # per-pixel channel contractions [B, V, W] (one fused pass over the
-    # four [B,V,W,C] arrays; the only O(N) work in this update)
-    ss = jnp.sum(out * out, -1) * m
-    gg = jnp.sum(grd * grd, -1) * m
-    sxx = jnp.sum(dx * dx, -1) * m
-    sxy = jnp.sum(dx * dy, -1) * m
-    syy = jnp.sum(dy * dy, -1) * m
-    dxs = jnp.sum(dx * out, -1) * m
-    dys = jnp.sum(dy * out, -1) * m
-    dxg = jnp.sum(dx * grd, -1) * m
-    dyg = jnp.sum(dy * grd, -1) * m
-
-    # whole-map feature norms, floored (reference :982-989 / _safe_norm)
-    ns = jnp.sqrt(jnp.maximum(jnp.sum(ss, (1, 2)), 1e-12))  # [B]
-    ng = jnp.sqrt(jnp.maximum(jnp.sum(gg, (1, 2)), 1e-12))
+    mm, ns, ng, reinit_key = _implicit_moments(out, dx, dy, grd_feat, m2d,
+                                               cfg, key)
+    sxx, sxy, syy = mm["sxx"], mm["sxy"], mm["syy"]
+    dxs, dys, dxg, dyg = mm["dxs"], mm["dys"], mm["dxg"], mm["dyg"]
 
     u = jnp.arange(W, dtype=f32)
     u2 = u * u
@@ -385,36 +405,11 @@ def lm_update_implicit_pixel_norm(pose, out, dx, dy, grd_feat, m2d, duv,
     """
     assert not cfg.using_weight, "implicit path never carries conf weights"
     assert cfg.normalize, "implicit path implements the S2GP normalized LM"
-    B, H, W, C = out.shape
     f32 = jnp.float32
-    out = out.astype(f32)
-    dx = dx.astype(f32)
-    dy = dy.astype(f32)
-    grd = grd_feat.astype(f32)
-
-    dropout_key = reinit_key = None
-    if key is not None:
-        dropout_key, reinit_key = jax.random.split(key)
-    m = jnp.broadcast_to(m2d.astype(f32), (m2d.shape[0], H, W))
-    if cfg.dropout > 0 and dropout_key is not None:
-        hw = H * W
-        perm = jax.random.permutation(dropout_key, hw)[: hw // 2]
-        dmask = jnp.zeros((hw,), f32).at[perm].set(1.0).reshape(H, W)
-        m = m * dmask[None]
-
-    # per-pixel channel contractions [B, H, W]
-    ss = jnp.sum(out * out, -1) * m
-    gg = jnp.sum(grd * grd, -1) * m
-    sxx = jnp.sum(dx * dx, -1) * m
-    sxy = jnp.sum(dx * dy, -1) * m
-    syy = jnp.sum(dy * dy, -1) * m
-    dxs = jnp.sum(dx * out, -1) * m
-    dys = jnp.sum(dy * out, -1) * m
-    dxg = jnp.sum(dx * grd, -1) * m
-    dyg = jnp.sum(dy * grd, -1) * m
-
-    ns = jnp.sqrt(jnp.maximum(jnp.sum(ss, (1, 2)), 1e-12))  # [B]
-    ng = jnp.sqrt(jnp.maximum(jnp.sum(gg, (1, 2)), 1e-12))
+    mm, ns, ng, reinit_key = _implicit_moments(out, dx, dy, grd_feat, m2d,
+                                               cfg, key)
+    sxx, sxy, syy = mm["sxx"], mm["sxy"], mm["syy"]
+    dxs, dys, dxg, dyg = mm["dxs"], mm["dys"], mm["dxg"], mm["dyg"]
 
     Du = duv[..., 0, :].astype(f32)   # [B, H, W, 3]
     Dv = duv[..., 1, :].astype(f32)
