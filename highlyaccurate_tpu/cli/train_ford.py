@@ -87,6 +87,10 @@ def parse_args(argv=None):
                         "sampler — see PERF.md recall study)")
     p.add_argument("--save_root", type=str, default=".")
     p.add_argument("--keep_optimizer_state", type=int, default=0)
+    p.add_argument("--async_ckpt", type=int, default=1,
+                   help="epoch checkpoints write on orbax's "
+                        "background thread, overlapping the "
+                        "following eval (0 = synchronous)")
     p.add_argument("--seed", type=int, default=2022)
     p.add_argument("--grd_h", type=int, default=256)
     p.add_argument("--grd_w", type=int, default=1024)
@@ -196,7 +200,8 @@ def evaluate(model, cfg: Config, params, args, save_path: str, epoch: int,
                       time_per_image=duration)
     rank = write_ford(res, save_path, args.test_log_ind, epoch)
     if rank > best_rank:
-        save_params(save_path, "Model_best", params)
+        save_params(save_path, "Model_best", params,
+                    async_save=bool(cfg.async_ckpt))
     return rank
 
 
@@ -270,12 +275,16 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
                       f" rot: {float(metrics['theta_last'][lvl]):.2f}")
         print("taking snapshot ...")
         save_params(save_path, epoch_ckpt_name(epoch),
-                    jax.device_get(state.params))
+                    jax.device_get(state.params),
+                    async_save=bool(cfg.async_ckpt))
         if cfg.keep_optimizer_state:
-            save_train_state(save_path, epoch_ckpt_name(epoch), state)
+            save_train_state(save_path, epoch_ckpt_name(epoch), state,
+                             async_save=bool(cfg.async_ckpt))
         best_rank = max(best_rank, evaluate(model, cfg, state.params, args,
                                             save_path, epoch, best_rank,
                                             eval_step, eval_mesh, side_m))
+    from highlyaccurate_tpu.train.checkpoint import wait_for_async_saves
+    wait_for_async_saves()
     print("Finished Training")
 
 

@@ -82,6 +82,10 @@ def parse_args(argv=None):
     p.add_argument("--save_root", type=str, default=".")
     p.add_argument("--compute_dtype", type=str, default="float32")
     p.add_argument("--keep_optimizer_state", type=int, default=0)
+    p.add_argument("--async_ckpt", type=int, default=1,
+                   help="epoch checkpoints write on orbax's "
+                        "background thread, overlapping the "
+                        "following eval (0 = synchronous)")
     p.add_argument("--remat", type=int, default=0,
                    help="checkpoint the solver scan body (memory vs compile "
                         "size tradeoff)")
@@ -254,7 +258,8 @@ def evaluate(model, cfg: Config, params, args, split: str, save_path: str,
 
     rank = m["rank_result"]
     if split == "test1" and rank > best_rank:
-        save_params(save_path, "Model_best", params)
+        save_params(save_path, "Model_best", params,
+                    async_save=bool(cfg.async_ckpt))
     return rank
 
 
@@ -340,14 +345,18 @@ def train(model, cfg: Config, args, save_path: str):
 
         print("taking snapshot ...")
         save_params(save_path, epoch_ckpt_name(epoch),
-                    jax.device_get(state.params))
+                    jax.device_get(state.params),
+                    async_save=bool(cfg.async_ckpt))
         if cfg.keep_optimizer_state:
-            save_train_state(save_path, epoch_ckpt_name(epoch), state)
+            save_train_state(save_path, epoch_ckpt_name(epoch), state,
+                             async_save=bool(cfg.async_ckpt))
         cur = evaluate(model, cfg, state.params, args, "test1", save_path,
                        epoch, best_rank, eval_step, eval_mesh)
         best_rank = max(best_rank, cur)
         evaluate(model, cfg, state.params, args, "test2", save_path, epoch,
                  best_rank, eval_step, eval_mesh)
+    from highlyaccurate_tpu.train.checkpoint import wait_for_async_saves
+    wait_for_async_saves()
     print("Finished Training")
 
 

@@ -106,6 +106,11 @@ class Config:
     #   quantified in PERF.md).  Set 0 for strictly-fp32 banded training.
     #   Ignored by the gather path; implied when compute_dtype is bfloat16.
     keep_optimizer_state: int = 0  # fix for the reference's per-epoch Adam reset
+    async_ckpt: int = 1  # epoch checkpoints write on orbax's background
+    #   thread, overlapping the test1/test2 eval that follows each save
+    #   (the reference's torch.save blocks the loop); same-name overwrites
+    #   are serialized, loads fence pending writes, and a clean process
+    #   exit flushes via atexit (train/checkpoint.py). 0 = synchronous.
 
     @property
     def n_levels(self) -> int:

@@ -22,6 +22,16 @@ patch's metric side length —
 
 Multi-chip: pass ``mesh=make_mesh(jax.devices())`` to shard the batch over
 the data axis (same path as the CLIs; see train/step.py).
+
+Deployment (ahead-of-time): ``loc.export(path)`` serializes the traced
+inference program — weights baked in as StableHLO constants — into one
+self-contained artifact; ``ExportedLocalizer(path)`` serves it without the
+model code, flax, or the checkpoint (jax.export; the reference has no
+deployment story — its eval loop unpickles the full nn.Module each run):
+
+    loc.export("/models/kitti_s2gp.halexp")
+    srv = ExportedLocalizer("/models/kitti_s2gp.halexp")
+    out = srv.predict(sat_imgs, grd_imgs)
 """
 
 from __future__ import annotations
@@ -149,53 +159,193 @@ class Localizer:
             raise ValueError("R_FL/T_FL are Ford-chain extrinsics; this "
                              "Localizer was built for KITTI S2GP")
 
-        sat = np.asarray(sat_imgs)
-        grd = np.asarray(grd_imgs)
-        if sat.dtype == np.uint8:
-            sat = sat.astype(np.float32) / 255.0
-        if grd.dtype == np.uint8:
-            grd = grd.astype(np.float32) / 255.0
-        n = sat.shape[0]
-        if n == 0:
-            empty = np.zeros((0,), np.float32)
-            return {"lateral_m": empty, "longitudinal_m": empty,
-                    "heading_deg": empty}
-        if ford:
-            R = (np.asarray(R_FL, np.float32) if R_FL is not None
-                 else np.broadcast_to(self._ford_R, (n, 3, 3)))
-            T = (np.asarray(T_FL, np.float32) if T_FL is not None
-                 else np.broadcast_to(self._ford_T, (n, 3)))
-
-        lats, lons, ths = [], [], []
-        bs = self.batch_size
-        for i in range(0, n, bs):
-            sb, gb = sat[i:i + bs], grd[i:i + bs]
-            pad = bs - sb.shape[0]
-            if pad:  # pad the ragged tail to the compiled batch size
-                sb = np.concatenate([sb, np.repeat(sb[-1:], pad, 0)])
-                gb = np.concatenate([gb, np.repeat(gb[-1:], pad, 0)])
+        def run(sb, gb, Rb, Tb):
             self._key, sub = jax.random.split(self._key)
             if ford:
-                Rb, Tb = R[i:i + bs], T[i:i + bs]
-                if pad:
-                    Rb = np.concatenate([Rb, np.repeat(Rb[-1:], pad, 0)])
-                    Tb = np.concatenate([Tb, np.repeat(Tb[-1:], pad, 0)])
-                lat, lon, th = self._step(self.params, jnp.asarray(sb),
-                                          jnp.asarray(gb), jnp.asarray(Rb),
-                                          jnp.asarray(Tb), sub)
-            else:
-                lat, lon, th = self._step(self.params, jnp.asarray(sb),
-                                          jnp.asarray(gb), sub)
-            k = bs - pad
-            lats.append(np.asarray(lat)[:k])
-            lons.append(np.asarray(lon)[:k])
-            ths.append(np.asarray(th)[:k])
+                return self._step(self.params, jnp.asarray(sb),
+                                  jnp.asarray(gb), jnp.asarray(Rb),
+                                  jnp.asarray(Tb), sub)
+            return self._step(self.params, jnp.asarray(sb),
+                              jnp.asarray(gb), sub)
 
-        lat = np.concatenate(lats)
-        lon = np.concatenate(lons)
-        th = np.concatenate(ths)
-        return {
-            "lateral_m": lat * cfg.shift_range_lat,
-            "longitudinal_m": lon * cfg.shift_range_lon,
-            "heading_deg": th * cfg.rotation_range,
+        return _batched_predict(
+            run, sat_imgs, grd_imgs, self.batch_size,
+            (cfg.shift_range_lat, cfg.shift_range_lon, cfg.rotation_range),
+            self._ford_R, self._ford_T, R_FL, T_FL)
+
+    def export(self, path: str, platforms=None) -> None:
+        """Serialize the inference program to a self-contained artifact.
+
+        The jitted eval step is traced at the compiled batch size with the
+        weights closed over (they become StableHLO constants), serialized
+        via ``jax.export``, and zipped together with the denormalization
+        metadata.  ``ExportedLocalizer(path)`` serves the artifact without
+        the model code or checkpoint files.
+
+        Export on (a host of) the deployment platform type — the program
+        embeds platform-specific kernels (Mosaic on TPU); loading it on a
+        different backend raises.  ``platforms`` (e.g. ``["tpu", "cpu"]``)
+        forwards to ``jax.export.export`` for multi-platform lowering.
+
+        Single-device programs only (deployment-side sharding is the
+        server's concern, not the artifact's); build the Localizer with
+        ``mesh=None`` to export.
+        """
+        import io
+        import json
+        import zipfile
+
+        import jax
+        from jax import export as jexport
+
+        if self._mesh is not None:
+            raise ValueError("export serializes a single-device program; "
+                             "build the Localizer with mesh=None")
+        cfg = self.cfg
+        ford = self._ford_side_m is not None
+        params = self.params
+        step = self._step
+
+        if ford:
+            def fn(sat, grd, R, T, key):
+                return step(params, sat, grd, R, T, key)
+        else:
+            def fn(sat, grd, key):
+                return step(params, sat, grd, key)
+
+        bs = self.batch_size
+        f32 = np.float32
+        args = [jax.ShapeDtypeStruct((bs, cfg.sat_size, cfg.sat_size, 3), f32),
+                jax.ShapeDtypeStruct((bs, cfg.grd_h, cfg.grd_w, 3), f32)]
+        if ford:
+            args += [jax.ShapeDtypeStruct((bs, 3, 3), f32),
+                     jax.ShapeDtypeStruct((bs, 3), f32)]
+        key = jax.random.PRNGKey(0)
+        args.append(jax.ShapeDtypeStruct(key.shape, key.dtype))
+
+        exp = jexport.export(jax.jit(fn), platforms=platforms)(*args)
+        meta = {
+            "format": _EXPORT_FORMAT,
+            "batch_size": bs,
+            "ford": ford,
+            "shift_range_lat": cfg.shift_range_lat,
+            "shift_range_lon": cfg.shift_range_lon,
+            "rotation_range": cfg.rotation_range,
+            "ford_R": None if not ford else self._ford_R.tolist(),
+            "ford_T": None if not ford else self._ford_T.tolist(),
+            "platforms": list(exp.platforms),
         }
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr("meta.json", json.dumps(meta, indent=1))
+            z.writestr("program.jaxexport", exp.serialize())
+        with open(path, "wb") as f:
+            f.write(buf.getvalue())
+
+
+_EXPORT_FORMAT = "highlyaccurate_tpu.localizer/1"
+
+
+class ExportedLocalizer:
+    """Serve a ``Localizer.export`` artifact: no model code, no flax, no
+    checkpoint — just the serialized program and jax runtime."""
+
+    def __init__(self, path: str, seed: int = 0):
+        import json
+        import zipfile
+
+        import jax
+        from jax import export as jexport
+
+        with zipfile.ZipFile(path) as z:
+            meta = json.loads(z.read("meta.json"))
+            blob = z.read("program.jaxexport")
+        if meta.get("format") != _EXPORT_FORMAT:
+            raise ValueError(f"{path}: not a Localizer export artifact "
+                             f"(format={meta.get('format')!r})")
+        backend = jax.default_backend()
+        if backend not in meta["platforms"]:
+            raise ValueError(
+                f"{path} was exported for {meta['platforms']} but this "
+                f"process runs on {backend!r}; re-export on the deployment "
+                "platform (or export with platforms=[...])")
+        self.meta = meta
+        self.batch_size = meta["batch_size"]
+        self._ford = bool(meta["ford"])
+        self._ford_R = (np.asarray(meta["ford_R"], np.float32)
+                        if self._ford else None)
+        self._ford_T = (np.asarray(meta["ford_T"], np.float32)
+                        if self._ford else None)
+        self._call = jax.jit(jexport.deserialize(blob).call)
+        self._key = jax.random.PRNGKey(seed)
+        self._jax = jax
+
+    def predict(self, sat_imgs, grd_imgs, R_FL=None, T_FL=None) -> dict:
+        """Same contract as ``Localizer.predict``."""
+        jax = self._jax
+        if (R_FL is not None or T_FL is not None) and not self._ford:
+            raise ValueError("R_FL/T_FL are Ford-chain extrinsics; this "
+                             "artifact was exported for KITTI S2GP")
+        meta = self.meta
+
+        def run(sb, gb, Rb, Tb):
+            self._key, sub = jax.random.split(self._key)
+            if self._ford:
+                return self._call(sb, gb, Rb, Tb, sub)
+            return self._call(sb, gb, sub)
+
+        return _batched_predict(
+            run, sat_imgs, grd_imgs, self.batch_size,
+            (meta["shift_range_lat"], meta["shift_range_lon"],
+             meta["rotation_range"]),
+            self._ford_R, self._ford_T, R_FL, T_FL)
+
+
+def _batched_predict(run, sat_imgs, grd_imgs, bs, ranges,
+                     ford_R, ford_T, R_FL, T_FL) -> dict:
+    """Shared predict loop: uint8 conversion, padding ragged tails to the
+    compiled batch size, denormalizing to meters/degrees (reference
+    train_kitti.py:77-80).  ``run(sat, grd, R, T)`` executes one padded
+    batch (R/T are None for KITTI)."""
+    ford = ford_R is not None
+    sat = np.asarray(sat_imgs)
+    grd = np.asarray(grd_imgs)
+    if sat.dtype == np.uint8:
+        sat = sat.astype(np.float32) / 255.0
+    if grd.dtype == np.uint8:
+        grd = grd.astype(np.float32) / 255.0
+    n = sat.shape[0]
+    if n == 0:
+        empty = np.zeros((0,), np.float32)
+        return {"lateral_m": empty, "longitudinal_m": empty,
+                "heading_deg": empty}
+    if ford:
+        R = (np.asarray(R_FL, np.float32) if R_FL is not None
+             else np.broadcast_to(ford_R, (n, 3, 3)))
+        T = (np.asarray(T_FL, np.float32) if T_FL is not None
+             else np.broadcast_to(ford_T, (n, 3)))
+
+    lats, lons, ths = [], [], []
+    for i in range(0, n, bs):
+        sb, gb = sat[i:i + bs], grd[i:i + bs]
+        pad = bs - sb.shape[0]
+        if pad:  # pad the ragged tail to the compiled batch size
+            sb = np.concatenate([sb, np.repeat(sb[-1:], pad, 0)])
+            gb = np.concatenate([gb, np.repeat(gb[-1:], pad, 0)])
+        Rb = Tb = None
+        if ford:
+            Rb, Tb = R[i:i + bs], T[i:i + bs]
+            if pad:
+                Rb = np.concatenate([Rb, np.repeat(Rb[-1:], pad, 0)])
+                Tb = np.concatenate([Tb, np.repeat(Tb[-1:], pad, 0)])
+        lat, lon, th = run(sb, gb, Rb, Tb)
+        k = bs - pad
+        lats.append(np.asarray(lat)[:k])
+        lons.append(np.asarray(lon)[:k])
+        ths.append(np.asarray(th)[:k])
+
+    return {
+        "lateral_m": np.concatenate(lats) * ranges[0],
+        "longitudinal_m": np.concatenate(lons) * ranges[1],
+        "heading_deg": np.concatenate(ths) * ranges[2],
+    }

@@ -29,20 +29,66 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
-def save_params(save_path: str, name: str, params: Any) -> str:
-    """Save params under ``<save_path>/<name>`` (orbax directory)."""
+_ASYNC_CKPT = None
+
+
+def _async_checkpointer():
+    """Process-wide async checkpointer (owns the background write thread)."""
+    global _ASYNC_CKPT
+    if _ASYNC_CKPT is None:
+        import atexit
+
+        import orbax.checkpoint as ocp
+        _ASYNC_CKPT = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        atexit.register(wait_for_async_saves)  # flush on clean process exit
+    return _ASYNC_CKPT
+
+
+def wait_for_async_saves() -> None:
+    """Barrier on all pending async checkpoint writes (no-op if none).
+
+    Call before reading a just-saved checkpoint, before process exit, and
+    before re-saving the same directory name."""
+    if _ASYNC_CKPT is not None:
+        _ASYNC_CKPT.wait_until_finished()
+
+
+def save_params(save_path: str, name: str, params: Any,
+                async_save: bool = False) -> str:
+    """Save params under ``<save_path>/<name>`` (orbax directory).
+
+    ``async_save=True`` returns as soon as the arrays are snapshotted to
+    host memory; the directory write proceeds on orbax's background thread
+    (overlapping the next epoch's compute — the reference's torch.save
+    blocks the train loop, reference train_kitti.py:409-414).  Pending
+    writes are fenced by ``wait_for_async_saves``; saves to the SAME name
+    are serialized here so an overwrite can never race its predecessor.
+    """
     path = os.path.abspath(os.path.join(save_path, name))
-    ckpt = _checkpointer()
     params = jax.device_get(params)
+    if async_save:
+        ckpt = _async_checkpointer()
+        # orbax forbids two in-flight saves; a second save request also
+        # must not delete the directory a pending save is still writing
+        ckpt.wait_until_finished()
+        ckpt.save(path, args=_standard_args(params), force=True)
+        return path
+    ckpt = _checkpointer()
     ckpt.save(path, params, force=True)
     ckpt.wait_until_finished()
     return path
+
+
+def _standard_args(payload):
+    import orbax.checkpoint as ocp
+    return ocp.args.StandardSave(payload)
 
 
 def load_params(save_path: str, name: str, like: Any) -> Any:
     """Restore params shaped like ``like`` — concrete arrays or abstract
     ``jax.ShapeDtypeStruct`` leaves (e.g. from ``jax.eval_shape`` over
     ``model.init``, which avoids compiling the model just for a template)."""
+    wait_for_async_saves()  # a just-issued async save must be readable
     path = os.path.abspath(os.path.join(save_path, name))
     if not os.path.isdir(path):
         raise FileNotFoundError(
@@ -61,11 +107,13 @@ def epoch_ckpt_name(epoch: int) -> str:
     return f"model_{epoch % 100}"
 
 
-def save_train_state(save_path: str, name: str, state) -> str:
+def save_train_state(save_path: str, name: str, state,
+                     async_save: bool = False) -> str:
     """Full-state checkpoint (params + optimizer + step/epoch).
 
     The reference never checkpoints optimizer state (SURVEY.md §5.4) — this
-    is the fix path used with ``keep_optimizer_state=1``.
+    is the fix path used with ``keep_optimizer_state=1``.  ``async_save``
+    as in :func:`save_params`.
     """
     payload = {
         "params": jax.device_get(state.params),
@@ -74,6 +122,11 @@ def save_train_state(save_path: str, name: str, state) -> str:
         "epoch": int(state.epoch),
     }
     path = os.path.abspath(os.path.join(save_path, name + "_full"))
+    if async_save:
+        ckpt = _async_checkpointer()
+        ckpt.wait_until_finished()
+        ckpt.save(path, args=_standard_args(payload), force=True)
+        return path
     ckpt = _checkpointer()
     ckpt.save(path, payload, force=True)
     ckpt.wait_until_finished()
@@ -90,6 +143,7 @@ def load_train_state(save_path: str, name: str, state):
         "step": 0,
         "epoch": 0,
     }
+    wait_for_async_saves()
     path = os.path.abspath(os.path.join(save_path, name + "_full"))
     restored = _checkpointer().restore(path, like)
     import jax.numpy as jnp
