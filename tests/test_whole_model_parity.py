@@ -560,3 +560,234 @@ def test_s2gp_orien_corr_parity(ref, tmp_path, monkeypatch):
                           method="orien_corr", rngs=rngs)
     np.testing.assert_allclose(np.asarray(j_orien),
                                t_orien.numpy().astype(np.float32), atol=1e-5)
+
+
+def _torch_grads_to_flax(tnet, estimate_depth=False):
+    """Convert a backward pass's .grad tensors into the flax param layout
+    via the SAME mapping as train/checkpoint.py:import_pth (OIHW->HWIO
+    transposes apply identically to gradients)."""
+    from highlyaccurate_tpu.models.vggunet import torch_branch_to_flax
+
+    gsd = {k: (p.grad if p.grad is not None else torch.zeros_like(p))
+           for k, p in tnet.named_parameters()}
+    out = {
+        "SatFeatureNet": torch_branch_to_flax(
+            gsd, "SatFeatureNet.", estimate_depth=estimate_depth),
+        "GrdFeatureNet": torch_branch_to_flax(
+            gsd, "GrdFeatureNet.", estimate_depth=estimate_depth),
+    }
+    if "damping" in gsd:
+        out["damping"] = np.asarray(gsd["damping"].detach().numpy())
+    return out
+
+
+def _compare_grads(jgrad, tgrad, rtol):
+    """Leaf-wise relative-L2 gradient agreement: ||j-t|| / ||t|| per leaf
+    (zero-grad leaves must be zero on both sides).  Frobenius, not
+    max-element: fp32 round-off through the 6 unrolled solver rounds puts
+    uncorrelated ~1e-3-relative noise on individual elements, while the
+    gradient *direction* per leaf is what training uses."""
+    import jax
+
+    report, bad = [], []
+    jflat = jax.tree_util.tree_flatten_with_path(jgrad)[0]
+    tflat = dict(jax.tree_util.tree_flatten_with_path(tgrad)[0])
+    assert len(jflat) == len(tflat) and all(k in tflat for k, _ in jflat), \
+        "gradient trees have different structure"
+    for path, j in jflat:
+        name = jax.tree_util.keystr(path)
+        t = np.asarray(tflat[path], np.float64)
+        j = np.asarray(j, np.float64)
+        scale = float(np.linalg.norm(t))
+        if scale == 0.0:
+            ok = float(np.abs(j).max()) < 1e-12
+            report.append(f"{name}: torch grad 0, jax max {np.abs(j).max():.1e}")
+        else:
+            rel = float(np.linalg.norm(j - t)) / scale
+            ok = rel < rtol
+            report.append(f"{name}: relL2 {rel:.2e} (||t|| {scale:.2e})")
+        if not ok:
+            bad.append(report[-1])
+    assert not bad, ("parameter-gradient divergence (rtol %.0e):\n" % rtol
+                     + "\n".join(report))
+
+
+@pytest.mark.parametrize("n_iters,level,impl,rtol", [
+    # one solver round, no chaos amplification.  The residual ~5e-3 on the
+    # earliest sat convs is TORCH's fp32 backward accumulation error, not
+    # ours: at branch level (test_vggunet_gradient_accuracy_vs_f64) the
+    # jax fp32 gradient sits within ~5e-7 of torch's own float64 backward
+    # while torch fp32 drifts 1e-3..8e-3 from it (deepest convs worst).
+    # The whole model can't run in torch float64 for a tighter comparison
+    # (59 hardcoded .float() casts in models_kitti.py), so the fp32-vs-fp32
+    # tolerance must absorb the reference's own error.
+    (1, -1, 1, 1e-2),
+    (1, -1, 0, 1e-2),   # materialized-jac LM (reference formulation)
+    # 6 unrolled rounds: forward trajectories agree to 1e-4 (tests above);
+    # the backward linearizes AROUND those trajectories, so fp32 forward
+    # deltas amplify into ~1e-3-relative gradient noise — the round1 case
+    # pins the per-round backward as the controlled variable
+    (2, 3, 1, 5e-3),
+], ids=["round1", "round1_matjac", "deep6"])
+def test_s2gp_gradient_parity(ref, tmp_path, monkeypatch, n_iters, level,
+                              impl, rtol):
+    """TRAINING parity: d(loss)/d(params) of the composed LM_S2GP train
+    forward vs torch autograd through the reference's own backward on
+    identical imported weights and inputs.
+
+    Trajectory/loss parity proves the forward; this proves the entire
+    backward graph the reference trains with (reference train_kitti.py:365
+    loss.backward()) — sampler VJP, LM-solve linearization, loss method 0."""
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.config import Config
+    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+    from highlyaccurate_tpu.train.checkpoint import import_pth
+
+    args = _Args()
+    args.N_iters = n_iters
+    args.level = level
+    tnet = ref.kitti.LM_S2GP(args)
+    tnet.xyz_grds = _reduced_rays(tnet)
+    _randomize(tnet, seed=61)
+    tnet.train()
+
+    sat, grd, gt = _inputs(seed=62)
+    t_loss = tnet.forward_iter_first(
+        _nchw(sat), _nchw(grd), torch.from_numpy(gt[:, 0:1]),
+        torch.from_numpy(gt[:, 1:2]), torch.from_numpy(gt[:, 2:3]),
+        mode="train")[0]
+    tnet.zero_grad()
+    t_loss.backward()
+    tgrad = _torch_grads_to_flax(tnet)
+
+    cfg = Config(grd_h=GRD_H, grd_w=GRD_W, sat_size=SAT, level=level,
+                 N_iters=n_iters, use_banded_warp=0, dropout=0, damping=0.1,
+                 use_implicit_lm=impl)
+    params = import_pth(_save_sd(tnet, tmp_path, "s2gp_grad.pth"), cfg)
+    model = LMS2GP(cfg=cfg)
+    rngs = {"lm": jax.random.PRNGKey(0)}
+
+    def loss_fn(p):
+        diag = model.apply({"params": p}, jnp.asarray(sat), jnp.asarray(grd),
+                           jnp.asarray(gt), mode="train", rngs=rngs)
+        return diag.loss
+
+    jgrad = jax.grad(loss_fn)(params)
+    _compare_grads(jgrad, tgrad, rtol=rtol)
+
+
+def test_ford_gradient_parity(ref, tmp_path, monkeypatch):
+    """d(loss)/d(params) of the composed Ford train forward vs torch
+    autograd (reference models_ford.py:652-866 + train_ford.py backward)."""
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.config import Config
+    from highlyaccurate_tpu.geometry import ford as fgeom
+    from highlyaccurate_tpu.models.ford import LMS2GPFord
+    from highlyaccurate_tpu.train.checkpoint import import_pth
+
+    args = _Args()
+    tnet = ref.ford.LM_S2GP_Ford(args)
+    tnet.xyz_grds = _reduced_rays(tnet)
+    _randomize(tnet, seed=71)
+    tnet.train()
+
+    sat, grd, gt = _inputs(seed=72)
+    B = sat.shape[0]
+    rng = np.random.RandomState(73)
+    qs = rng.randn(B, 4)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    R_FL = np.stack([fgeom.qvec2rotmat(q) for q in qs]).astype(np.float32)
+    T_FL = (rng.randn(B, 3) * 0.5).astype(np.float32)
+    side_m = SAT * 0.22
+
+    t_loss = tnet.forward_iters_level(
+        _nchw(sat), _nchw(grd), side_m, torch.from_numpy(R_FL),
+        torch.from_numpy(T_FL), torch.from_numpy(gt[:, 0]),
+        torch.from_numpy(gt[:, 1]), torch.from_numpy(gt[:, 2]),
+        mode="train")[0]
+    tnet.zero_grad()
+    t_loss.backward()
+    tgrad = _torch_grads_to_flax(tnet)
+
+    cfg = Config(grd_h=GRD_H, grd_w=GRD_W, sat_size=SAT, N_iters=2, level=3,
+                 use_banded_warp=0, damping=0.1)
+    params = import_pth(_save_sd(tnet, tmp_path, "ford_grad.pth"), cfg)
+    model = LMS2GPFord(cfg=cfg)
+    rngs = {"lm": jax.random.PRNGKey(0)}
+
+    def loss_fn(p):
+        diag = model.apply({"params": p}, jnp.asarray(sat), jnp.asarray(grd),
+                           side_m, jnp.asarray(R_FL), jnp.asarray(T_FL),
+                           jnp.asarray(gt), mode="train", rngs=rngs)
+        return diag.loss
+
+    jgrad = jax.grad(loss_fn)(params)
+    _compare_grads(jgrad, tgrad, rtol=1e-3)
+
+
+def test_vggunet_gradient_accuracy_vs_f64(ref, tmp_path):
+    """Backbone backward ACCURACY, not just agreement: against the
+    reference VGGUnet's own float64 backward (ground truth), the flax
+    branch's fp32 parameter gradients land within ~1e-5 while the
+    reference's fp32 backward drifts 1e-3..8e-3 (its conv-backward
+    accumulation error, worst at the earliest convs).  This pins the
+    residual block-1 deltas in test_s2gp_gradient_parity[round1] on the
+    reference's numerics, and shows the rebuilt backbone is strictly more
+    accurate (XLA accumulates the conv backward reductions better than
+    torch CPU's fp32 path)."""
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.models.vggunet import (VGGUnet,
+                                                   torch_branch_to_flax)
+
+    g = torch.Generator().manual_seed(61)
+    tnet = ref.kitti.VGGUnet(level=-1)
+    with torch.no_grad():
+        for p in tnet.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+    tnet.train()
+
+    rng = np.random.RandomState(62)
+    sat = rng.rand(2, SAT, SAT, 3).astype(np.float32)
+    K = np.random.RandomState(99).randn(2, 256, SAT // 8, SAT // 8) \
+        .astype(np.float32)  # fixed cotangent on the level--1 feature
+
+    def torch_grads(net, dtype):
+        x = torch.from_numpy(np.transpose(sat, (0, 3, 1, 2))).to(dtype)
+        feats, _ = net(x)
+        loss = (feats[0] * torch.from_numpy(K).to(dtype)).sum()
+        net.zero_grad()
+        loss.backward()
+        return {k: (p.grad.detach().numpy() if p.grad is not None
+                    else np.zeros(p.shape)) for k, p in
+                net.named_parameters()}
+
+    t32 = torch_grads(tnet, torch.float32)
+    tnet64 = ref.kitti.VGGUnet(level=-1).double()
+    tnet64.load_state_dict(tnet.state_dict())
+    t64 = torch_grads(tnet64, torch.float64)
+
+    sd = {("X." + k): v for k, v in tnet.state_dict().items()}
+    params = torch_branch_to_flax(sd, "X.")
+    model = VGGUnet(level=-1)
+
+    def loss_fn(p):
+        feats, _ = model.apply({"params": p}, jnp.asarray(sat))
+        return jnp.sum(feats[0] * jnp.asarray(np.transpose(K, (0, 2, 3, 1))))
+
+    jg = jax.grad(loss_fn)(params)
+
+    report = []
+    for conv in ("conv0", "conv2", "conv5", "conv7", "conv10", "conv12",
+                 "conv14"):
+        truth = np.transpose(t64[f"{conv}.weight"], (2, 3, 1, 0))
+        scale = np.linalg.norm(truth)
+        jerr = np.linalg.norm(np.asarray(jg[conv]["kernel"],
+                                         np.float64) - truth) / scale
+        terr = np.linalg.norm(np.transpose(
+            t32[f"{conv}.weight"], (2, 3, 1, 0)) - truth) / scale
+        report.append(f"{conv}: jax-fp32 {jerr:.2e}, ref-fp32 {terr:.2e}")
+        assert jerr < 1e-5, "\n".join(report)
+        assert jerr < terr, "\n".join(report)
