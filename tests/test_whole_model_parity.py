@@ -791,3 +791,48 @@ def test_vggunet_gradient_accuracy_vs_f64(ref, tmp_path):
         report.append(f"{conv}: jax-fp32 {jerr:.2e}, ref-fp32 {terr:.2e}")
         assert jerr < 1e-5, "\n".join(report)
         assert jerr < terr, "\n".join(report)
+
+
+def test_g2sp_gradient_parity(ref, tmp_path, monkeypatch):
+    """d(loss)/d(params) of the composed G2SP train forward (remat'd
+    solver rounds, per-pixel implicit-J gather path) vs torch autograd
+    (reference models_kitti.py:381-499 + train_kitti.py:365 backward)."""
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.config import Config
+    from highlyaccurate_tpu.geometry.kitti import DEFAULT_CAMERA_K
+    from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
+    from highlyaccurate_tpu.train.checkpoint import import_pth
+
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    args = _Args()
+    args.direction = "G2SP"
+    tnet = ref.kitti.LM_G2SP(args)
+    _randomize(tnet, seed=81)
+    tnet.train()
+
+    sat, grd, gt = _inputs(seed=82)
+    B = sat.shape[0]
+    k = np.broadcast_to(DEFAULT_CAMERA_K, (B, 3, 3)).astype(np.float32).copy()
+    k[:, 0, :] *= GRD_W / 1024.0
+    k[:, 1, :] *= GRD_H / 256.0
+
+    t_loss = tnet(_nchw(sat), _nchw(grd), torch.from_numpy(k),
+                  torch.from_numpy(gt[:, 0:1]), torch.from_numpy(gt[:, 1:2]),
+                  torch.from_numpy(gt[:, 2:3]), mode="train")[0]
+    tnet.zero_grad()
+    t_loss.backward()
+    tgrad = _torch_grads_to_flax(tnet)
+
+    cfg = Config(grd_h=GRD_H, grd_w=GRD_W, sat_size=SAT, N_iters=2, level=3,
+                 direction="G2SP", use_banded_warp=0, damping=0.1)
+    params = import_pth(_save_sd(tnet, tmp_path, "g2sp_grad.pth"), cfg)
+    model = LMG2SP(cfg=cfg)
+
+    def loss_fn(p):
+        diag = model.apply({"params": p}, jnp.asarray(sat), jnp.asarray(grd),
+                           jnp.asarray(k), jnp.asarray(gt), mode="train")
+        return diag.loss
+
+    jgrad = jax.grad(loss_fn)(params)
+    _compare_grads(jgrad, tgrad, rtol=5e-3)
