@@ -154,8 +154,6 @@ def extra_metrics(cfg, batch, on_tpu):
 
     import numpy as np
 
-    from highlyaccurate_tpu.geometry import ford as fgeom
-    from highlyaccurate_tpu.models.ford import LMS2GPFord
     from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
     from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
 
@@ -164,10 +162,18 @@ def extra_metrics(cfg, batch, on_tpu):
         np.array([[582.9802, 0.0, 496.2420],
                   [0.0, 482.7076, 125.0034],
                   [0.0, 0.0, 1.0]], np.float32), (batch, 3, 3)).copy()
-    ford_R = np.broadcast_to(np.asarray(fgeom.qvec2rotmat(
-        [0.997, 0.01, 0.05, 0.02]), np.float32), (batch, 3, 3)).copy()
-    ford_T = np.broadcast_to(np.array([1.0, 0.5, -1.4], np.float32),
-                             (batch, 3)).copy()
+
+    def _ford_train():
+        # imports inside so a Ford-side failure error-tags this key only
+        from highlyaccurate_tpu.geometry import ford as fgeom
+        from highlyaccurate_tpu.models.ford import LMS2GPFord
+        R = np.broadcast_to(np.asarray(fgeom.qvec2rotmat(
+            [0.997, 0.01, 0.05, 0.02]), np.float32), (batch, 3, 3)).copy()
+        T = np.broadcast_to(np.array([1.0, 0.5, -1.4], np.float32),
+                            (batch, 3)).copy()
+        return _bench_train_step(cfg, batch, model_cls=LMS2GPFord,
+                                 extra=(R, T),
+                                 ford_side_m=cfg.sat_size * 0.22)
     bf16_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
     # reference-faithful eval path (mandatory for imported .pth checkpoints
     # — PERF.md recall study); implicit-J contraction rides the gather
@@ -205,9 +211,7 @@ def extra_metrics(cfg, batch, on_tpu):
         dataclasses.replace(g2sp_cfg, remat=1), batch, model_cls=LMG2SP,
         extra=(k,)))
     # Ford training (banded custom-VJP kernels, cam->body->world chain)
-    _best_effort(out, "ford_train_fps", lambda: _bench_train_step(
-        cfg, batch, model_cls=LMS2GPFord, extra=(ford_R, ford_T),
-        ford_side_m=cfg.sat_size * 0.22))
+    _best_effort(out, "ford_train_fps", _ford_train)
     return out
 
 

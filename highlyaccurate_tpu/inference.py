@@ -258,13 +258,19 @@ class ExportedLocalizer:
         from jax import export as jexport
 
         with zipfile.ZipFile(path) as z:
-            meta = json.loads(z.read("meta.json"))
+            names = set(z.namelist())
+            meta = (json.loads(z.read("meta.json"))
+                    if "meta.json" in names else {})
+            if meta.get("format") != _EXPORT_FORMAT:
+                raise ValueError(f"{path}: not a Localizer export artifact "
+                                 f"(format={meta.get('format')!r})")
             blob = z.read("program.jaxexport")
-        if meta.get("format") != _EXPORT_FORMAT:
-            raise ValueError(f"{path}: not a Localizer export artifact "
-                             f"(format={meta.get('format')!r})")
         backend = jax.default_backend()
-        if backend not in meta["platforms"]:
+        # jax.export records lowering-platform names ('cuda'/'rocm'), while
+        # default_backend() reports the API name ('gpu') — map before
+        # comparing so a GPU artifact loads on the GPU host it came from
+        aliases = {"gpu": ("gpu", "cuda", "rocm")}.get(backend, (backend,))
+        if not any(p in meta["platforms"] for p in aliases):
             raise ValueError(
                 f"{path} was exported for {meta['platforms']} but this "
                 f"process runs on {backend!r}; re-export on the deployment "

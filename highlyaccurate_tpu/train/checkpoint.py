@@ -73,6 +73,9 @@ def save_params(save_path: str, name: str, params: Any,
         ckpt.wait_until_finished()
         ckpt.save(path, args=_standard_args(params), force=True)
         return path
+    # a sync overwrite must not delete a directory an earlier async save
+    # is still writing either
+    wait_for_async_saves()
     ckpt = _checkpointer()
     ckpt.save(path, params, force=True)
     ckpt.wait_until_finished()
@@ -124,9 +127,14 @@ def save_train_state(save_path: str, name: str, state,
     path = os.path.abspath(os.path.join(save_path, name + "_full"))
     if async_save:
         ckpt = _async_checkpointer()
+        # NOTE: this wait also serializes with a just-issued async
+        # save_params — with keep_optimizer_state=1 the params snapshot
+        # effectively completes here (seconds for this model size) and
+        # only the _full write overlaps the following eval
         ckpt.wait_until_finished()
         ckpt.save(path, args=_standard_args(payload), force=True)
         return path
+    wait_for_async_saves()
     ckpt = _checkpointer()
     ckpt.save(path, payload, force=True)
     ckpt.wait_until_finished()

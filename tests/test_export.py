@@ -78,3 +78,9 @@ def test_export_rejects_mesh_and_bad_artifacts(tmp_path):
         z.writestr("program.jaxexport", b"")
     with pytest.raises(ValueError, match="not a Localizer export"):
         ExportedLocalizer(str(bad))
+
+    foreign = tmp_path / "foreign.zip"  # any zip, no meta.json at all
+    with zipfile.ZipFile(foreign, "w") as z:
+        z.writestr("something.txt", "hello")
+    with pytest.raises(ValueError, match="not a Localizer export"):
+        ExportedLocalizer(str(foreign))
