@@ -122,6 +122,10 @@ class FordDataset:
                  grd_h: int = 256, grd_w: int = 1024,
                  rng: Optional[np.random.RandomState] = None,
                  use_native_warp: Optional[bool] = None):
+        # absolute root: the reference joins os.path.join(root, log, FL_dir)
+        # where FL_dir ALREADY contains root/log (Ford_dataset.py:100,109) —
+        # that collapses correctly only when root is absolute, so make it so
+        root = os.path.abspath(root)
         self.root = root
         self.is_train = split == "train"
         self.shift_range_lat = shift_range_lat
