@@ -126,18 +126,14 @@ class LMS2GPFord(nn.Module):
             conf_proj = conf_proj * m[..., None]
         return feat_proj, conf_proj, jac, uv * m[..., None], m
 
-    def __call__(self, sat_map, grd_img, satmap_sidelength_meters, R_FL, T_FL,
-                 gt_pose=None, mode: str = "train"):
-        """sat_map [B,A,A,3]; grd_img [B,H,W,3]; R_FL [B,3,3]; T_FL [B,3]."""
+    def _run_rounds(self, pose0, sat_feats, sat_confs, grd_feats,
+                    grd_confs, grd_depths, R_FL, T_FL,
+                    satmap_sidelength_meters, collect_aux: bool, mode: str):
+        """Shared (iteration x level) solver loop over precomputed feature
+        pyramids; returns (t_arr [B, rounds, 3], aux_feats, aux_uvs).
+        Factored out of __call__ so multi_hypothesis_test can ride the
+        batch axis without re-extracting features (see lm_s2gp)."""
         cfg = self.cfg
-        B = sat_map.shape[0]
-        sat_feats, sat_confs = self.SatFeatureNet(sat_map)
-        if cfg.estimate_depth:
-            grd_feats, grd_confs, grd_depths = self.GrdFeatureNet(grd_img)
-        else:
-            grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
-            grd_depths = [None] * len(grd_feats)
-
         lm_cfg = LMConfig(
             active_dims=(0, 1, 2),
             using_weight=bool(cfg.using_weight),
@@ -150,10 +146,7 @@ class LMS2GPFord(nn.Module):
         )
         base_key = self.make_rng("lm") if cfg.Optimizer in ("LM", "GN") \
             else jax.random.PRNGKey(0)
-
-        collect_aux = mode == "train" and cfg.loss_method > 0
         n_levels = len(self._slots)
-        pose0 = jnp.zeros((B, 3), dtype=jnp.float32)
 
         # use_banded_warp=2 forces the path off-TPU (interpret mode, tests)
         use_banded = (bool(cfg.use_banded_warp) and cfg.proj == "geo"
@@ -311,12 +304,102 @@ class LMS2GPFord(nn.Module):
                 return p, (jnp.stack(poses, 1), tuple(auxs))
             pose, (poses, auxs) = jax.lax.scan(
                 body, pose0, jnp.arange(cfg.N_iters))
-            t_arr = jnp.transpose(poses, (1, 0, 2, 3)).reshape(B, -1, 3)
+            t_arr = jnp.transpose(poses, (1, 0, 2, 3)).reshape(pose0.shape[0], -1, 3)
             aux_feats = aux_uvs = None
             if collect_aux:
                 aux_feats = [jnp.transpose(a[0], (1, 0, 2, 3, 4))
                              for a in auxs]
                 aux_uvs = [jnp.transpose(a[1], (1, 0, 2, 3, 4)) for a in auxs]
+        return t_arr, aux_feats, aux_uvs
+
+    def multi_hypothesis_test(self, sat_map, grd_img,
+                              satmap_sidelength_meters, R_FL, T_FL,
+                              n_hyp: int):
+        """Multi-start LM inference for the Ford chain (SURVEY.md §2.2 P6;
+        mirror of LMS2GP.multi_hypothesis_test): run the solver from
+        ``n_hyp`` initial poses per sample (hypothesis 0 at the reference's
+        zero init, the rest uniform in [-1, 1]), pick the hypothesis with
+        the smallest normalized finest-level feature residual.  Hypotheses
+        ride the batch axis — one jitted program.
+
+        Returns (shift_lat, shift_lon, theta) each [B]."""
+        cfg = self.cfg
+        B = sat_map.shape[0]
+        P = n_hyp
+        sat_feats, sat_confs = self.SatFeatureNet(sat_map)
+        if cfg.estimate_depth:
+            grd_feats, grd_confs, grd_depths = self.GrdFeatureNet(grd_img)
+        else:
+            grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
+            grd_depths = [None] * len(grd_feats)
+
+        tile = lambda x: jnp.repeat(x, P, axis=0)  # [B,...] -> [B*P,...]
+        sat_feats = [tile(f) for f in sat_feats]
+        sat_confs = [tile(c) for c in sat_confs]
+        grd_feats = [tile(f) for f in grd_feats]
+        grd_confs = [tile(c) for c in grd_confs]
+        grd_depths = [None if d is None else tile(d) for d in grd_depths]
+        R_t, T_t = tile(R_FL), tile(T_FL)
+
+        init_key = self.make_rng("lm")
+        init = jax.random.uniform(jax.random.fold_in(init_key, 0x5EED),
+                                  (B, P, 3), minval=-1.0, maxval=1.0)
+        init = init.at[:, 0, :].set(0.0)  # hypothesis 0 = reference init
+        if cfg.rotation_range == 0:
+            init = init.at[..., 2].set(0.0)
+        pose0 = init.reshape(B * P, 3)
+
+        t_arr, _, _ = self._run_rounds(
+            pose0, sat_feats, sat_confs, grd_feats, grd_confs, grd_depths,
+            R_t, T_t, satmap_sidelength_meters, collect_aux=False,
+            mode="test")
+        final = t_arr[:, -1]  # [B*P, 3]
+
+        # score: normalized residual at the finest level under the final pose
+        lvl = len(self._slots) - 1
+        slot = self._slots[lvl]
+        gH = grd_feats[lvl].shape[1]
+        half = gH // 2 if cfg.proj == "geo" else 0
+        sat_fp, _, _, _, m = self._project(
+            sat_feats[lvl], None, final, slot, R_t, T_t,
+            satmap_sidelength_meters, with_jac=False,
+            depth=grd_depths[lvl], row_start=half)
+        g = grd_feats[lvl][:, half:] * m[..., None]
+        s_f = sat_fp.reshape(B * P, -1)
+        g_f = g.reshape(B * P, -1)
+        s_n = jnp.sqrt(jnp.maximum(jnp.sum(s_f * s_f, -1), 1e-12))
+        g_n = jnp.sqrt(jnp.maximum(jnp.sum(g_f * g_f, -1), 1e-12))
+        cost = jnp.sum((s_f / s_n[:, None] - g_f / g_n[:, None]) ** 2,
+                       axis=-1)
+        best = jnp.argmin(cost.reshape(B, P), axis=1)  # [B]
+
+        final = final.reshape(B, P, 3)[jnp.arange(B), best]
+        # Ford pose semantics: u lateral, v longitudinal (see __call__)
+        return final[:, 0], final[:, 1], final[:, 2]
+
+    def __call__(self, sat_map, grd_img, satmap_sidelength_meters, R_FL, T_FL,
+                 gt_pose=None, mode: str = "train"):
+        """sat_map [B,A,A,3]; grd_img [B,H,W,3]; R_FL [B,3,3]; T_FL [B,3]."""
+        cfg = self.cfg
+        B = sat_map.shape[0]
+        # trajectory mode always reports the single-start [B, I, L] path
+        if mode == "test" and cfg.pose_hypotheses > 1:
+            return self.multi_hypothesis_test(
+                sat_map, grd_img, satmap_sidelength_meters, R_FL, T_FL,
+                cfg.pose_hypotheses)
+        sat_feats, sat_confs = self.SatFeatureNet(sat_map)
+        if cfg.estimate_depth:
+            grd_feats, grd_confs, grd_depths = self.GrdFeatureNet(grd_img)
+        else:
+            grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
+            grd_depths = [None] * len(grd_feats)
+
+        collect_aux = mode == "train" and cfg.loss_method > 0
+        n_levels = len(self._slots)
+        pose0 = jnp.zeros((B, 3), dtype=jnp.float32)
+        t_arr, aux_feats, aux_uvs = self._run_rounds(
+            pose0, sat_feats, sat_confs, grd_feats, grd_confs, grd_depths,
+            R_FL, T_FL, satmap_sidelength_meters, collect_aux, mode)
 
         if cfg.level_first:
             t_arr = t_arr.reshape(B, n_levels, cfg.N_iters, 3).transpose(0, 2, 1, 3)

@@ -213,3 +213,25 @@ def test_ford_fused_moments_matches_implicit():
     for a, b in zip(got, run(model_f)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_ford_multi_hypothesis_inference():
+    """pose_hypotheses>1 routes Ford test-mode through the multi-start
+    solver (mirror of LMS2GP.multi_hypothesis_test); hypothesis selection
+    must return finite [B] poses and, with the winning start at the
+    reference zero init available, never do worse than garbage."""
+    cfg, model, params, (sat, grd, side_m, R, T, gt) = _ford_setup(
+        pose_hypotheses=3)
+    lat, lon, th = model.apply(params, sat, grd, side_m, R, T, mode="test",
+                               rngs={"lm": jax.random.PRNGKey(3)})
+    B = sat.shape[0]
+    assert lat.shape == lon.shape == th.shape == (B,)
+    assert np.isfinite(np.asarray([lat, lon, th])).all()
+    # single-hypothesis result for reference: same params, same inputs
+    import dataclasses
+    cfg1 = dataclasses.replace(cfg, pose_hypotheses=1)
+    model1 = type(model)(cfg=cfg1)
+    lat1, lon1, th1 = model1.apply(params, sat, grd, side_m, R, T,
+                                   mode="test",
+                                   rngs={"lm": jax.random.PRNGKey(3)})
+    assert np.isfinite(np.asarray([lat1, lon1, th1])).all()
