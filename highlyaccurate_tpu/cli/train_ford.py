@@ -87,6 +87,10 @@ def parse_args(argv=None):
                         "sampler — see PERF.md recall study)")
     p.add_argument("--save_root", type=str, default=".")
     p.add_argument("--keep_optimizer_state", type=int, default=0)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler device trace of train "
+                        "steps 2-4 of the first epoch into this directory "
+                        "(TensorBoard/Perfetto-loadable)")
     p.add_argument("--async_ckpt", type=int, default=1,
                    help="epoch checkpoints write on orbax's "
                         "background thread, overlapping the "
@@ -264,8 +268,17 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
                 "gt_pose": batch["gt_pose"]})
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed),
                                      epoch * 100000 + loop)
+            # device trace of steps 2-4 (step 0/1 carry compiles)
+            if args.profile_dir and epoch == args.resume and loop == 2:
+                from highlyaccurate_tpu.utils.profiling import trace
+                _prof = trace(args.profile_dir)
+                _prof.__enter__()
             state, metrics = train_step(state, b["sat"], b["grd"], b["R_FL"],
                                         b["T_FL"], b["gt_pose"], rng)
+            if args.profile_dir and epoch == args.resume and loop == 4:
+                np.asarray(metrics["loss"])  # fence: capture real work
+                _prof.__exit__(None, None, None)
+                print(f"profiler trace written to {args.profile_dir}")
             if loop % 10 == 9:
                 lvl = cfg.n_levels - 1
                 print(f"Epoch: {epoch} Loop: {loop}"

@@ -82,6 +82,10 @@ def parse_args(argv=None):
     p.add_argument("--save_root", type=str, default=".")
     p.add_argument("--compute_dtype", type=str, default="float32")
     p.add_argument("--keep_optimizer_state", type=int, default=0)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler device trace of train "
+                        "steps 2-4 of the first epoch into this directory "
+                        "(TensorBoard/Perfetto-loadable)")
     p.add_argument("--async_ckpt", type=int, default=1,
                    help="epoch checkpoints write on orbax's "
                         "background thread, overlapping the "
@@ -317,6 +321,12 @@ def train(model, cfg: Config, args, save_path: str):
                    if cfg.direction == "G2SP" else {})})
             rng = jax.random.fold_in(
                 jax.random.PRNGKey(args.seed), epoch * 100000 + loop)
+            # device trace of steps 2-4 (step 0/1 carry compiles): start
+            # after the step-1 metrics fetch below, stop after step 4's
+            if args.profile_dir and epoch == args.resume and loop == 2:
+                from highlyaccurate_tpu.utils.profiling import trace
+                _prof = trace(args.profile_dir)
+                _prof.__enter__()
             if cfg.direction == "G2SP":
                 state, metrics = train_step(state, b["sat"], b["grd"],
                                             b["camera_k"], b["gt_pose"], rng)
@@ -330,6 +340,10 @@ def train(model, cfg: Config, args, save_path: str):
                                  traj_name=f"{epoch}_{loop}",
                                  feat_prefix=f"feat_e{epoch}_l{loop}",
                                  loop=loop)
+            if args.profile_dir and epoch == args.resume and loop == 4:
+                np.asarray(metrics["loss_last"])  # fence: capture real work
+                _prof.__exit__(None, None, None)
+                print(f"profiler trace written to {args.profile_dir}")
             if loop % 10 == 9:
                 lvl = cfg.n_levels - 1
                 print(f"Epoch: {epoch} Loop: {loop} Delta: Level-{lvl}"
