@@ -178,8 +178,11 @@ def import_pth(path: str, cfg: Config) -> dict:
         sd = sd.state_dict()
 
     params: dict = {}
+    # depth heads live on the GROUND branch only (reference
+    # models_ford.py:36-37: SatFeatureNet = VGGUnet(level),
+    # GrdFeatureNet = VGGUnet(level, estimate_depth))
     params["SatFeatureNet"] = torch_branch_to_flax(
-        sd, "SatFeatureNet.", estimate_depth=bool(cfg.estimate_depth))
+        sd, "SatFeatureNet.", estimate_depth=False)
     params["GrdFeatureNet"] = torch_branch_to_flax(
         sd, "GrdFeatureNet.", estimate_depth=bool(cfg.estimate_depth))
     if "damping" in sd:

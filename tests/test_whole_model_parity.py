@@ -385,6 +385,9 @@ def test_g2sp_whole_model(ref, tmp_path, monkeypatch, proj):
 @pytest.mark.parametrize("overrides", [
     {},
     {"level_first": 1},            # forward_level_iters loop order
+    {"estimate_depth": 1},         # learned ground-height lift
+                                   # (models_ford.py:192-201; depth heads on
+                                   # the grd branch only, VGG.py:85-118)
     # GN at batch 1: the reference's GN_update runs `if torch.isnan(...)` on
     # a [B,1] tensor, which raises for B>1 (latent upstream bug).  The
     # reference's Ford SGD_update is broken outright (`delta_pose[:, 0, 0]`
@@ -396,7 +399,7 @@ def test_g2sp_whole_model(ref, tmp_path, monkeypatch, proj):
     # GN parity is covered per-op in test_reference_parity.py; the
     # reference's Ford SGD_update is broken outright (delta_pose[:, 0, 0]
     # on a 2-D tensor) — see PARITY.md known deltas.
-], ids=["default", "level_first"])
+], ids=["default", "level_first", "estimate_depth"])
 def test_ford_whole_model(ref, tmp_path, monkeypatch, overrides):
     """Composed LM_S2GP_Ford forwards vs the flax model."""
     import jax
@@ -442,6 +445,7 @@ def test_ford_whole_model(ref, tmp_path, monkeypatch, overrides):
     cfg = Config(grd_h=GRD_H, grd_w=GRD_W, sat_size=SAT, N_iters=2, level=3,
                  use_banded_warp=0, damping=0.1,
                  level_first=args.level_first, Optimizer=args.Optimizer,
+                 estimate_depth=args.estimate_depth,
                  shift_range_lat=args.shift_range_lat,
                  shift_range_lon=args.shift_range_lon,
                  rotation_range=args.rotation_range)
