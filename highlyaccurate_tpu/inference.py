@@ -169,18 +169,23 @@ class Localizer:
                               jnp.asarray(gb), sub)
 
         return _batched_predict(
-            run, sat_imgs, grd_imgs, self.batch_size,
+            run, sat_imgs, grd_imgs, [self.batch_size],
             (cfg.shift_range_lat, cfg.shift_range_lon, cfg.rotation_range),
             self._ford_R, self._ford_T, R_FL, T_FL)
 
-    def export(self, path: str, platforms=None) -> None:
+    def export(self, path: str, platforms=None, batch_sizes=None) -> None:
         """Serialize the inference program to a self-contained artifact.
 
-        The jitted eval step is traced at the compiled batch size with the
-        weights closed over (they become StableHLO constants), serialized
-        via ``jax.export``, and zipped together with the denormalization
+        The jitted eval step is traced per batch size with the weights
+        closed over (they become StableHLO constants), serialized via
+        ``jax.export``, and zipped together with the denormalization
         metadata.  ``ExportedLocalizer(path)`` serves the artifact without
         the model code or checkpoint files.
+
+        ``batch_sizes`` (default ``[self.batch_size]``): trace one program
+        per size — e.g. ``[1, 8]`` lets the server run single images at
+        batch-1 latency instead of padding to 8; ExportedLocalizer routes
+        each chunk to the smallest exported size that fits.
 
         Export on (a host of) the deployment platform type — the program
         embeds platform-specific kernels (Mosaic on TPU); loading it on a
@@ -213,32 +218,41 @@ class Localizer:
             def fn(sat, grd, key):
                 return step(params, sat, grd, key)
 
-        bs = self.batch_size
+        sizes = sorted(set(batch_sizes or [self.batch_size]))
         f32 = np.float32
-        args = [jax.ShapeDtypeStruct((bs, cfg.sat_size, cfg.sat_size, 3), f32),
-                jax.ShapeDtypeStruct((bs, cfg.grd_h, cfg.grd_w, 3), f32)]
-        if ford:
-            args += [jax.ShapeDtypeStruct((bs, 3, 3), f32),
-                     jax.ShapeDtypeStruct((bs, 3), f32)]
         key = jax.random.PRNGKey(0)
-        args.append(jax.ShapeDtypeStruct(key.shape, key.dtype))
-
-        exp = jexport.export(jax.jit(fn), platforms=platforms)(*args)
+        blobs = {}
+        exp_platforms = None
+        for bs in sizes:
+            args = [jax.ShapeDtypeStruct(
+                        (bs, cfg.sat_size, cfg.sat_size, 3), f32),
+                    jax.ShapeDtypeStruct((bs, cfg.grd_h, cfg.grd_w, 3), f32)]
+            if ford:
+                args += [jax.ShapeDtypeStruct((bs, 3, 3), f32),
+                         jax.ShapeDtypeStruct((bs, 3), f32)]
+            args.append(jax.ShapeDtypeStruct(key.shape, key.dtype))
+            exp = jexport.export(jax.jit(fn), platforms=platforms)(*args)
+            exp_platforms = list(exp.platforms)
+            blobs[bs] = exp.serialize()
         meta = {
             "format": _EXPORT_FORMAT,
-            "batch_size": bs,
+            "batch_size": max(sizes),
+            "batch_sizes": sizes,
             "ford": ford,
             "shift_range_lat": cfg.shift_range_lat,
             "shift_range_lon": cfg.shift_range_lon,
             "rotation_range": cfg.rotation_range,
             "ford_R": None if not ford else self._ford_R.tolist(),
             "ford_T": None if not ford else self._ford_T.tolist(),
-            "platforms": list(exp.platforms),
+            "platforms": exp_platforms,
         }
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
             z.writestr("meta.json", json.dumps(meta, indent=1))
-            z.writestr("program.jaxexport", exp.serialize())
+            for bs, blob in blobs.items():
+                name = ("program.jaxexport" if bs == max(sizes)
+                        else f"program_b{bs}.jaxexport")
+                z.writestr(name, blob)
         with open(path, "wb") as f:
             f.write(buf.getvalue())
 
@@ -264,7 +278,10 @@ class ExportedLocalizer:
             if meta.get("format") != _EXPORT_FORMAT:
                 raise ValueError(f"{path}: not a Localizer export artifact "
                                  f"(format={meta.get('format')!r})")
-            blob = z.read("program.jaxexport")
+            sizes = sorted(meta.get("batch_sizes", [meta["batch_size"]]))
+            blobs = {bs: z.read("program.jaxexport" if bs == max(sizes)
+                                else f"program_b{bs}.jaxexport")
+                     for bs in sizes}
         backend = jax.default_backend()
         # jax.export records lowering-platform names ('cuda'/'rocm'), while
         # default_backend() reports the API name ('gpu') — map before
@@ -277,12 +294,14 @@ class ExportedLocalizer:
                 "platform (or export with platforms=[...])")
         self.meta = meta
         self.batch_size = meta["batch_size"]
+        self.batch_sizes = sizes
         self._ford = bool(meta["ford"])
         self._ford_R = (np.asarray(meta["ford_R"], np.float32)
                         if self._ford else None)
         self._ford_T = (np.asarray(meta["ford_T"], np.float32)
                         if self._ford else None)
-        self._call = jax.jit(jexport.deserialize(blob).call)
+        self._calls = {bs: jax.jit(jexport.deserialize(blob).call)
+                       for bs, blob in blobs.items()}
         self._key = jax.random.PRNGKey(seed)
         self._jax = jax
 
@@ -295,24 +314,27 @@ class ExportedLocalizer:
         meta = self.meta
 
         def run(sb, gb, Rb, Tb):
+            call = self._calls[sb.shape[0]]
             self._key, sub = jax.random.split(self._key)
             if self._ford:
-                return self._call(sb, gb, Rb, Tb, sub)
-            return self._call(sb, gb, sub)
+                return call(sb, gb, Rb, Tb, sub)
+            return call(sb, gb, sub)
 
         return _batched_predict(
-            run, sat_imgs, grd_imgs, self.batch_size,
+            run, sat_imgs, grd_imgs, self.batch_sizes,
             (meta["shift_range_lat"], meta["shift_range_lon"],
              meta["rotation_range"]),
             self._ford_R, self._ford_T, R_FL, T_FL)
 
 
-def _batched_predict(run, sat_imgs, grd_imgs, bs, ranges,
+def _batched_predict(run, sat_imgs, grd_imgs, sizes, ranges,
                      ford_R, ford_T, R_FL, T_FL) -> dict:
     """Shared predict loop: uint8 conversion, padding ragged tails to the
-    compiled batch size, denormalizing to meters/degrees (reference
-    train_kitti.py:77-80).  ``run(sat, grd, R, T)`` executes one padded
-    batch (R/T are None for KITTI)."""
+    smallest compiled batch size that fits (``sizes`` sorted ascending —
+    a multi-size export serves a tail of 1 at batch-1 latency),
+    denormalizing to meters/degrees (reference train_kitti.py:77-80).
+    ``run(sat, grd, R, T)`` executes one padded batch (R/T are None for
+    KITTI)."""
     ford = ford_R is not None
     sat = np.asarray(sat_imgs)
     grd = np.asarray(grd_imgs)
@@ -331,24 +353,26 @@ def _batched_predict(run, sat_imgs, grd_imgs, bs, ranges,
         T = (np.asarray(T_FL, np.float32) if T_FL is not None
              else np.broadcast_to(ford_T, (n, 3)))
 
+    max_bs = sizes[-1]
     lats, lons, ths = [], [], []
-    for i in range(0, n, bs):
-        sb, gb = sat[i:i + bs], grd[i:i + bs]
-        pad = bs - sb.shape[0]
+    for i in range(0, n, max_bs):
+        chunk = min(max_bs, n - i)
+        bs = next(s for s in sizes if s >= chunk)
+        sb, gb = sat[i:i + chunk], grd[i:i + chunk]
+        pad = bs - chunk
         if pad:  # pad the ragged tail to the compiled batch size
             sb = np.concatenate([sb, np.repeat(sb[-1:], pad, 0)])
             gb = np.concatenate([gb, np.repeat(gb[-1:], pad, 0)])
         Rb = Tb = None
         if ford:
-            Rb, Tb = R[i:i + bs], T[i:i + bs]
+            Rb, Tb = R[i:i + chunk], T[i:i + chunk]
             if pad:
                 Rb = np.concatenate([Rb, np.repeat(Rb[-1:], pad, 0)])
                 Tb = np.concatenate([Tb, np.repeat(Tb[-1:], pad, 0)])
         lat, lon, th = run(sb, gb, Rb, Tb)
-        k = bs - pad
-        lats.append(np.asarray(lat)[:k])
-        lons.append(np.asarray(lon)[:k])
-        ths.append(np.asarray(th)[:k])
+        lats.append(np.asarray(lat)[:chunk])
+        lons.append(np.asarray(lon)[:chunk])
+        ths.append(np.asarray(th)[:chunk])
 
     return {
         "lateral_m": np.concatenate(lats) * ranges[0],

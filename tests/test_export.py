@@ -84,3 +84,25 @@ def test_export_rejects_mesh_and_bad_artifacts(tmp_path):
         z.writestr("something.txt", "hello")
     with pytest.raises(ValueError, match="not a Localizer export"):
         ExportedLocalizer(str(foreign))
+
+
+def test_export_multi_batch_sizes(tmp_path):
+    """batch_sizes=[1, 2]: a 3-image request runs one full chunk at 2 and
+    the tail at the batch-1 program (no padding waste); results must match
+    the single-size artifact exactly."""
+    cfg = Config(**TINY)
+    loc = Localizer(cfg, batch_size=2, seed=5, random_init=True)
+    single = str(tmp_path / "single.halexp")
+    multi = str(tmp_path / "multi.halexp")
+    loc.export(single)
+    loc.export(multi, batch_sizes=[1, 2])
+
+    rng = np.random.RandomState(0)
+    sat, grd = _imgs(rng, 3)
+    a = ExportedLocalizer(single, seed=5)
+    b = ExportedLocalizer(multi, seed=5)
+    assert b.batch_sizes == [1, 2]
+    got_a = a.predict(sat, grd)
+    got_b = b.predict(sat, grd)
+    for k in got_a:
+        np.testing.assert_allclose(got_b[k], got_a[k], rtol=1e-6, atol=1e-7)
