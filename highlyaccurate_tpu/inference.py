@@ -11,6 +11,15 @@ the normalized pose to meters/degrees.
     out = loc.predict(sat_imgs, grd_imgs)   # numpy [N,A,A,3], [N,H,W,3]
     out["lateral_m"], out["longitudinal_m"], out["heading_deg"]     # [N]
 
+G2SP (ground->satellite projection; reference models_kitti.py:22-595):
+build with ``Config(direction="G2SP")`` and provide camera intrinsics
+(scaled to the network input size, as the KITTI loader emits them) at
+construction or per call —
+
+    loc = Localizer(Config(direction="G2SP"), pth_path="...", camera_k=K)
+    out = loc.predict(sat_imgs, grd_imgs)                 # constructor K
+    out = loc.predict(sat_imgs, grd_imgs, camera_k=K_per_image)
+
 Ford-AV (cam->body->world->sat chain; reference models_ford.py:21-1036):
 pass the camera extrinsics from the calibration YAML and the satellite
 patch's metric side length —
@@ -50,20 +59,21 @@ class Localizer:
                  ckpt_name: str = "Model_best", pth_path: Optional[str] = None,
                  batch_size: int = 8, mesh=None, seed: int = 0,
                  random_init: bool = False, ford_extrinsics=None,
-                 ford_side_m: Optional[float] = None):
+                 ford_side_m: Optional[float] = None, camera_k=None):
         import jax
         import jax.numpy as jnp
 
         from highlyaccurate_tpu.train import step as step_lib
 
-        if cfg.direction != "S2GP":
-            raise ValueError("Localizer serves the flagship S2GP models; "
-                             "use the CLIs for G2SP experiments")
         ford = ford_side_m is not None or ford_extrinsics is not None
+        g2sp = cfg.direction == "G2SP"
         if ford and (ford_side_m is None or ford_extrinsics is None):
             raise ValueError("Ford serving needs BOTH ford_extrinsics="
                              "(R_FL [3,3], T_FL [3]) and ford_side_m= "
                              "(satellite patch side length in meters)")
+        if ford and g2sp:
+            raise ValueError("the Ford chain is S2GP-only "
+                             "(direction='G2SP' + ford_* is contradictory)")
         if params is None and save_path is None and pth_path is None \
                 and not random_init:
             raise ValueError(
@@ -75,12 +85,21 @@ class Localizer:
         self._jnp = jnp
         self._jax = jax
         self._ford_side_m = ford_side_m
+        self._g2sp = g2sp
+        self._camera_k = None
         if ford:
             R_FL, T_FL = ford_extrinsics
             self._ford_R = np.asarray(R_FL, np.float32).reshape(3, 3)
             self._ford_T = np.asarray(T_FL, np.float32).reshape(3)
             from highlyaccurate_tpu.models.ford import LMS2GPFord
             self.model = LMS2GPFord(cfg=cfg)
+        elif g2sp:
+            self._ford_R = self._ford_T = None
+            if camera_k is not None:
+                self._camera_k = np.asarray(camera_k,
+                                            np.float32).reshape(3, 3)
+            from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
+            self.model = LMG2SP(cfg=cfg)
         else:
             self._ford_R = self._ford_T = None
             from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
@@ -104,6 +123,10 @@ class Localizer:
                             rngs, s, g, ford_side_m,
                             jnp.asarray(self._ford_R)[None],
                             jnp.asarray(self._ford_T)[None],
+                            jnp.zeros((1, 3)), mode="train")
+                    if g2sp:
+                        return self.model.init(
+                            rngs, s, g, jnp.asarray(_default_k(cfg))[None],
                             jnp.zeros((1, 3)), mode="train")
                     return self.model.init(
                         rngs, s, g, jnp.zeros((1, 3)), mode="train")
@@ -130,6 +153,10 @@ class Localizer:
                         jnp.asarray(self._ford_R)[None],
                         jnp.asarray(self._ford_T)[None],
                         jnp.zeros((1, 3)), mode="train")
+                elif g2sp:
+                    variables = self.model.init(
+                        rngs, sat, grd, jnp.asarray(_default_k(cfg))[None],
+                        jnp.zeros((1, 3)), mode="train")
                 else:
                     variables = self.model.init(
                         rngs, sat, grd, jnp.zeros((1, 3)), mode="train")
@@ -142,7 +169,8 @@ class Localizer:
                                              ford_side_m=ford_side_m)
         self._key = jax.random.PRNGKey(seed)
 
-    def predict(self, sat_imgs, grd_imgs, R_FL=None, T_FL=None) -> dict:
+    def predict(self, sat_imgs, grd_imgs, R_FL=None, T_FL=None,
+                camera_k=None) -> dict:
         """sat_imgs [N, A, A, 3], grd_imgs [N, H, W, 3] (float in [0,1] or
         uint8).  Returns numpy arrays of metric poses:
         {"lateral_m", "longitudinal_m", "heading_deg"} each [N] —
@@ -150,28 +178,36 @@ class Localizer:
         (reference train_kitti.py:77-80).
 
         Ford only: ``R_FL`` [N, 3, 3] / ``T_FL`` [N, 3] override the
-        constructor extrinsics per image (e.g. mixed camera rigs)."""
+        constructor extrinsics per image (e.g. mixed camera rigs).
+        G2SP only: ``camera_k`` [N, 3, 3] (or [3, 3], one rig) — required
+        unless the constructor got ``camera_k=``; scaled to the network
+        input size, as the KITTI loader provides it."""
         jnp = self._jnp
         jax = self._jax
         cfg = self.cfg
         ford = self._ford_side_m is not None
-        if (R_FL is not None or T_FL is not None) and not ford:
-            raise ValueError("R_FL/T_FL are Ford-chain extrinsics; this "
-                             "Localizer was built for KITTI S2GP")
+        n = np.asarray(sat_imgs).shape[0]
+        extras = _per_image_extras(n, ford, self._g2sp, self._ford_R,
+                                   self._ford_T, self._camera_k,
+                                   R_FL, T_FL, camera_k)
 
-        def run(sb, gb, Rb, Tb):
+        def run(sb, gb, eb):
             self._key, sub = jax.random.split(self._key)
             if ford:
                 return self._step(self.params, jnp.asarray(sb),
-                                  jnp.asarray(gb), jnp.asarray(Rb),
-                                  jnp.asarray(Tb), sub)
+                                  jnp.asarray(gb), jnp.asarray(eb["R_FL"]),
+                                  jnp.asarray(eb["T_FL"]), sub)
+            if self._g2sp:
+                return self._step(self.params, jnp.asarray(sb),
+                                  jnp.asarray(gb),
+                                  jnp.asarray(eb["camera_k"]), sub)
             return self._step(self.params, jnp.asarray(sb),
                               jnp.asarray(gb), sub)
 
         return _batched_predict(
             run, sat_imgs, grd_imgs, [self.batch_size],
             (cfg.shift_range_lat, cfg.shift_range_lon, cfg.rotation_range),
-            self._ford_R, self._ford_T, R_FL, T_FL)
+            extras)
 
     def export(self, path: str, platforms=None, batch_sizes=None) -> None:
         """Serialize the inference program to a self-contained artifact.
@@ -208,12 +244,16 @@ class Localizer:
                              "build the Localizer with mesh=None")
         cfg = self.cfg
         ford = self._ford_side_m is not None
+        g2sp = self._g2sp
         params = self.params
         step = self._step
 
         if ford:
             def fn(sat, grd, R, T, key):
                 return step(params, sat, grd, R, T, key)
+        elif g2sp:
+            def fn(sat, grd, k, key):
+                return step(params, sat, grd, k, key)
         else:
             def fn(sat, grd, key):
                 return step(params, sat, grd, key)
@@ -230,6 +270,8 @@ class Localizer:
             if ford:
                 args += [jax.ShapeDtypeStruct((bs, 3, 3), f32),
                          jax.ShapeDtypeStruct((bs, 3), f32)]
+            elif g2sp:
+                args += [jax.ShapeDtypeStruct((bs, 3, 3), f32)]
             args.append(jax.ShapeDtypeStruct(key.shape, key.dtype))
             exp = jexport.export(jax.jit(fn), platforms=platforms)(*args)
             exp_platforms = list(exp.platforms)
@@ -239,11 +281,14 @@ class Localizer:
             "batch_size": max(sizes),
             "batch_sizes": sizes,
             "ford": ford,
+            "g2sp": g2sp,
             "shift_range_lat": cfg.shift_range_lat,
             "shift_range_lon": cfg.shift_range_lon,
             "rotation_range": cfg.rotation_range,
             "ford_R": None if not ford else self._ford_R.tolist(),
             "ford_T": None if not ford else self._ford_T.tolist(),
+            "camera_k": (None if self._camera_k is None
+                         else self._camera_k.tolist()),
             "platforms": exp_platforms,
         }
         buf = io.BytesIO()
@@ -296,46 +341,95 @@ class ExportedLocalizer:
         self.batch_size = meta["batch_size"]
         self.batch_sizes = sizes
         self._ford = bool(meta["ford"])
+        self._g2sp = bool(meta.get("g2sp", False))
         self._ford_R = (np.asarray(meta["ford_R"], np.float32)
                         if self._ford else None)
         self._ford_T = (np.asarray(meta["ford_T"], np.float32)
                         if self._ford else None)
+        self._camera_k = (np.asarray(meta["camera_k"], np.float32)
+                          if meta.get("camera_k") is not None else None)
         self._calls = {bs: jax.jit(jexport.deserialize(blob).call)
                        for bs, blob in blobs.items()}
         self._key = jax.random.PRNGKey(seed)
         self._jax = jax
 
-    def predict(self, sat_imgs, grd_imgs, R_FL=None, T_FL=None) -> dict:
+    def predict(self, sat_imgs, grd_imgs, R_FL=None, T_FL=None,
+                camera_k=None) -> dict:
         """Same contract as ``Localizer.predict``."""
         jax = self._jax
-        if (R_FL is not None or T_FL is not None) and not self._ford:
-            raise ValueError("R_FL/T_FL are Ford-chain extrinsics; this "
-                             "artifact was exported for KITTI S2GP")
         meta = self.meta
+        n = np.asarray(sat_imgs).shape[0]
+        extras = _per_image_extras(n, self._ford, self._g2sp, self._ford_R,
+                                   self._ford_T, self._camera_k,
+                                   R_FL, T_FL, camera_k)
 
-        def run(sb, gb, Rb, Tb):
+        def run(sb, gb, eb):
             call = self._calls[sb.shape[0]]
             self._key, sub = jax.random.split(self._key)
             if self._ford:
-                return call(sb, gb, Rb, Tb, sub)
+                return call(sb, gb, eb["R_FL"], eb["T_FL"], sub)
+            if self._g2sp:
+                return call(sb, gb, eb["camera_k"], sub)
             return call(sb, gb, sub)
 
         return _batched_predict(
             run, sat_imgs, grd_imgs, self.batch_sizes,
             (meta["shift_range_lat"], meta["shift_range_lon"],
              meta["rotation_range"]),
-            self._ford_R, self._ford_T, R_FL, T_FL)
+            extras)
+
+
+def _default_k(cfg: Config) -> np.ndarray:
+    """The fixed KITTI camera K scaled FOV-preserving to the network input
+    size (as the KITTI loader provides it, reference KITTI_dataset.py:84-100)
+    — used only as the abstract-init template for G2SP Localizers."""
+    from highlyaccurate_tpu.geometry.kitti import DEFAULT_CAMERA_K
+    k = np.asarray(DEFAULT_CAMERA_K, np.float32).copy()
+    k[0, :] *= cfg.grd_w / 1024.0
+    k[1, :] *= cfg.grd_h / 256.0
+    return k
+
+
+def _per_image_extras(n, ford, g2sp, ford_R, ford_T, default_k,
+                      R_FL, T_FL, camera_k) -> dict:
+    """Resolve per-image model extras ([N, ...] arrays) from per-call
+    overrides and constructor/artifact defaults; reject ones the model
+    family doesn't take."""
+    if (R_FL is not None or T_FL is not None) and not ford:
+        raise ValueError("R_FL/T_FL are Ford-chain extrinsics; this "
+                         "localizer does not serve the Ford model")
+    if camera_k is not None and not g2sp:
+        raise ValueError("camera_k is a G2SP input; this localizer serves "
+                         "an S2GP model (the fixed-K quirk: KITTI S2GP "
+                         "precomputes rays from the default K)")
+    if ford:
+        return {
+            "R_FL": (np.asarray(R_FL, np.float32) if R_FL is not None
+                     else np.broadcast_to(ford_R, (n, 3, 3))),
+            "T_FL": (np.asarray(T_FL, np.float32) if T_FL is not None
+                     else np.broadcast_to(ford_T, (n, 3))),
+        }
+    if g2sp:
+        k = camera_k if camera_k is not None else default_k
+        if k is None:
+            raise ValueError("G2SP serving needs camera intrinsics: pass "
+                             "camera_k= ([N,3,3] or [3,3]) to predict(), "
+                             "or a default at construction/export")
+        k = np.asarray(k, np.float32)
+        if k.ndim == 2:
+            k = np.broadcast_to(k, (n, 3, 3))
+        return {"camera_k": k}
+    return {}
 
 
 def _batched_predict(run, sat_imgs, grd_imgs, sizes, ranges,
-                     ford_R, ford_T, R_FL, T_FL) -> dict:
+                     extras) -> dict:
     """Shared predict loop: uint8 conversion, padding ragged tails to the
     smallest compiled batch size that fits (``sizes`` sorted ascending —
     a multi-size export serves a tail of 1 at batch-1 latency),
     denormalizing to meters/degrees (reference train_kitti.py:77-80).
-    ``run(sat, grd, R, T)`` executes one padded batch (R/T are None for
-    KITTI)."""
-    ford = ford_R is not None
+    ``run(sat, grd, extras_batch)`` executes one padded batch; ``extras``
+    is a dict of per-image [N, ...] arrays chunk-padded alongside."""
     sat = np.asarray(sat_imgs)
     grd = np.asarray(grd_imgs)
     if sat.dtype == np.uint8:
@@ -347,29 +441,21 @@ def _batched_predict(run, sat_imgs, grd_imgs, sizes, ranges,
         empty = np.zeros((0,), np.float32)
         return {"lateral_m": empty, "longitudinal_m": empty,
                 "heading_deg": empty}
-    if ford:
-        R = (np.asarray(R_FL, np.float32) if R_FL is not None
-             else np.broadcast_to(ford_R, (n, 3, 3)))
-        T = (np.asarray(T_FL, np.float32) if T_FL is not None
-             else np.broadcast_to(ford_T, (n, 3)))
+
+    def pad_to(x, bs):
+        pad = bs - x.shape[0]
+        return x if not pad else np.concatenate(
+            [x, np.repeat(x[-1:], pad, 0)])
 
     max_bs = sizes[-1]
     lats, lons, ths = [], [], []
     for i in range(0, n, max_bs):
         chunk = min(max_bs, n - i)
         bs = next(s for s in sizes if s >= chunk)
-        sb, gb = sat[i:i + chunk], grd[i:i + chunk]
-        pad = bs - chunk
-        if pad:  # pad the ragged tail to the compiled batch size
-            sb = np.concatenate([sb, np.repeat(sb[-1:], pad, 0)])
-            gb = np.concatenate([gb, np.repeat(gb[-1:], pad, 0)])
-        Rb = Tb = None
-        if ford:
-            Rb, Tb = R[i:i + chunk], T[i:i + chunk]
-            if pad:
-                Rb = np.concatenate([Rb, np.repeat(Rb[-1:], pad, 0)])
-                Tb = np.concatenate([Tb, np.repeat(Tb[-1:], pad, 0)])
-        lat, lon, th = run(sb, gb, Rb, Tb)
+        sb = pad_to(sat[i:i + chunk], bs)
+        gb = pad_to(grd[i:i + chunk], bs)
+        eb = {k: pad_to(v[i:i + chunk], bs) for k, v in extras.items()}
+        lat, lon, th = run(sb, gb, eb)
         lats.append(np.asarray(lat)[:chunk])
         lons.append(np.asarray(lon)[:chunk])
         ths.append(np.asarray(th)[:chunk])

@@ -106,3 +106,29 @@ def test_export_multi_batch_sizes(tmp_path):
     got_b = b.predict(sat, grd)
     for k in got_a:
         np.testing.assert_allclose(got_b[k], got_a[k], rtol=1e-6, atol=1e-7)
+
+
+def test_export_g2sp_roundtrip(tmp_path):
+    from highlyaccurate_tpu.geometry.kitti import DEFAULT_CAMERA_K
+
+    cfg = Config(direction="G2SP", **TINY)
+    k = np.asarray(DEFAULT_CAMERA_K, np.float32).copy()
+    k[0, :] *= 128 / 1024.0
+    k[1, :] *= 32 / 256.0
+    loc = Localizer(cfg, batch_size=2, seed=2, random_init=True, camera_k=k)
+    path = str(tmp_path / "g2sp.halexp")
+    loc.export(path)
+
+    rng = np.random.RandomState(7)
+    sat, grd = _imgs(rng, 3)
+    want = loc.predict(sat, grd)
+
+    srv = ExportedLocalizer(path, seed=2)
+    got = srv.predict(sat, grd)  # default K travels in the artifact
+    for key in want:
+        np.testing.assert_allclose(got[key], want[key], rtol=1e-6,
+                                   atol=1e-7)
+    got2 = srv.predict(sat, grd, camera_k=np.broadcast_to(k, (3, 3, 3)))
+    for key in want:
+        np.testing.assert_allclose(got2[key], want[key], rtol=1e-6,
+                                   atol=1e-7)

@@ -146,3 +146,34 @@ def test_save_path_restore_via_eval_shape(tmp_path):
     o1 = loc.predict(sat, grd)
     o2 = loc2.predict(sat, grd)
     np.testing.assert_allclose(o1["lateral_m"], o2["lateral_m"])
+
+
+def test_g2sp_predict():
+    """G2SP serving: camera intrinsics at construction or per call; the
+    [3,3] one-rig form broadcasts over the request."""
+    import pytest
+    from highlyaccurate_tpu.geometry.kitti import DEFAULT_CAMERA_K
+
+    cfg = Config(direction="G2SP", **TINY)
+    k = np.asarray(DEFAULT_CAMERA_K, np.float32).copy()
+    k[0, :] *= 128 / 1024.0
+    k[1, :] *= 32 / 256.0
+    loc = Localizer(cfg, batch_size=2, seed=4, random_init=True, camera_k=k)
+    rng = np.random.RandomState(5)
+    sat = rng.rand(3, 64, 64, 3).astype(np.float32)
+    grd = rng.rand(3, 32, 128, 3).astype(np.float32)
+    out = loc.predict(sat, grd)  # constructor K
+    assert out["lateral_m"].shape == (3,)
+    assert np.isfinite(out["lateral_m"]).all()
+
+    loc2 = Localizer(cfg, params=loc.params, batch_size=2, seed=4)
+    out2 = loc2.predict(sat, grd, camera_k=k)  # per-call one-rig K
+    for key in out:
+        np.testing.assert_allclose(out2[key], out[key], rtol=1e-5,
+                                   atol=1e-6)
+    with pytest.raises(ValueError, match="camera intrinsics"):
+        loc2.predict(sat, grd)  # no K anywhere
+    # S2GP localizers reject G2SP inputs
+    s2gp = Localizer(Config(**TINY), batch_size=2, random_init=True)
+    with pytest.raises(ValueError, match="G2SP input"):
+        s2gp.predict(sat, grd, camera_k=k)
