@@ -135,14 +135,11 @@ class LMG2SP(nn.Module):
             cfg.rotation_range, cfg.shift_range_lat, cfg.shift_range_lon)
         return tr(out), tr(dx), tr(dy), duv
 
-    def __call__(self, sat_map, grd_img, camera_k, gt_pose=None,
-                 mode: str = "train"):
-        """sat_map [B,A,A,3], grd_img [B,H,W,3], camera_k [B,3,3]."""
+    def _make_level_round(self, sat_feats, grd_feats, grd_confs, camera_k,
+                          mode: str, collect_aux: bool):
+        """Build the per-(level) solver round over precomputed feature
+        pyramids (shared by __call__ and multi_hypothesis_test)."""
         cfg = self.cfg
-        B = sat_map.shape[0]
-        sat_feats, sat_confs = self.SatFeatureNet(sat_map)
-        grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
-
         lm_cfg = LMConfig(
             active_dims=(0, 1, 2),
             using_weight=bool(cfg.using_weight),
@@ -154,11 +151,6 @@ class LMG2SP(nn.Module):
             reinit=False,
             raw_damping=True,
         )
-
-        pose = jnp.zeros((B, 3), dtype=jnp.float32)
-        traj = []
-        collect_aux = mode == "train" and cfg.loss_method > 0
-        aux_feats = {lvl: [] for lvl in range(len(self._slots))}
 
         # projective-line Pallas fast path: geo proj, unweighted LM
         # (using_weight folds conf into the update otherwise); needs the
@@ -212,6 +204,78 @@ class LMG2SP(nn.Module):
             new_p = lm_update(p, g_proj, c_proj, sat_feats[lvl],
                               c_proj, jac, self.damping, lm_cfg)
             return new_p, g_proj
+        return level_round
+
+    def multi_hypothesis_test(self, sat_map, grd_img, camera_k,
+                              n_hyp: int):
+        """Multi-start LM inference for the G2SP direction (SURVEY.md §2.2
+        P6; mirror of LMS2GP.multi_hypothesis_test): ``n_hyp`` initial
+        poses per sample ride the batch axis through the eval scan;
+        the hypothesis with the smallest finest-level feature residual
+        (grd_proj - sat over the satellite grid) wins.
+
+        Returns (shift_lat, shift_lon, theta) each [B]."""
+        cfg = self.cfg
+        B = sat_map.shape[0]
+        P = n_hyp
+        sat_feats, sat_confs = self.SatFeatureNet(sat_map)
+        grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
+
+        tile = lambda x: jnp.repeat(x, P, axis=0)  # [B,...] -> [B*P,...]
+        sat_feats = [tile(f) for f in sat_feats]
+        grd_feats = [tile(f) for f in grd_feats]
+        grd_confs = [tile(c) for c in grd_confs]
+        k_t = tile(camera_k)
+
+        init_key = self.make_rng("lm")
+        init = jax.random.uniform(jax.random.fold_in(init_key, 0x5EED),
+                                  (B, P, 3), minval=-1.0, maxval=1.0)
+        init = init.at[:, 0, :].set(0.0)  # hypothesis 0 = reference init
+        if cfg.rotation_range == 0:
+            init = init.at[..., 2].set(0.0)
+        pose0 = init.reshape(B * P, 3)
+
+        level_round = self._make_level_round(
+            sat_feats, grd_feats, grd_confs, k_t, "test", False)
+        n_levels = len(self._slots)
+
+        def iter_body(p, _):
+            for lvl in range(n_levels):
+                p, _aux = level_round(p, lvl)
+            return p, None
+
+        final, _ = jax.lax.scan(iter_body, pose0, None, length=cfg.N_iters)
+
+        # score: feature residual at the finest level under the final pose
+        lvl = n_levels - 1
+        A = sat_feats[lvl].shape[1]
+        g_proj, _, _ = self._project_grd_to_map(
+            grd_feats[lvl], None, final, k_t, A, with_jac=False)
+        r = (g_proj - sat_feats[lvl]).reshape(B * P, -1)
+        cost = jnp.sum(r * r, axis=-1)
+        best = jnp.argmin(cost.reshape(B, P), axis=1)  # [B]
+
+        final = final.reshape(B, P, 3)[jnp.arange(B), best]
+        return final[:, 1], final[:, 0], final[:, 2]
+
+    def __call__(self, sat_map, grd_img, camera_k, gt_pose=None,
+                 mode: str = "train"):
+        """sat_map [B,A,A,3], grd_img [B,H,W,3], camera_k [B,3,3]."""
+        cfg = self.cfg
+        B = sat_map.shape[0]
+        if mode == "test" and cfg.pose_hypotheses > 1:
+            return self.multi_hypothesis_test(sat_map, grd_img, camera_k,
+                                              cfg.pose_hypotheses)
+        sat_feats, sat_confs = self.SatFeatureNet(sat_map)
+        grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
+
+        pose = jnp.zeros((B, 3), dtype=jnp.float32)
+        traj = []
+        collect_aux = mode == "train" and cfg.loss_method > 0
+        aux_feats = {lvl: [] for lvl in range(len(self._slots))}
+
+        level_round = self._make_level_round(
+            sat_feats, grd_feats, grd_confs, camera_k, mode, collect_aux)
 
         n_levels = len(self._slots)
         if mode != "train":

@@ -235,3 +235,19 @@ def test_ford_multi_hypothesis_inference():
                                    mode="test",
                                    rngs={"lm": jax.random.PRNGKey(3)})
     assert np.isfinite(np.asarray([lat1, lon1, th1])).all()
+
+
+def test_g2sp_multi_hypothesis_inference():
+    """pose_hypotheses>1 routes G2SP test-mode through the multi-start
+    solver; finite [B] poses, single-hypothesis path unaffected."""
+    cfg, model, params, (sat, grd, k, gt) = _g2sp_setup(pose_hypotheses=3)
+    lat, lon, th = model.apply(params, sat, grd, k, mode="test",
+                               rngs={"lm": jax.random.PRNGKey(3)})
+    assert lat.shape == lon.shape == th.shape == (2,)
+    assert np.isfinite(np.asarray([lat, lon, th])).all()
+    import dataclasses
+    cfg1 = dataclasses.replace(cfg, pose_hypotheses=1)
+    model1 = type(model)(cfg=cfg1)
+    lat1, _, _ = model1.apply(params, sat, grd, k, mode="test",
+                              rngs={"lm": jax.random.PRNGKey(3)})
+    assert np.isfinite(np.asarray(lat1)).all()
