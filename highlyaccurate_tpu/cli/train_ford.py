@@ -87,6 +87,9 @@ def parse_args(argv=None):
                         "sampler — see PERF.md recall study)")
     p.add_argument("--save_root", type=str, default=".")
     p.add_argument("--keep_optimizer_state", type=int, default=0)
+    p.add_argument("--pose_hypotheses", type=int, default=1,
+                   help="multi-start LM at eval: N initial poses per "
+                        "sample, best residual wins (NEW capability)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler device trace of train "
                         "steps 2-4 of the first epoch into this directory "
@@ -259,6 +262,7 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
                                         ford_side_m=side_m)
 
     best_rank = 0.0
+    _prof = None
     for epoch in range(args.resume, cfg.epochs):
         state = reset_for_epoch(state, cfg, epoch)
         for loop, batch in enumerate(loader):
@@ -268,16 +272,18 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
                 "gt_pose": batch["gt_pose"]})
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed),
                                      epoch * 100000 + loop)
-            # device trace of steps 2-4 (step 0/1 carry compiles)
+            # device trace of steps 2-4 (steps 0/1 carry compiles; the
+            # window still contains step-0/1 async work — acceptable)
             if args.profile_dir and epoch == args.resume and loop == 2:
                 from highlyaccurate_tpu.utils.profiling import trace
                 _prof = trace(args.profile_dir)
                 _prof.__enter__()
             state, metrics = train_step(state, b["sat"], b["grd"], b["R_FL"],
                                         b["T_FL"], b["gt_pose"], rng)
-            if args.profile_dir and epoch == args.resume and loop == 4:
+            if _prof is not None and loop == 4:
                 np.asarray(metrics["loss"])  # fence: capture real work
                 _prof.__exit__(None, None, None)
+                _prof = None
                 print(f"profiler trace written to {args.profile_dir}")
             if loop % 10 == 9:
                 lvl = cfg.n_levels - 1
@@ -286,6 +292,12 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
                       f" lat: {float(metrics['shift_lat_last'][lvl]):.2f}"
                       f" lon: {float(metrics['shift_lon_last'][lvl]):.2f}"
                       f" rot: {float(metrics['theta_last'][lvl]):.2f}")
+        if _prof is not None:  # first epoch ended before step 4
+            np.asarray(metrics["loss"])
+            _prof.__exit__(None, None, None)
+            _prof = None
+            print(f"profiler trace written to {args.profile_dir} "
+                  "(short epoch: fewer than 5 batches)")
         print("taking snapshot ...")
         save_params(save_path, epoch_ckpt_name(epoch),
                     jax.device_get(state.params),

@@ -309,6 +309,7 @@ def train(model, cfg: Config, args, save_path: str):
     eval_step = step_lib.make_eval_step(model, cfg, eval_mesh)
 
     best_rank = 0.0
+    _prof = None
     for epoch in range(args.resume, cfg.epochs):
         state = reset_for_epoch(state, cfg, epoch)
         loader = make_loaders(cfg, args, "train")
@@ -321,8 +322,8 @@ def train(model, cfg: Config, args, save_path: str):
                    if cfg.direction == "G2SP" else {})})
             rng = jax.random.fold_in(
                 jax.random.PRNGKey(args.seed), epoch * 100000 + loop)
-            # device trace of steps 2-4 (step 0/1 carry compiles): start
-            # after the step-1 metrics fetch below, stop after step 4's
+            # device trace of steps 2-4 (steps 0/1 carry compiles; the
+            # window still contains step-0/1 async work — acceptable)
             if args.profile_dir and epoch == args.resume and loop == 2:
                 from highlyaccurate_tpu.utils.profiling import trace
                 _prof = trace(args.profile_dir)
@@ -340,9 +341,10 @@ def train(model, cfg: Config, args, save_path: str):
                                  traj_name=f"{epoch}_{loop}",
                                  feat_prefix=f"feat_e{epoch}_l{loop}",
                                  loop=loop)
-            if args.profile_dir and epoch == args.resume and loop == 4:
+            if _prof is not None and loop == 4:
                 np.asarray(metrics["loss_last"])  # fence: capture real work
                 _prof.__exit__(None, None, None)
+                _prof = None
                 print(f"profiler trace written to {args.profile_dir}")
             if loop % 10 == 9:
                 lvl = cfg.n_levels - 1
@@ -357,6 +359,12 @@ def train(model, cfg: Config, args, save_path: str):
                       f" lon: {np.round(float(metrics['shift_lon_last'][lvl]), 2)}"
                       f" rot: {np.round(float(metrics['theta_last'][lvl]), 2)}")
 
+        if _prof is not None:  # first epoch ended before step 4
+            np.asarray(metrics["loss_last"])
+            _prof.__exit__(None, None, None)
+            _prof = None
+            print(f"profiler trace written to {args.profile_dir} "
+                  "(short epoch: fewer than 5 batches)")
         print("taking snapshot ...")
         save_params(save_path, epoch_ckpt_name(epoch),
                     jax.device_get(state.params),

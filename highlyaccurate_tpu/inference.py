@@ -74,6 +74,10 @@ class Localizer:
         if ford and g2sp:
             raise ValueError("the Ford chain is S2GP-only "
                              "(direction='G2SP' + ford_* is contradictory)")
+        if camera_k is not None and not g2sp:
+            raise ValueError("camera_k is a G2SP input (KITTI S2GP "
+                             "precomputes rays from the fixed default K); "
+                             "build with Config(direction='G2SP')")
         if params is None and save_path is None and pth_path is None \
                 and not random_init:
             raise ValueError(
@@ -186,7 +190,8 @@ class Localizer:
         jax = self._jax
         cfg = self.cfg
         ford = self._ford_side_m is not None
-        n = np.asarray(sat_imgs).shape[0]
+        sat_imgs = np.asarray(sat_imgs)  # once; _batched_predict's
+        n = sat_imgs.shape[0]            # asarray is then a no-op view
         extras = _per_image_extras(n, ford, self._g2sp, self._ford_R,
                                    self._ford_T, self._camera_k,
                                    R_FL, T_FL, camera_k)
@@ -358,7 +363,8 @@ class ExportedLocalizer:
         """Same contract as ``Localizer.predict``."""
         jax = self._jax
         meta = self.meta
-        n = np.asarray(sat_imgs).shape[0]
+        sat_imgs = np.asarray(sat_imgs)
+        n = sat_imgs.shape[0]
         extras = _per_image_extras(n, self._ford, self._g2sp, self._ford_R,
                                    self._ford_T, self._camera_k,
                                    R_FL, T_FL, camera_k)
@@ -381,13 +387,10 @@ class ExportedLocalizer:
 
 def _default_k(cfg: Config) -> np.ndarray:
     """The fixed KITTI camera K scaled FOV-preserving to the network input
-    size (as the KITTI loader provides it, reference KITTI_dataset.py:84-100)
-    — used only as the abstract-init template for G2SP Localizers."""
-    from highlyaccurate_tpu.geometry.kitti import DEFAULT_CAMERA_K
-    k = np.asarray(DEFAULT_CAMERA_K, np.float32).copy()
-    k[0, :] *= cfg.grd_w / 1024.0
-    k[1, :] *= cfg.grd_h / 256.0
-    return k
+    size — used only as the abstract-init template for G2SP Localizers
+    (single source: the model's own helper)."""
+    from highlyaccurate_tpu.models.lm_s2gp import _scaled_default_k
+    return np.asarray(_scaled_default_k(cfg), np.float32)
 
 
 def _per_image_extras(n, ford, g2sp, ford_R, ford_T, default_k,
@@ -402,11 +405,18 @@ def _per_image_extras(n, ford, g2sp, ford_R, ford_T, default_k,
         raise ValueError("camera_k is a G2SP input; this localizer serves "
                          "an S2GP model (the fixed-K quirk: KITTI S2GP "
                          "precomputes rays from the default K)")
+    def check(name, x, shape):
+        x = np.asarray(x, np.float32)
+        if x.shape != shape:
+            raise ValueError(f"{name} must have shape {shape} to match the "
+                             f"{shape[0]} images, got {x.shape}")
+        return x
+
     if ford:
         return {
-            "R_FL": (np.asarray(R_FL, np.float32) if R_FL is not None
+            "R_FL": (check("R_FL", R_FL, (n, 3, 3)) if R_FL is not None
                      else np.broadcast_to(ford_R, (n, 3, 3))),
-            "T_FL": (np.asarray(T_FL, np.float32) if T_FL is not None
+            "T_FL": (check("T_FL", T_FL, (n, 3)) if T_FL is not None
                      else np.broadcast_to(ford_T, (n, 3))),
         }
     if g2sp:
@@ -416,9 +426,9 @@ def _per_image_extras(n, ford, g2sp, ford_R, ford_T, default_k,
                              "camera_k= ([N,3,3] or [3,3]) to predict(), "
                              "or a default at construction/export")
         k = np.asarray(k, np.float32)
-        if k.ndim == 2:
+        if k.ndim == 2 and k.shape == (3, 3):
             k = np.broadcast_to(k, (n, 3, 3))
-        return {"camera_k": k}
+        return {"camera_k": check("camera_k", k, (n, 3, 3))}
     return {}
 
 

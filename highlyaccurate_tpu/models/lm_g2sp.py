@@ -85,7 +85,7 @@ class LMG2SP(nn.Module):
         conf_proj = None
         if grd_conf is not None:
             conf_proj, _ = grid_sample(grd_conf, uv)
-        return feat_proj, conf_proj, jac
+        return feat_proj, conf_proj, jac, mask
 
     def _project_grd_banded(self, grd_feat, pose, camera_k, A: int,
                             diff: bool = False):
@@ -197,7 +197,7 @@ class LMG2SP(nn.Module):
                     p, out, dx, dy, sat_feats[lvl], duv, self.damping,
                     lm_cfg)
                 return new_p, out
-            g_proj, c_proj, jac = self._project_grd_to_map(
+            g_proj, c_proj, jac, _m = self._project_grd_to_map(
                 grd_feats[lvl], grd_confs[lvl], p, camera_k, A)
             # residual grd_proj - sat; weight grd_conf_proj
             # (reference models_kitti.py:354-364)
@@ -215,11 +215,19 @@ class LMG2SP(nn.Module):
         (grd_proj - sat over the satellite grid) wins.
 
         Returns (shift_lat, shift_lon, theta) each [B]."""
-        cfg = self.cfg
-        B = sat_map.shape[0]
-        P = n_hyp
         sat_feats, sat_confs = self.SatFeatureNet(sat_map)
         grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
+        return self._multi_hypothesis_from_feats(
+            sat_feats, grd_feats, grd_confs, camera_k, n_hyp)
+
+    def _multi_hypothesis_from_feats(self, sat_feats, grd_feats, grd_confs,
+                                     camera_k, n_hyp: int):
+        """Hypothesis sweep + selection over precomputed feature pyramids
+        (separated from feature extraction so the scoring is unit-testable
+        on self-consistent synthetic features)."""
+        cfg = self.cfg
+        B = camera_k.shape[0]
+        P = n_hyp
 
         tile = lambda x: jnp.repeat(x, P, axis=0)  # [B,...] -> [B*P,...]
         sat_feats = [tile(f) for f in sat_feats]
@@ -249,10 +257,19 @@ class LMG2SP(nn.Module):
         # score: feature residual at the finest level under the final pose
         lvl = n_levels - 1
         A = sat_feats[lvl].shape[1]
-        g_proj, _, _ = self._project_grd_to_map(
+        g_proj, _, _, m = self._project_grd_to_map(
             grd_feats[lvl], None, final, k_t, A, with_jac=False)
-        r = (g_proj - sat_feats[lvl]).reshape(B * P, -1)
-        cost = jnp.sum(r * r, axis=-1)
+        # normalized residual over the shared valid support (the flagship's
+        # hypothesis-comparability fix, lm_s2gp.py: un-normalized energies
+        # make a fully-off-map hypothesis's constant sum(sat^2) beat real
+        # ones; mask the target so both sides cover the same pixels)
+        s_t = sat_feats[lvl] * m[..., None]
+        g_f = g_proj.reshape(B * P, -1)
+        s_f = s_t.reshape(B * P, -1)
+        g_n = jnp.sqrt(jnp.maximum(jnp.sum(g_f * g_f, -1), 1e-12))
+        s_n = jnp.sqrt(jnp.maximum(jnp.sum(s_f * s_f, -1), 1e-12))
+        cost = jnp.sum((g_f / g_n[:, None] - s_f / s_n[:, None]) ** 2,
+                       axis=-1)
         best = jnp.argmin(cost.reshape(B, P), axis=1)  # [B]
 
         final = final.reshape(B, P, 3)[jnp.arange(B), best]
@@ -352,7 +369,7 @@ class LMG2SP(nn.Module):
             mpp = self.meters_per_pixel[slot]
             sat_feat = sat_feats[lvl]
             A = sat_feat.shape[1]
-            g_proj, _, _ = self._project_grd_to_map(
+            g_proj, _, _, _m = self._project_grd_to_map(
                 grd_feats[lvl], None, pose0, camera_k, A, with_jac=False)
 
             crop_h = int(A - cfg.shift_range_lat * 2 / mpp)

@@ -102,3 +102,52 @@ def test_multi_hypothesis_beats_single_on_hard_init():
     errsP = np.linalg.norm(np.asarray(trajP[:, -1])
                            - np.asarray(gt_pose[0])[None], axis=-1)
     assert errsP.min() <= err_single + 1e-6
+
+
+def test_g2sp_multi_hypothesis_scoring_rejects_offmap():
+    """G2SP hypothesis selection on a self-consistent problem (sat :=
+    project(grd, gt)): the selected hypothesis must land closer to GT than
+    a fully-off-map start would.  Regression for the unnormalized-energy
+    scoring bug: without per-hypothesis feature normalization, an off-map
+    hypothesis' constant cost sum(sat^2) beats genuinely-aligned ones."""
+    from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
+
+    cfg = Config(grd_h=64, grd_w=256, sat_size=128, N_iters=6, level=-1,
+                 direction="G2SP", damping=0.05, rotation_range=10.0,
+                 shift_range_lat=5.0, shift_range_lon=5.0,
+                 pose_hypotheses=5, use_banded_warp=0)
+    model = LMG2SP(cfg=cfg)
+    rng = np.random.RandomState(2)
+
+    # smooth GROUND features at the slot-0 ladder (grd 64x256 -> /8)
+    coarse = rng.randn(2, 8, 8).astype(np.float32)
+    grd_feat = jax.image.resize(jnp.asarray(coarse).transpose(1, 2, 0),
+                                (8, 32, 2), method="linear")[None]
+    gt_pose = jnp.asarray([[0.8, -0.7, 0.4]], jnp.float32)
+    k = jnp.asarray(
+        np.array([[[582.98 * 256 / 1024, 0, 496.24 * 256 / 1024],
+                   [0, 482.7 * 64 / 256, 125.0 * 64 / 256],
+                   [0, 0, 1]]], np.float32))
+
+    sat_img = jnp.zeros((1, 128, 128, 3))
+    grd_img = jnp.zeros((1, 64, 256, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "lm": jax.random.PRNGKey(1)},
+                           sat_img, grd_img, k, gt_pose, mode="train")
+    bound = model.bind(variables, rngs={"lm": jax.random.PRNGKey(2)})
+
+    A = 16  # slot-0 sat grid (128/8)
+    sat_feat, _, _, m = bound._project_grd_to_map(
+        grd_feat, None, gt_pose, k, A, with_jac=False)
+    grd_conf = jnp.ones_like(grd_feat[..., :1])
+
+    lat, lon, th = bound._multi_hypothesis_from_feats(
+        [sat_feat], [grd_feat], [grd_conf], k, 5)
+    sel = np.array([float(lon[0]), float(lat[0]), float(th[0])])  # (u, v, heading)
+    err_sel = np.linalg.norm(sel - np.asarray(gt_pose[0]))
+    # an off-map hypothesis sits >= |(1,1)|-|gt| away in normalized units
+    err_offmap = np.linalg.norm(np.array([1.0, 1.0, 0.0])
+                                - np.asarray(gt_pose[0])[:3])
+    assert err_sel < err_offmap, (err_sel, err_offmap, sel)
+    # and the winner must actually have moved toward GT from SOME start
+    assert err_sel < np.linalg.norm(np.asarray(gt_pose[0])), (err_sel, sel)
