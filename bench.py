@@ -20,7 +20,47 @@ import time
 REF_GPU_BATCH1_FPS = 2.86
 
 
+def _accelerator_responsive(timeout_s: float = 600.0) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a timeout.
+
+    The axon TPU tunnel has been observed down for hours at a stretch with
+    jax.devices() HANGING (no error) — which would hang the whole bench and
+    leave the round with no number at all.  A subprocess probe can be
+    killed; the in-process call cannot.  The probe exits before the real
+    run starts (one JAX process at a time on the tunnel)."""
+    import os
+    import subprocess
+    import sys
+
+    timeout_s = float(os.environ.get("_BENCH_PROBE_TIMEOUT", timeout_s))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, numpy as np, jax.numpy as jnp;"
+             "print(np.asarray(jnp.ones((64,64)) @ jnp.ones((64,64)))[0,0])"],
+            timeout=timeout_s, capture_output=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    import os
+    import sys
+
+    explicit_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
+    if not explicit_cpu and not os.environ.get("_BENCH_CPU_FALLBACK") \
+            and not _accelerator_responsive():
+        # re-exec CPU-only (axon plugin stripped) with a labeled metric so
+        # a fallback number can never be mistaken for a TPU regression
+        print("bench: accelerator probe failed/hung — re-running CPU-only",
+              file=sys.stderr)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PYTHONPATH", None)
+        env["_BENCH_CPU_FALLBACK"] = "1"
+        os.execve(sys.executable, [sys.executable, __file__], env)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -305,9 +345,13 @@ def run(cfg, batch, on_tpu):
     dt = time.perf_counter() - t0
 
     fps = batch * n_iters / dt
+    import os
+    fallback = (" [CPU FALLBACK — TPU tunnel down, NOT a TPU number]"
+                if os.environ.get("_BENCH_CPU_FALLBACK") else "")
     print(json.dumps({
         "metric": "KITTI LM_S2GP end-to-end inference frames/sec/chip "
-                  f"(batch {batch}, level {cfg.level}, N_iters {cfg.N_iters})",
+                  f"(batch {batch}, level {cfg.level}, N_iters {cfg.N_iters})"
+                  + fallback,
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / REF_GPU_BATCH1_FPS, 2),
