@@ -137,8 +137,12 @@ def _bench_train_step(cfg, batch, model_cls=None, extra=(),
     return batch * n / (time.perf_counter() - t0)
 
 
-def _bench_eval_fps(model_cls, cfg, batch, n_iters, extra_init=()):
-    """Chained-dispatch eval throughput for any model class."""
+def _bench_eval_fps(model_cls, cfg, batch, n_iters, extra_init=(),
+                    warm: bool = False):
+    """Chained-dispatch eval throughput for any model class.
+
+    ``warm`` benches the tracking-mode program (init_pose input wired —
+    the warm-start value itself is an accuracy property, PERF.md round 3)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -153,11 +157,12 @@ def _bench_eval_fps(model_cls, cfg, batch, n_iters, extra_init=()):
     v = model.init({"params": jax.random.PRNGKey(0),
                     "lm": jax.random.PRNGKey(1)}, *args,
                    jnp.zeros((batch, 3)), mode="train")
+    kw = {"init_pose": jnp.zeros((batch, 3))} if warm else {}
 
     @jax.jit
     def ev(params, carry, key):
         out = model.apply({"params": params}, args[0] + carry * 1e-38,
-                          *args[1:], mode="test", rngs={"lm": key})
+                          *args[1:], mode="test", rngs={"lm": key}, **kw)
         return carry + jnp.sum(out[0]) * 1e-30
 
     carry = ev(v["params"], jnp.zeros(()), jax.random.PRNGKey(0))
@@ -247,6 +252,12 @@ def extra_metrics(cfg, batch, on_tpu):
     # reference's batch-1 "time per image" scenario)
     _best_effort(out, "batch1_latency_ms",
                  lambda: 1e3 / _bench_eval_fps(LMS2GP, cfg, 1, 3 * n))
+    # tracking mode (NEW): warm-started 2-iteration solve — the sequential-
+    # frame serving config (accuracy study: PERF.md round-3 tracking study)
+    _best_effort(out, "tracking_warm2_b1_latency_ms",
+                 lambda: 1e3 / _bench_eval_fps(
+                     LMS2GP, dataclasses.replace(cfg, N_iters=2), 1, 3 * n,
+                     warm=True))
     _best_effort(out, "g2sp_train_fps", lambda: _bench_train_step(
         dataclasses.replace(g2sp_cfg, remat=1), batch, model_cls=LMG2SP,
         extra=(k,)))

@@ -41,6 +41,18 @@ deployment story — its eval loop unpickles the full nn.Module each run):
     loc.export("/models/kitti_s2gp.halexp")
     srv = ExportedLocalizer("/models/kitti_s2gp.halexp")
     out = srv.predict(sat_imgs, grd_imgs)
+
+Tracking mode (NEW; the reference always cold-starts the solver from zero):
+feed the previous frame's estimate back as the warm start — sequential
+frames then need far fewer solver iterations for the same accuracy
+(build the Localizer with a reduced ``Config(N_iters=...)``):
+
+    out = loc.predict(sat_t, grd_t, init_pose=out_prev)
+
+Uncertainty (NEW): ``predict(..., return_cov=True)`` adds ``"cov"``
+[N, 3, 3] over (lateral_m, longitudinal_m, heading_deg) — the residual-
+scaled inverse Gauss-Newton information at the solution, the quantity a
+downstream fusion filter (EKF etc.) consumes alongside the point estimate.
 """
 
 from __future__ import annotations
@@ -169,12 +181,25 @@ class Localizer:
         if mesh is not None:
             self.params = step_lib.replicate(mesh, self.params)
         self._mesh = mesh
-        self._step = step_lib.make_eval_step(self.model, cfg, mesh,
-                                             ford_side_m=ford_side_m)
+        self._step_lib = step_lib
+        self._steps = {}
+        self._step = self._get_step(False, False)   # default program
         self._key = jax.random.PRNGKey(seed)
 
+    def _get_step(self, warm: bool, info: bool):
+        """Jitted eval program for the (warm_start, with_info) variant
+        (built lazily; each is its own compiled program)."""
+        key = (warm, info)
+        if key not in self._steps:
+            self._steps[key] = self._step_lib.make_eval_step(
+                self.model, self.cfg, self._mesh,
+                ford_side_m=self._ford_side_m, warm_start=warm,
+                with_info=info)
+        return self._steps[key]
+
     def predict(self, sat_imgs, grd_imgs, R_FL=None, T_FL=None,
-                camera_k=None) -> dict:
+                camera_k=None, init_pose=None, return_cov: bool = False
+                ) -> dict:
         """sat_imgs [N, A, A, 3], grd_imgs [N, H, W, 3] (float in [0,1] or
         uint8).  Returns numpy arrays of metric poses:
         {"lateral_m", "longitudinal_m", "heading_deg"} each [N] —
@@ -185,36 +210,56 @@ class Localizer:
         constructor extrinsics per image (e.g. mixed camera rigs).
         G2SP only: ``camera_k`` [N, 3, 3] (or [3, 3], one rig) — required
         unless the constructor got ``camera_k=``; scaled to the network
-        input size, as the KITTI loader provides it."""
+        input size, as the KITTI loader provides it.
+
+        ``init_pose`` warm-starts the solver (tracking mode — e.g. the
+        previous frame's estimate; the reference always cold-starts from
+        zero): either the dict a previous ``predict`` returned or an
+        [N, 3] array of (lateral_m, longitudinal_m, heading_deg).  With
+        multi-start inference (cfg.pose_hypotheses > 1) it seeds
+        hypothesis 0.
+
+        ``return_cov=True`` adds ``"cov"`` [N, 3, 3]: the pose covariance
+        over (lateral_m, longitudinal_m, heading_deg) from the solver's
+        Gauss-Newton information at the solution (metric units; zero
+        rows/cols on frozen DoFs)."""
         jnp = self._jnp
         jax = self._jax
         cfg = self.cfg
         ford = self._ford_side_m is not None
+        ranges = (cfg.shift_range_lat, cfg.shift_range_lon,
+                  cfg.rotation_range)
         sat_imgs = np.asarray(sat_imgs)  # once; _batched_predict's
         n = sat_imgs.shape[0]            # asarray is then a no-op view
         extras = _per_image_extras(n, ford, self._g2sp, self._ford_R,
                                    self._ford_T, self._camera_k,
                                    R_FL, T_FL, camera_k)
+        warm = init_pose is not None
+        if warm:
+            extras["_init_pose"] = _init_to_normalized(init_pose, n, ford,
+                                                       ranges)
+        step = self._get_step(warm, return_cov)
 
         def run(sb, gb, eb):
             self._key, sub = jax.random.split(self._key)
+            args = [self.params, jnp.asarray(sb), jnp.asarray(gb)]
             if ford:
-                return self._step(self.params, jnp.asarray(sb),
-                                  jnp.asarray(gb), jnp.asarray(eb["R_FL"]),
-                                  jnp.asarray(eb["T_FL"]), sub)
-            if self._g2sp:
-                return self._step(self.params, jnp.asarray(sb),
-                                  jnp.asarray(gb),
-                                  jnp.asarray(eb["camera_k"]), sub)
-            return self._step(self.params, jnp.asarray(sb),
-                              jnp.asarray(gb), sub)
+                args += [jnp.asarray(eb["R_FL"]), jnp.asarray(eb["T_FL"])]
+            elif self._g2sp:
+                args += [jnp.asarray(eb["camera_k"])]
+            if warm:
+                args.append(jnp.asarray(eb["_init_pose"]))
+            args.append(sub)
+            return step(*args)
 
-        return _batched_predict(
-            run, sat_imgs, grd_imgs, [self.batch_size],
-            (cfg.shift_range_lat, cfg.shift_range_lon, cfg.rotation_range),
-            extras)
+        out = _batched_predict(run, sat_imgs, grd_imgs, [self.batch_size],
+                               ranges, extras, with_cov=return_cov)
+        if return_cov:
+            out["cov"] = _cov_to_metric(out["cov"], ford, ranges)
+        return out
 
-    def export(self, path: str, platforms=None, batch_sizes=None) -> None:
+    def export(self, path: str, platforms=None, batch_sizes=None,
+               warm_start: bool = False, return_cov: bool = False) -> None:
         """Serialize the inference program to a self-contained artifact.
 
         The jitted eval step is traced per batch size with the weights
@@ -236,6 +281,10 @@ class Localizer:
         Single-device programs only (deployment-side sharding is the
         server's concern, not the artifact's); build the Localizer with
         ``mesh=None`` to export.
+
+        ``warm_start`` bakes the tracking-mode signature into the artifact
+        (predict then takes ``init_pose``; zero init = cold start);
+        ``return_cov`` bakes the covariance output in.
         """
         import io
         import json
@@ -251,17 +300,10 @@ class Localizer:
         ford = self._ford_side_m is not None
         g2sp = self._g2sp
         params = self.params
-        step = self._step
+        step = self._get_step(warm_start, return_cov)
 
-        if ford:
-            def fn(sat, grd, R, T, key):
-                return step(params, sat, grd, R, T, key)
-        elif g2sp:
-            def fn(sat, grd, k, key):
-                return step(params, sat, grd, k, key)
-        else:
-            def fn(sat, grd, key):
-                return step(params, sat, grd, key)
+        def fn(sat, grd, *rest):
+            return step(params, sat, grd, *rest)
 
         sizes = sorted(set(batch_sizes or [self.batch_size]))
         f32 = np.float32
@@ -277,6 +319,8 @@ class Localizer:
                          jax.ShapeDtypeStruct((bs, 3), f32)]
             elif g2sp:
                 args += [jax.ShapeDtypeStruct((bs, 3, 3), f32)]
+            if warm_start:
+                args.append(jax.ShapeDtypeStruct((bs, 3), f32))
             args.append(jax.ShapeDtypeStruct(key.shape, key.dtype))
             exp = jexport.export(jax.jit(fn), platforms=platforms)(*args)
             exp_platforms = list(exp.platforms)
@@ -287,6 +331,8 @@ class Localizer:
             "batch_sizes": sizes,
             "ford": ford,
             "g2sp": g2sp,
+            "warm_start": warm_start,
+            "return_cov": return_cov,
             "shift_range_lat": cfg.shift_range_lat,
             "shift_range_lon": cfg.shift_range_lon,
             "rotation_range": cfg.rotation_range,
@@ -347,6 +393,8 @@ class ExportedLocalizer:
         self.batch_sizes = sizes
         self._ford = bool(meta["ford"])
         self._g2sp = bool(meta.get("g2sp", False))
+        self._warm = bool(meta.get("warm_start", False))
+        self._cov = bool(meta.get("return_cov", False))
         self._ford_R = (np.asarray(meta["ford_R"], np.float32)
                         if self._ford else None)
         self._ford_T = (np.asarray(meta["ford_T"], np.float32)
@@ -359,30 +407,45 @@ class ExportedLocalizer:
         self._jax = jax
 
     def predict(self, sat_imgs, grd_imgs, R_FL=None, T_FL=None,
-                camera_k=None) -> dict:
-        """Same contract as ``Localizer.predict``."""
+                camera_k=None, init_pose=None) -> dict:
+        """Same contract as ``Localizer.predict``.  ``init_pose`` requires a
+        ``warm_start=True`` artifact (the signature is baked in at export;
+        omitting it there runs the baked cold start); a ``return_cov=True``
+        artifact always returns ``"cov"``."""
         jax = self._jax
         meta = self.meta
+        ranges = (meta["shift_range_lat"], meta["shift_range_lon"],
+                  meta["rotation_range"])
         sat_imgs = np.asarray(sat_imgs)
         n = sat_imgs.shape[0]
         extras = _per_image_extras(n, self._ford, self._g2sp, self._ford_R,
                                    self._ford_T, self._camera_k,
                                    R_FL, T_FL, camera_k)
+        if init_pose is not None and not self._warm:
+            raise ValueError("this artifact was exported without "
+                             "warm_start=True; it has no init_pose input")
+        if self._warm:
+            extras["_init_pose"] = (
+                np.zeros((n, 3), np.float32) if init_pose is None
+                else _init_to_normalized(init_pose, n, self._ford, ranges))
 
         def run(sb, gb, eb):
             call = self._calls[sb.shape[0]]
             self._key, sub = jax.random.split(self._key)
+            args = [sb, gb]
             if self._ford:
-                return call(sb, gb, eb["R_FL"], eb["T_FL"], sub)
-            if self._g2sp:
-                return call(sb, gb, eb["camera_k"], sub)
-            return call(sb, gb, sub)
+                args += [eb["R_FL"], eb["T_FL"]]
+            elif self._g2sp:
+                args += [eb["camera_k"]]
+            if self._warm:
+                args.append(eb["_init_pose"])
+            return call(*args, sub)
 
-        return _batched_predict(
-            run, sat_imgs, grd_imgs, self.batch_sizes,
-            (meta["shift_range_lat"], meta["shift_range_lon"],
-             meta["rotation_range"]),
-            extras)
+        out = _batched_predict(run, sat_imgs, grd_imgs, self.batch_sizes,
+                               ranges, extras, with_cov=self._cov)
+        if self._cov:
+            out["cov"] = _cov_to_metric(out["cov"], self._ford, ranges)
+        return out
 
 
 def _default_k(cfg: Config) -> np.ndarray:
@@ -432,14 +495,48 @@ def _per_image_extras(n, ford, g2sp, ford_R, ford_T, default_k,
     return {}
 
 
+def _init_to_normalized(init_pose, n, ford, ranges) -> np.ndarray:
+    """[N, 3] normalized pose-order warm start from user-facing metric
+    input: either the dict a previous predict returned or an [N, 3] array
+    of (lateral_m, longitudinal_m, heading_deg).  Pose order is the model
+    convention — KITTI (u=lon, v=lat, heading); Ford (u=lat, v=lon,
+    heading), see models_ford.py:823-824."""
+    if isinstance(init_pose, dict):
+        init_pose = np.stack([np.asarray(init_pose["lateral_m"]),
+                              np.asarray(init_pose["longitudinal_m"]),
+                              np.asarray(init_pose["heading_deg"])], -1)
+    p = np.asarray(init_pose, np.float32)
+    if p.shape != (n, 3):
+        raise ValueError(f"init_pose must have shape ({n}, 3) to match the "
+                         f"{n} images, got {p.shape}")
+    # a zero range freezes that DoF at 0 (the models' frozen-DoF rule)
+    lat = p[:, 0] / ranges[0] if ranges[0] else np.zeros_like(p[:, 0])
+    lon = p[:, 1] / ranges[1] if ranges[1] else np.zeros_like(p[:, 1])
+    deg = p[:, 2] / ranges[2] if ranges[2] else np.zeros_like(p[:, 2])
+    if ford:
+        return np.stack([lat, lon, deg], -1).astype(np.float32)
+    return np.stack([lon, lat, deg], -1).astype(np.float32)
+
+
+def _cov_to_metric(cov, ford, ranges) -> np.ndarray:
+    """Normalized pose-order [N, 3, 3] covariance -> metric
+    (lateral_m, longitudinal_m, heading_deg) order."""
+    perm = np.array([0, 1, 2] if ford else [1, 0, 2])
+    s = np.array(ranges, np.float32)
+    cov = cov[:, perm[:, None], perm[None, :]]
+    return cov * s[None, :, None] * s[None, None, :]
+
+
 def _batched_predict(run, sat_imgs, grd_imgs, sizes, ranges,
-                     extras) -> dict:
+                     extras, with_cov: bool = False) -> dict:
     """Shared predict loop: uint8 conversion, padding ragged tails to the
     smallest compiled batch size that fits (``sizes`` sorted ascending —
     a multi-size export serves a tail of 1 at batch-1 latency),
     denormalizing to meters/degrees (reference train_kitti.py:77-80).
     ``run(sat, grd, extras_batch)`` executes one padded batch; ``extras``
-    is a dict of per-image [N, ...] arrays chunk-padded alongside."""
+    is a dict of per-image [N, ...] arrays chunk-padded alongside.
+    ``with_cov``: run returns a 4th output — collected raw (normalized,
+    pose-order) under "cov" for the caller to convert."""
     sat = np.asarray(sat_imgs)
     grd = np.asarray(grd_imgs)
     if sat.dtype == np.uint8:
@@ -449,8 +546,11 @@ def _batched_predict(run, sat_imgs, grd_imgs, sizes, ranges,
     n = sat.shape[0]
     if n == 0:
         empty = np.zeros((0,), np.float32)
-        return {"lateral_m": empty, "longitudinal_m": empty,
-                "heading_deg": empty}
+        out = {"lateral_m": empty, "longitudinal_m": empty,
+               "heading_deg": empty}
+        if with_cov:
+            out["cov"] = np.zeros((0, 3, 3), np.float32)
+        return out
 
     def pad_to(x, bs):
         pad = bs - x.shape[0]
@@ -458,20 +558,25 @@ def _batched_predict(run, sat_imgs, grd_imgs, sizes, ranges,
             [x, np.repeat(x[-1:], pad, 0)])
 
     max_bs = sizes[-1]
-    lats, lons, ths = [], [], []
+    lats, lons, ths, covs = [], [], [], []
     for i in range(0, n, max_bs):
         chunk = min(max_bs, n - i)
         bs = next(s for s in sizes if s >= chunk)
         sb = pad_to(sat[i:i + chunk], bs)
         gb = pad_to(grd[i:i + chunk], bs)
         eb = {k: pad_to(v[i:i + chunk], bs) for k, v in extras.items()}
-        lat, lon, th = run(sb, gb, eb)
+        lat, lon, th, *rest = run(sb, gb, eb)
         lats.append(np.asarray(lat)[:chunk])
         lons.append(np.asarray(lon)[:chunk])
         ths.append(np.asarray(th)[:chunk])
+        if with_cov:
+            covs.append(np.asarray(rest[0])[:chunk])
 
-    return {
+    out = {
         "lateral_m": np.concatenate(lats) * ranges[0],
         "longitudinal_m": np.concatenate(lons) * ranges[1],
         "heading_deg": np.concatenate(ths) * ranges[2],
     }
+    if with_cov:
+        out["cov"] = np.concatenate(covs)
+    return out

@@ -29,11 +29,12 @@ from highlyaccurate_tpu.losses.losses import loss_func
 from highlyaccurate_tpu.models.nnrefine import NNrefine
 from highlyaccurate_tpu.models.vggunet import VGGUnet
 from highlyaccurate_tpu.ops.grid_sample import grid_sample, grid_sample_derivs
-from highlyaccurate_tpu.solver.updates import (LMConfig, gn_update, lm_update,
+from highlyaccurate_tpu.solver.updates import (LMConfig, gn_update,
+                                               lm_information, lm_update,
                                                lm_update_from_moments,
                                                lm_update_implicit,
                                                lm_update_implicit_pixel_norm,
-                                               sgd_update_l1)
+                                               pose_covariance, sgd_update_l1)
 
 
 class LMS2GPFord(nn.Module):
@@ -314,37 +315,42 @@ class LMS2GPFord(nn.Module):
 
     def multi_hypothesis_test(self, sat_map, grd_img,
                               satmap_sidelength_meters, R_FL, T_FL,
-                              n_hyp: int):
+                              n_hyp: int, init_pose=None,
+                              with_info: bool = False):
         """Multi-start LM inference for the Ford chain (SURVEY.md §2.2 P6;
         mirror of LMS2GP.multi_hypothesis_test): run the solver from
         ``n_hyp`` initial poses per sample (hypothesis 0 at the reference's
-        zero init, the rest uniform in [-1, 1]), pick the hypothesis with
-        the smallest normalized finest-level feature residual.  Hypotheses
-        ride the batch axis — one jitted program.
+        zero init — or at ``init_pose`` when warm-starting — the rest
+        uniform in [-1, 1]), pick the hypothesis with the smallest
+        normalized finest-level feature residual.  Hypotheses ride the
+        batch axis — one jitted program.
 
-        Returns (shift_lat, shift_lon, theta) each [B]."""
+        Returns (shift_lat, shift_lon, theta) each [B]; ``with_info``
+        appends the winner's [B, 3, 3] pose covariance."""
         cfg = self.cfg
         B = sat_map.shape[0]
         P = n_hyp
-        sat_feats, sat_confs = self.SatFeatureNet(sat_map)
+        sat_feats0, sat_confs = self.SatFeatureNet(sat_map)
         if cfg.estimate_depth:
-            grd_feats, grd_confs, grd_depths = self.GrdFeatureNet(grd_img)
+            grd_feats0, grd_confs, grd_depths0 = self.GrdFeatureNet(grd_img)
         else:
-            grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
-            grd_depths = [None] * len(grd_feats)
+            grd_feats0, grd_confs = self.GrdFeatureNet(grd_img)
+            grd_depths0 = [None] * len(grd_feats0)
 
         tile = lambda x: jnp.repeat(x, P, axis=0)  # [B,...] -> [B*P,...]
-        sat_feats = [tile(f) for f in sat_feats]
+        sat_feats = [tile(f) for f in sat_feats0]
         sat_confs = [tile(c) for c in sat_confs]
-        grd_feats = [tile(f) for f in grd_feats]
+        grd_feats = [tile(f) for f in grd_feats0]
         grd_confs = [tile(c) for c in grd_confs]
-        grd_depths = [None if d is None else tile(d) for d in grd_depths]
+        grd_depths = [None if d is None else tile(d) for d in grd_depths0]
         R_t, T_t = tile(R_FL), tile(T_FL)
 
         init_key = self.make_rng("lm")
         init = jax.random.uniform(jax.random.fold_in(init_key, 0x5EED),
                                   (B, P, 3), minval=-1.0, maxval=1.0)
-        init = init.at[:, 0, :].set(0.0)  # hypothesis 0 = reference init
+        # hypothesis 0 = reference init (zero) or the warm start
+        init = init.at[:, 0, :].set(
+            0.0 if init_pose is None else init_pose.astype(jnp.float32))
         if cfg.rotation_range == 0:
             init = init.at[..., 2].set(0.0)
         pose0 = init.reshape(B * P, 3)
@@ -374,19 +380,57 @@ class LMS2GPFord(nn.Module):
         best = jnp.argmin(cost.reshape(B, P), axis=1)  # [B]
 
         final = final.reshape(B, P, 3)[jnp.arange(B), best]
-        # Ford pose semantics: u lateral, v longitudinal (see __call__)
+        if with_info:
+            cov = self._pose_info(sat_feats0, grd_feats0, grd_depths0,
+                                  final, R_FL, T_FL,
+                                  satmap_sidelength_meters)
+            # Ford pose semantics: u lateral, v longitudinal (see __call__)
+            return final[:, 0], final[:, 1], final[:, 2], cov
         return final[:, 0], final[:, 1], final[:, 2]
 
+    def _pose_info(self, sat_feats, grd_feats, grd_depths, pose, R_FL, T_FL,
+                   satmap_sidelength_meters):
+        """[B, 3, 3] pose covariance at ``pose`` from the Ford LM
+        objective's Gauss-Newton information (NEW capability): one extra
+        finest-level projection via the gather-path implicit pieces (see
+        solver.updates.lm_information).  ``estimate_depth`` is unsupported
+        (the per-pixel duv ignores the depth head's pose-independent lift,
+        matching the fast paths which also exclude it)."""
+        cfg = self.cfg
+        if cfg.estimate_depth:
+            raise ValueError("with_info does not support estimate_depth")
+        lvl = len(self._slots) - 1
+        slot = self._slots[lvl]
+        gH = grd_feats[lvl].shape[1]
+        half = gH // 2 if cfg.proj == "geo" else 0
+        Xc = jnp.asarray(self._rays[slot][0][half:])
+        m2 = jnp.asarray(self._rays[slot][1][half:])[None]
+        uv, duv = fgeom.ford_uv_jac(
+            pose, R_FL, T_FL, Xc, satmap_sidelength_meters,
+            sat_feats[lvl].shape[1], cfg.rotation_range,
+            cfg.shift_range_lat, cfg.shift_range_lon, require_jac=True)
+        out, dxs, dys = grid_sample_derivs(sat_feats[lvl], uv)
+        hess, rss, n_res = lm_information(
+            out, dxs, dys, grd_feats[lvl][:, half:], m2, duv,
+            cfg.active_pose_dims, normalize=True)
+        return pose_covariance(hess, rss, n_res, cfg.active_pose_dims)
+
     def __call__(self, sat_map, grd_img, satmap_sidelength_meters, R_FL, T_FL,
-                 gt_pose=None, mode: str = "train"):
-        """sat_map [B,A,A,3]; grd_img [B,H,W,3]; R_FL [B,3,3]; T_FL [B,3]."""
+                 gt_pose=None, mode: str = "train", init_pose=None,
+                 with_info: bool = False):
+        """sat_map [B,A,A,3]; grd_img [B,H,W,3]; R_FL [B,3,3]; T_FL [B,3].
+
+        ``init_pose`` [B, 3] warm-starts the solver (tracking mode; also
+        seeds hypothesis 0 of the multi-start sweep); ``with_info`` appends
+        the [B, 3, 3] pose covariance in test mode."""
         cfg = self.cfg
         B = sat_map.shape[0]
         # trajectory mode always reports the single-start [B, I, L] path
         if mode == "test" and cfg.pose_hypotheses > 1:
             return self.multi_hypothesis_test(
                 sat_map, grd_img, satmap_sidelength_meters, R_FL, T_FL,
-                cfg.pose_hypotheses)
+                cfg.pose_hypotheses, init_pose=init_pose,
+                with_info=with_info)
         sat_feats, sat_confs = self.SatFeatureNet(sat_map)
         if cfg.estimate_depth:
             grd_feats, grd_confs, grd_depths = self.GrdFeatureNet(grd_img)
@@ -396,7 +440,8 @@ class LMS2GPFord(nn.Module):
 
         collect_aux = mode == "train" and cfg.loss_method > 0
         n_levels = len(self._slots)
-        pose0 = jnp.zeros((B, 3), dtype=jnp.float32)
+        pose0 = (jnp.zeros((B, 3), dtype=jnp.float32) if init_pose is None
+                 else init_pose.astype(jnp.float32))
         t_arr, aux_feats, aux_uvs = self._run_rounds(
             pose0, sat_feats, sat_confs, grd_feats, grd_confs, grd_depths,
             R_FL, T_FL, satmap_sidelength_meters, collect_aux, mode)
@@ -414,6 +459,12 @@ class LMS2GPFord(nn.Module):
             # full [B, N_iters, L] trajectories (parity tests / visualization)
             return shift_lats, shift_lons, thetas
         if mode != "train":
+            if with_info:
+                cov = self._pose_info(sat_feats, grd_feats, grd_depths,
+                                      t_arr[:, -1, -1, :], R_FL, T_FL,
+                                      satmap_sidelength_meters)
+                return (shift_lats[:, -1, -1], shift_lons[:, -1, -1],
+                        thetas[:, -1, -1], cov)
             return shift_lats[:, -1, -1], shift_lons[:, -1, -1], thetas[:, -1, -1]
 
         ref_feat_list = pred_feat_list = gt_feat_list = None

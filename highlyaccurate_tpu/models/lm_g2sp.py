@@ -33,8 +33,10 @@ from highlyaccurate_tpu.geometry import kitti as geom
 from highlyaccurate_tpu.losses.losses import loss_func, soft_margin_triplet
 from highlyaccurate_tpu.models.vggunet import VGGUnet
 from highlyaccurate_tpu.ops.grid_sample import grid_sample, grid_sample_derivs
-from highlyaccurate_tpu.solver.updates import (LMConfig, lm_update,
-                                               lm_update_implicit_pixel)
+from highlyaccurate_tpu.solver.updates import (LMConfig, lm_information,
+                                               lm_update,
+                                               lm_update_implicit_pixel,
+                                               pose_covariance)
 from highlyaccurate_tpu.utils import geo
 
 
@@ -207,27 +209,32 @@ class LMG2SP(nn.Module):
         return level_round
 
     def multi_hypothesis_test(self, sat_map, grd_img, camera_k,
-                              n_hyp: int):
+                              n_hyp: int, init_pose=None,
+                              with_info: bool = False):
         """Multi-start LM inference for the G2SP direction (SURVEY.md §2.2
         P6; mirror of LMS2GP.multi_hypothesis_test): ``n_hyp`` initial
         poses per sample ride the batch axis through the eval scan;
         the hypothesis with the smallest finest-level feature residual
         (grd_proj - sat over the satellite grid) wins.
 
-        Returns (shift_lat, shift_lon, theta) each [B]."""
+        Returns (shift_lat, shift_lon, theta) each [B]; ``with_info``
+        appends the winner's [B, 3, 3] pose covariance."""
         sat_feats, sat_confs = self.SatFeatureNet(sat_map)
         grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
         return self._multi_hypothesis_from_feats(
-            sat_feats, grd_feats, grd_confs, camera_k, n_hyp)
+            sat_feats, grd_feats, grd_confs, camera_k, n_hyp,
+            init_pose=init_pose, with_info=with_info)
 
     def _multi_hypothesis_from_feats(self, sat_feats, grd_feats, grd_confs,
-                                     camera_k, n_hyp: int):
+                                     camera_k, n_hyp: int, init_pose=None,
+                                     with_info: bool = False):
         """Hypothesis sweep + selection over precomputed feature pyramids
         (separated from feature extraction so the scoring is unit-testable
         on self-consistent synthetic features)."""
         cfg = self.cfg
         B = camera_k.shape[0]
         P = n_hyp
+        sat_feats0, grd_feats0 = sat_feats, grd_feats
 
         tile = lambda x: jnp.repeat(x, P, axis=0)  # [B,...] -> [B*P,...]
         sat_feats = [tile(f) for f in sat_feats]
@@ -238,7 +245,9 @@ class LMG2SP(nn.Module):
         init_key = self.make_rng("lm")
         init = jax.random.uniform(jax.random.fold_in(init_key, 0x5EED),
                                   (B, P, 3), minval=-1.0, maxval=1.0)
-        init = init.at[:, 0, :].set(0.0)  # hypothesis 0 = reference init
+        # hypothesis 0 = reference init (zero) or the warm start
+        init = init.at[:, 0, :].set(
+            0.0 if init_pose is None else init_pose.astype(jnp.float32))
         if cfg.rotation_range == 0:
             init = init.at[..., 2].set(0.0)
         pose0 = init.reshape(B * P, 3)
@@ -273,20 +282,56 @@ class LMG2SP(nn.Module):
         best = jnp.argmin(cost.reshape(B, P), axis=1)  # [B]
 
         final = final.reshape(B, P, 3)[jnp.arange(B), best]
+        if with_info:
+            cov = self._pose_info(sat_feats0, grd_feats0, final, camera_k)
+            return final[:, 1], final[:, 0], final[:, 2], cov
         return final[:, 1], final[:, 0], final[:, 2]
 
+    def _pose_info(self, sat_feats, grd_feats, pose, camera_k):
+        """[B, 3, 3] pose covariance at ``pose`` from the G2SP objective's
+        Gauss-Newton information (NEW capability): one extra finest-level
+        projection; the G2SP residual is unnormalized grd_proj - sat over
+        the full satellite grid (reference models_kitti.py:333-379), so
+        normalize=False and an all-ones mask."""
+        cfg = self.cfg
+        lvl = len(self._slots) - 1
+        A = sat_feats[lvl].shape[1]
+        Hg, Wg = grd_feats[lvl].shape[1:3]
+        if cfg.proj == "nn":
+            uv, duv, _ = geom.inplane_uv_jac(
+                pose, A, cfg.rotation_range, cfg.shift_range_lat,
+                cfg.shift_range_lon)
+        else:
+            uv, duv, _ = geom.g2sp_uv_jac(
+                pose, jnp.asarray(self._xyz1[A]), camera_k, Hg, Wg,
+                cfg.grd_h, cfg.grd_w, cfg.rotation_range,
+                cfg.shift_range_lat, cfg.shift_range_lon)
+        out, dx, dy = grid_sample_derivs(grd_feats[lvl], uv)
+        hess, rss, n_res = lm_information(
+            out, dx, dy, sat_feats[lvl], jnp.ones((1, A, A)), duv,
+            (0, 1, 2), normalize=False)
+        return pose_covariance(hess, rss, n_res, (0, 1, 2))
+
     def __call__(self, sat_map, grd_img, camera_k, gt_pose=None,
-                 mode: str = "train"):
-        """sat_map [B,A,A,3], grd_img [B,H,W,3], camera_k [B,3,3]."""
+                 mode: str = "train", init_pose=None,
+                 with_info: bool = False):
+        """sat_map [B,A,A,3], grd_img [B,H,W,3], camera_k [B,3,3].
+
+        ``init_pose`` [B, 3] warm-starts the solver (tracking mode; also
+        seeds hypothesis 0 of the multi-start sweep); ``with_info`` appends
+        the [B, 3, 3] pose covariance in test mode."""
         cfg = self.cfg
         B = sat_map.shape[0]
         if mode == "test" and cfg.pose_hypotheses > 1:
             return self.multi_hypothesis_test(sat_map, grd_img, camera_k,
-                                              cfg.pose_hypotheses)
+                                              cfg.pose_hypotheses,
+                                              init_pose=init_pose,
+                                              with_info=with_info)
         sat_feats, sat_confs = self.SatFeatureNet(sat_map)
         grd_feats, grd_confs = self.GrdFeatureNet(grd_img)
 
-        pose = jnp.zeros((B, 3), dtype=jnp.float32)
+        pose = (jnp.zeros((B, 3), dtype=jnp.float32) if init_pose is None
+                else init_pose.astype(jnp.float32))
         traj = []
         collect_aux = mode == "train" and cfg.loss_method > 0
         aux_feats = {lvl: [] for lvl in range(len(self._slots))}
@@ -332,6 +377,11 @@ class LMG2SP(nn.Module):
             # full [B, N_iters, L] trajectories (parity tests / visualization)
             return shift_lats, shift_lons, thetas
         if mode != "train":
+            if with_info:
+                cov = self._pose_info(sat_feats, grd_feats, t[:, -1, -1, :],
+                                      camera_k)
+                return (shift_lats[:, -1, -1], shift_lons[:, -1, -1],
+                        thetas[:, -1, -1], cov)
             return shift_lats[:, -1, -1], shift_lons[:, -1, -1], thetas[:, -1, -1]
 
         if cfg.loss_method != 0:

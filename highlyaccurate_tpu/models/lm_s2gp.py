@@ -40,11 +40,11 @@ from highlyaccurate_tpu.models.nnrefine import NNrefine
 from highlyaccurate_tpu.models.vggunet import VGGUnet
 from highlyaccurate_tpu.ops.grid_sample import grid_sample, grid_sample_derivs
 from highlyaccurate_tpu.solver.updates import (LMConfig, adam_update,
-                                               lm_update,
+                                               lm_information, lm_update,
                                                lm_update_from_moments,
                                                lm_update_implicit,
                                                lm_update_implicit_pixel_norm,
-                                               sgd_update)
+                                               pose_covariance, sgd_update)
 from highlyaccurate_tpu.utils import geo
 
 # cache of compiled banded samplers keyed by static shape
@@ -565,25 +565,28 @@ class LMS2GP(nn.Module):
         return outs
 
     def multi_hypothesis_test(self, sat_map, grd_img, n_hyp: int,
-                              gt_depth=None):
+                              gt_depth=None, init_pose=None,
+                              with_info: bool = False):
         """Multi-start LM inference (NEW capability; SURVEY.md §2.2 P6).
 
         Runs the solver from ``n_hyp`` initial poses per sample (hypothesis 0
-        at the reference's zero init, the rest uniform in [-1, 1]) and picks
+        at the reference's zero init — or at ``init_pose`` [B, 3] when warm-
+        starting, see __call__ — the rest uniform in [-1, 1]) and picks
         the hypothesis whose final normalized feature residual at the finest
         level is smallest.  Hypotheses ride the batch axis, so the whole
         sweep is one jitted program.
 
-        Returns (shift_lat, shift_lon, theta) each [B].
+        Returns (shift_lat, shift_lon, theta) each [B]; ``with_info`` appends
+        the [B, 3, 3] pose covariance of the winning hypothesis.
         """
         cfg = self.cfg
         B = sat_map.shape[0]
         P = n_hyp
-        sat_feats, sat_confs, grd_feats, grd_confs = self.extract_features(
+        sat_feats0, sat_confs, grd_feats, grd_confs = self.extract_features(
             sat_map, grd_img)
 
         tile = lambda x: jnp.repeat(x, P, axis=0)  # [B,...] -> [B*P,...]
-        sat_feats = [tile(f) for f in sat_feats]
+        sat_feats = [tile(f) for f in sat_feats0]
         sat_confs = [tile(c) for c in sat_confs]
         grd_feats_t = [tile(f) for f in grd_feats]
         grd_confs_t = [tile(c) for c in grd_confs]
@@ -591,7 +594,9 @@ class LMS2GP(nn.Module):
         base_key = self.make_rng("lm")
         init = jax.random.uniform(jax.random.fold_in(base_key, 0x5EED),
                                   (B, P, 3), minval=-1.0, maxval=1.0)
-        init = init.at[:, 0, :].set(0.0)  # hypothesis 0 = reference init
+        # hypothesis 0 = reference init (zero) or the warm start
+        init = init.at[:, 0, :].set(
+            0.0 if init_pose is None else init_pose.astype(jnp.float32))
         if cfg.rotation_range == 0:
             init = init.at[..., 2].set(0.0)
         pose0 = init.reshape(B * P, 3)
@@ -618,7 +623,28 @@ class LMS2GP(nn.Module):
         best = jnp.argmin(cost.reshape(B, P), axis=1)  # [B]
 
         final = final.reshape(B, P, 3)[jnp.arange(B), best]
+        if with_info:
+            cov = self._pose_info(sat_feats0, grd_feats, final,
+                                  gt_depth=gt_depth)
+            return final[:, 1], final[:, 0], final[:, 2], cov
         return final[:, 1], final[:, 0], final[:, 2]
+
+    def _pose_info(self, sat_feats, grd_feats, pose, gt_depth=None):
+        """[B, 3, 3] pose covariance at ``pose`` from the solver's own
+        Gauss-Newton information (NEW capability, no reference counterpart):
+        one extra finest-level projection via the gather-path implicit
+        pieces; see solver.updates.lm_information / pose_covariance."""
+        cfg = self.cfg
+        lvl = len(self._slots) - 1
+        slot = self._slots[lvl]
+        gH = grd_feats[lvl].shape[1]
+        half = gH // 2 if cfg.proj == "geo" else 0
+        out, dxs, dys, m2, duv = self._project_derivs(
+            sat_feats[lvl], pose, slot, half, gt_depth=gt_depth)
+        hess, rss, n_res = lm_information(
+            out, dxs, dys, grd_feats[lvl][:, half:], m2, duv,
+            cfg.active_pose_dims, normalize=True)
+        return pose_covariance(hess, rss, n_res, cfg.active_pose_dims)
 
     def _run_rounds(self, pose0, sat_feats, sat_confs, grd_feats, grd_confs,
                     base_key, collect_aux: bool, gt_depth, mode: str):
@@ -726,13 +752,18 @@ class LMS2GP(nn.Module):
         return traj, aux_f, aux_u
 
     def __call__(self, sat_map, grd_img, gt_pose=None, mode: str = "train",
-                 gt_depth=None):
+                 gt_depth=None, init_pose=None, with_info: bool = False):
         """Run feature extraction + unrolled solver.
 
         Args:
           sat_map: [B, A, A, 3]; grd_img: [B, H, W, 3] (channel-last).
           gt_pose: [B, 3] normalized (shift_u, shift_v, heading); train only.
           mode: 'train' -> LossDiagnostics, 'test' -> final [B, 3] pose.
+          init_pose: optional [B, 3] normalized warm start (tracking mode,
+            NEW capability — the reference always solves from zero); also
+            seeds hypothesis 0 of the multi-start sweep.
+          with_info: test mode only — append the [B, 3, 3] pose covariance
+            (normalized units) from the solver's Gauss-Newton information.
         """
         cfg = self.cfg
         B = sat_map.shape[0]
@@ -741,7 +772,9 @@ class LMS2GP(nn.Module):
         if mode == "test" and cfg.pose_hypotheses > 1:
             return self.multi_hypothesis_test(sat_map, grd_img,
                                               cfg.pose_hypotheses,
-                                              gt_depth=gt_depth)
+                                              gt_depth=gt_depth,
+                                              init_pose=init_pose,
+                                              with_info=with_info)
         sat_feats, sat_confs, grd_feats, grd_confs = self.extract_features(
             sat_map, grd_img)
 
@@ -750,7 +783,8 @@ class LMS2GP(nn.Module):
                                            len(cfg.active_pose_dims) == 3) \
             else jax.random.PRNGKey(0)
 
-        pose0 = jnp.zeros((B, 3), dtype=jnp.float32)
+        pose0 = (jnp.zeros((B, 3), dtype=jnp.float32) if init_pose is None
+                 else init_pose.astype(jnp.float32))
         n_levels = len(self._slots)
 
         traj, aux_feats, aux_uvs = self._run_rounds(
@@ -770,6 +804,12 @@ class LMS2GP(nn.Module):
             # (reference plots inside forward, models_kitti.py:1285-1293)
             return shift_lats, shift_lons, thetas
         if mode != "train":
+            if with_info:
+                final = traj[:, -1, -1, :]  # [B, 3] pose order
+                cov = self._pose_info(sat_feats, grd_feats, final,
+                                      gt_depth=gt_depth)
+                return (shift_lats[:, -1, -1], shift_lons[:, -1, -1],
+                        thetas[:, -1, -1], cov)
             return shift_lats[:, -1, -1], shift_lons[:, -1, -1], thetas[:, -1, -1]
 
         ref_feat_list = pred_feat_list = gt_feat_list = None

@@ -577,3 +577,84 @@ def adam_update(pose, sat_feat, grd_feat, jac, m, v, t,
     delta = m_hat / (jnp.sqrt(v_hat) + 1e-8)
     pose = pose.at[:, jnp.array(active)].add(-lr * delta)
     return pose, m, v
+
+
+def lm_information(out, dx, dy, target, m2d, duv, active_dims,
+                   normalize: bool):
+    """Gauss-Newton information of the LM objective at a pose.
+
+    NEW capability (no reference counterpart): the solver's own J^T J at the
+    final pose is the Fisher information of the local least-squares model,
+    so its (residual-scaled) inverse estimates the pose covariance — which
+    production consumers (fusion filters, planners) need alongside the point
+    estimate.  Computed from the same per-pixel implicit pieces as the LM
+    updates (the [B,H,W,C,3] Jacobian is never materialized).
+
+    Args:
+      out, dx, dy: sampled value + screen derivatives [B, H, W, C].
+      target: the other branch's features [B, H, W, C] (unmasked).
+      m2d: validity mask [1|B, H, W] (pass ones for the G2SP objective,
+        whose residual keeps out-of-bounds pixels — the sampler zeroes them).
+      duv: [B, H, W, 2, 3] per-pixel d(uv)/d(pose).
+      normalize: True = S2GP/Ford residual r = s/ns - g/ng with whole-map
+        floored norms (reference models_kitti.py:982-989); False = G2SP
+        residual r = out - target (models_kitti.py:333-379).
+
+    Returns (hess [B, 3, 3] with zero rows/cols on inactive dims,
+    rss [B] residual sum-of-squares, n_res [B] residual count).
+    """
+    f32 = jnp.float32
+    out = out.astype(f32)
+    dx = dx.astype(f32)
+    dy = dy.astype(f32)
+    tgt = target.astype(f32)
+    B, H, W, C = out.shape
+    m = jnp.broadcast_to(m2d.astype(f32), (m2d.shape[0], H, W))
+
+    sxx = jnp.sum(dx * dx, -1) * m
+    sxy = jnp.sum(dx * dy, -1) * m
+    syy = jnp.sum(dy * dy, -1) * m
+    Du = duv[..., 0, :].astype(f32)   # [B, H, W, 3]
+    Dv = duv[..., 1, :].astype(f32)
+    hess = (jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Du, sxx)
+            + jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Dv, sxy)
+            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Du, sxy)
+            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Dv, syy))
+
+    ss = jnp.sum(jnp.sum(out * out, -1) * m, (1, 2))          # [B]
+    gg = jnp.sum(jnp.sum(tgt * tgt, -1) * m, (1, 2))
+    sg = jnp.sum(jnp.sum(out * tgt, -1) * m, (1, 2))
+    if normalize:
+        ns = jnp.sqrt(jnp.maximum(ss, 1e-12))
+        ng = jnp.sqrt(jnp.maximum(gg, 1e-12))
+        hess = hess / (ns * ns)[:, None, None]
+        rss = ss / (ns * ns) + gg / (ng * ng) - 2.0 * sg / (ns * ng)
+    else:
+        rss = ss + gg - 2.0 * sg
+    n_res = jnp.broadcast_to(jnp.sum(m, (1, 2)) * C, (B,))
+
+    act = jnp.array(active_dims)
+    sel = jnp.zeros((3,), f32).at[act].set(1.0)
+    hess = hess * sel[None, :, None] * sel[None, None, :]
+    return hess, jnp.maximum(rss, 0.0), n_res
+
+
+def pose_covariance(hess, rss, n_res, active_dims):
+    """[B, 3, 3] pose covariance from ``lm_information`` outputs.
+
+    cov = sigma^2 * H^-1 on the active-DoF block (sigma^2 = rss / dof, the
+    standard nonlinear-least-squares residual-variance estimate); inactive
+    dims get zero rows/cols.  float32 solve with a relative Tikhonov floor
+    so a flat residual surface yields a large-but-finite covariance.
+    """
+    f32 = jnp.float32
+    act = jnp.array(active_dims)
+    n = len(active_dims)
+    h = hess[:, act[:, None], act[None, :]].astype(f32)       # [B, n, n]
+    tr = jnp.einsum("bnn->b", h)
+    eye = jnp.eye(n, dtype=f32)
+    h = h + (1e-9 * tr / n + 1e-20)[:, None, None] * eye
+    sigma2 = rss / jnp.maximum(n_res - n, 1.0)
+    cov_act = jnp.linalg.inv(h) * sigma2[:, None, None]
+    cov = jnp.zeros((hess.shape[0], 3, 3), f32)
+    return cov.at[:, act[:, None], act[None, :]].set(cov_act)

@@ -149,29 +149,42 @@ def make_train_step(model, cfg: Config, mesh: Optional[Mesh] = None,
 
 
 def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None,
-                   ford_side_m: Optional[float] = None):
-    """Jitted inference: final (shift_lat, shift_lon, theta)."""
+                   ford_side_m: Optional[float] = None,
+                   warm_start: bool = False, with_info: bool = False):
+    """Jitted inference: final (shift_lat, shift_lon, theta).
+
+    ``warm_start`` adds an ``init_pose`` [B, 3] argument before the rng
+    (tracking mode); ``with_info`` appends the [B, 3, 3] pose covariance
+    to the outputs.  Both are NEW capabilities (see models' __call__)."""
     g2sp = cfg.direction == "G2SP"
     ford = ford_side_m is not None
+    kw = {"with_info": True} if with_info else {}
 
     def step(params, sat, grd, *rest):
+        if warm_start:
+            *extras, init, rng = rest
+        else:
+            *extras, rng = rest
+            init = None
         if ford:
-            R_FL, T_FL, rng = rest
+            R_FL, T_FL = extras
             return model.apply({"params": params}, sat, grd, ford_side_m,
-                               R_FL, T_FL, mode="test", rngs={"lm": rng})
+                               R_FL, T_FL, mode="test", init_pose=init,
+                               rngs={"lm": rng}, **kw)
         if g2sp:
-            camera_k, rng = rest
+            (camera_k,) = extras
             return model.apply({"params": params}, sat, grd, camera_k,
-                               mode="test", rngs={"lm": rng})
-        (rng,) = rest
+                               mode="test", init_pose=init,
+                               rngs={"lm": rng}, **kw)
         return model.apply({"params": params}, sat, grd, mode="test",
-                           rngs={"lm": rng})
+                           init_pose=init, rngs={"lm": rng}, **kw)
 
-    n_data_args = 4 if ford else (3 if g2sp else 2)
+    n_data_args = (4 if ford else (3 if g2sp else 2)) + int(warm_start)
+    n_out = 4 if with_info else 3
     if mesh is None:
         return jax.jit(step)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(step,
                    in_shardings=(repl,) + (data,) * n_data_args + (repl,),
-                   out_shardings=(data, data, data))
+                   out_shardings=(data,) * n_out)

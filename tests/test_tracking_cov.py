@@ -1,0 +1,305 @@
+"""Warm-start tracking mode + pose covariance (NEW capabilities).
+
+The reference always cold-starts the LM solver from pose 0 and returns a
+point estimate only.  This framework adds:
+  * ``init_pose`` — warm-start the solver (sequential/tracking inference;
+    also seeds hypothesis 0 of the multi-start sweep);
+  * ``with_info`` / ``return_cov`` — the [B, 3, 3] pose covariance from the
+    solver's own Gauss-Newton information at the solution
+    (solver/updates.py: lm_information / pose_covariance).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from highlyaccurate_tpu.config import Config
+from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+from highlyaccurate_tpu.solver.updates import lm_information, pose_covariance
+
+TINY = dict(grd_h=32, grd_w=128, sat_size=64, N_iters=1, level=-1)
+
+
+# ---------------------------------------------------------------- math unit
+
+def _rand_pieces(rng, B=2, H=4, W=6, C=3):
+    out = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    dx = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    dy = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    tgt = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    duv = jnp.asarray(rng.randn(B, H, W, 2, 3).astype(np.float32))
+    m2d = jnp.asarray((rng.rand(1, H, W) > 0.3).astype(np.float32))
+    return out, dx, dy, tgt, duv, m2d
+
+
+def test_lm_information_matches_materialized_unnormalized():
+    """H from the implicit moments == J^T J with the materialized
+    J = dx*duv_u + dy*duv_v; rss == |masked residual|^2 (G2SP objective)."""
+    rng = np.random.RandomState(0)
+    out, dx, dy, tgt, duv, m2d = _rand_pieces(rng)
+    hess, rss, n_res = lm_information(out, dx, dy, tgt, m2d, duv,
+                                      (0, 1, 2), normalize=False)
+
+    J = (dx[..., None] * duv[:, :, :, None, 0, :]
+         + dy[..., None] * duv[:, :, :, None, 1, :])      # [B,H,W,C,3]
+    m = m2d[..., None, None]
+    H_ref = jnp.einsum("bhwcp,bhwcq->bpq", J * m, J * m / jnp.where(
+        m > 0, m, 1.0))  # mask once (m is 0/1 so m*m == m)
+    np.testing.assert_allclose(np.asarray(hess), np.asarray(H_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    r = (out - tgt) * m2d[..., None]
+    rss_ref = jnp.sum(r * r, axis=(1, 2, 3))
+    np.testing.assert_allclose(np.asarray(rss), np.asarray(rss_ref),
+                               rtol=1e-5, atol=1e-5)
+    C = out.shape[-1]
+    np.testing.assert_allclose(np.asarray(n_res),
+                               np.asarray(jnp.sum(m2d, (1, 2)) * C)
+                               * np.ones(out.shape[0]))
+
+
+def test_lm_information_matches_materialized_normalized():
+    """Normalized (S2GP/Ford) variant: H/ns^2 and the normalized rss."""
+    rng = np.random.RandomState(1)
+    out, dx, dy, tgt, duv, m2d = _rand_pieces(rng)
+    hess, rss, _ = lm_information(out, dx, dy, tgt, m2d, duv,
+                                  (0, 1, 2), normalize=True)
+
+    m = m2d[..., None]
+    s = out * m
+    g = tgt * m
+    ns = jnp.sqrt(jnp.maximum(jnp.sum(s * s, (1, 2, 3)), 1e-12))
+    ng = jnp.sqrt(jnp.maximum(jnp.sum(g * g, (1, 2, 3)), 1e-12))
+    J = (dx[..., None] * duv[:, :, :, None, 0, :]
+         + dy[..., None] * duv[:, :, :, None, 1, :]) * m[..., None]
+    H_ref = jnp.einsum("bhwcp,bhwcq->bpq", J, J) / (ns * ns)[:, None, None]
+    np.testing.assert_allclose(np.asarray(hess), np.asarray(H_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    r = s / ns[:, None, None, None] - g / ng[:, None, None, None]
+    rss_ref = jnp.sum(r * r, (1, 2, 3))
+    np.testing.assert_allclose(np.asarray(rss), np.asarray(rss_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pose_covariance_properties():
+    """Symmetric PSD on active dims; exact zeros on frozen dims; scales
+    with the residual variance."""
+    rng = np.random.RandomState(2)
+    A = np.broadcast_to(rng.randn(1, 3, 3).astype(np.float32), (2, 3, 3))
+    hess = jnp.asarray(A @ A.transpose(0, 2, 1) + 3 * np.eye(3)[None])
+    rss = jnp.asarray([2.0, 8.0])
+    n_res = jnp.asarray([103.0, 103.0])
+
+    cov = np.asarray(pose_covariance(hess, rss, n_res, (0, 1, 2)))
+    np.testing.assert_allclose(cov, cov.transpose(0, 2, 1), atol=1e-7)
+    assert (np.linalg.eigvalsh(cov) > 0).all()
+    # rss 4x larger (same H) -> covariance 4x larger
+    np.testing.assert_allclose(cov[1], 4 * cov[0], rtol=1e-5)
+
+    # frozen heading: zero row/col, active block unchanged in structure
+    hess2 = hess.at[:, 2, :].set(0.0).at[:, :, 2].set(0.0)
+    cov2 = np.asarray(pose_covariance(hess2, rss, n_res, (0, 1)))
+    assert (cov2[:, 2, :] == 0).all() and (cov2[:, :, 2] == 0).all()
+    assert (np.linalg.eigvalsh(cov2[:, :2, :2]) > 0).all()
+
+
+# ------------------------------------------------------------ model wiring
+
+def _tiny_model_and_inputs(seed=0, **over):
+    cfg = Config(**{**TINY, **over})
+    model = LMS2GP(cfg=cfg)
+    rng = np.random.RandomState(seed)
+    sat = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    grd = jnp.asarray(rng.rand(2, 32, 128, 3).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "lm": jax.random.PRNGKey(1)},
+                           sat, grd, jnp.zeros((2, 3)), mode="train")
+    return cfg, model, variables, sat, grd
+
+
+def test_warm_start_zero_equals_cold_start():
+    cfg, model, variables, sat, grd = _tiny_model_and_inputs()
+    rngs = {"lm": jax.random.PRNGKey(5)}
+    cold = model.apply(variables, sat, grd, mode="test", rngs=rngs)
+    warm0 = model.apply(variables, sat, grd, mode="test",
+                        init_pose=jnp.zeros((2, 3)), rngs=rngs)
+    for a, b in zip(cold, warm0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_warm_start_changes_one_iteration_result():
+    """A nonzero init must shift the final pose of a 1-iteration solve
+    (otherwise init_pose isn't actually wired into pose0)."""
+    cfg, model, variables, sat, grd = _tiny_model_and_inputs()
+    rngs = {"lm": jax.random.PRNGKey(5)}
+    cold = model.apply(variables, sat, grd, mode="test", rngs=rngs)
+    warm = model.apply(variables, sat, grd, mode="test",
+                       init_pose=jnp.full((2, 3), 0.5), rngs=rngs)
+    deltas = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+              for a, b in zip(cold, warm)]
+    assert max(deltas) > 1e-4, deltas
+
+
+def test_multi_hypothesis_one_start_equals_warm_single():
+    """n_hyp=1 with init_pose reduces exactly to the warm single-start
+    solve (hypothesis 0 IS the warm start)."""
+    cfg, model, variables, sat, grd = _tiny_model_and_inputs()
+    init = jnp.asarray([[0.3, -0.2, 0.1], [-0.4, 0.1, 0.0]], jnp.float32)
+    rngs = {"lm": jax.random.PRNGKey(9)}
+    single = model.apply(variables, sat, grd, mode="test", init_pose=init,
+                         rngs=rngs)
+    multi = model.apply(variables, sat, grd, 1, init_pose=init, rngs=rngs,
+                        method=LMS2GP.multi_hypothesis_test)
+    for a, b in zip(single, multi):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_s2gp_with_info_outputs():
+    cfg, model, variables, sat, grd = _tiny_model_and_inputs()
+    rngs = {"lm": jax.random.PRNGKey(5)}
+    lat, lon, th, cov = model.apply(variables, sat, grd, mode="test",
+                                    with_info=True, rngs=rngs)
+    cov = np.asarray(cov)
+    assert cov.shape == (2, 3, 3)
+    assert np.isfinite(cov).all()
+    np.testing.assert_allclose(cov, cov.transpose(0, 2, 1), atol=1e-8)
+    assert (np.linalg.eigvalsh(cov) >= -1e-9).all()
+    # the point estimate must be unchanged by requesting info
+    lat0, lon0, th0 = model.apply(variables, sat, grd, mode="test",
+                                  rngs=rngs)
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(lat0))
+    np.testing.assert_allclose(np.asarray(th), np.asarray(th0))
+
+
+def test_g2sp_with_info_and_warm():
+    from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
+    cfg = Config(**TINY, direction="G2SP")
+    model = LMG2SP(cfg=cfg)
+    rng = np.random.RandomState(3)
+    sat = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    grd = jnp.asarray(rng.rand(2, 32, 128, 3).astype(np.float32))
+    k = jnp.asarray(np.broadcast_to(np.array(
+        [[64.0, 0, 64], [0, 60.0, 16], [0, 0, 1]], np.float32),
+        (2, 3, 3)).copy())
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "lm": jax.random.PRNGKey(1)},
+                           sat, grd, k, jnp.zeros((2, 3)), mode="train")
+    rngs = {"lm": jax.random.PRNGKey(2)}
+    out = model.apply(variables, sat, grd, k, mode="test", with_info=True,
+                      init_pose=jnp.full((2, 3), 0.2), rngs=rngs)
+    assert len(out) == 4
+    cov = np.asarray(out[3])
+    assert cov.shape == (2, 3, 3) and np.isfinite(cov).all()
+    assert (np.linalg.eigvalsh(cov) >= -1e-9).all()
+
+
+def test_ford_with_info_and_warm():
+    from highlyaccurate_tpu.geometry import ford as fgeom
+    from highlyaccurate_tpu.models.ford import LMS2GPFord
+    cfg = Config(**TINY)
+    model = LMS2GPFord(cfg=cfg)
+    rng = np.random.RandomState(4)
+    sat = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    grd = jnp.asarray(rng.rand(2, 32, 128, 3).astype(np.float32))
+    R = jnp.asarray(np.broadcast_to(np.asarray(fgeom.qvec2rotmat(
+        [0.997, 0.01, 0.05, 0.02]), np.float32), (2, 3, 3)).copy())
+    T = jnp.asarray(np.broadcast_to(
+        np.array([1.0, 0.5, -1.4], np.float32), (2, 3)).copy())
+    side = 64 * 0.22
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "lm": jax.random.PRNGKey(1)},
+                           sat, grd, side, R, T, jnp.zeros((2, 3)),
+                           mode="train")
+    rngs = {"lm": jax.random.PRNGKey(2)}
+    out = model.apply(variables, sat, grd, side, R, T, mode="test",
+                      with_info=True, init_pose=jnp.full((2, 3), -0.3),
+                      rngs=rngs)
+    assert len(out) == 4
+    cov = np.asarray(out[3])
+    assert cov.shape == (2, 3, 3) and np.isfinite(cov).all()
+
+
+# ----------------------------------------------------------- serving layer
+
+def test_localizer_tracking_and_cov_roundtrip():
+    """predict(init_pose=<previous output dict>) works (tracking loop) and
+    return_cov adds a finite symmetric [N, 3, 3]."""
+    from highlyaccurate_tpu.inference import Localizer
+    cfg = Config(**TINY)
+    loc = Localizer(cfg, batch_size=2, seed=7, random_init=True)
+    rng = np.random.RandomState(5)
+    sat = rng.rand(3, 64, 64, 3).astype(np.float32)
+    grd = rng.rand(3, 32, 128, 3).astype(np.float32)
+
+    out0 = loc.predict(sat, grd, return_cov=True)
+    assert out0["cov"].shape == (3, 3, 3)
+    assert np.isfinite(out0["cov"]).all()
+    np.testing.assert_allclose(out0["cov"], out0["cov"].transpose(0, 2, 1),
+                               atol=1e-6)
+
+    out1 = loc.predict(sat, grd, init_pose=out0)  # dict feedback form
+    for k in ("lateral_m", "longitudinal_m", "heading_deg"):
+        assert out1[k].shape == (3,) and np.isfinite(out1[k]).all()
+
+    arr = np.stack([out0["lateral_m"], out0["longitudinal_m"],
+                    out0["heading_deg"]], -1)
+    out2 = loc.predict(sat, grd, init_pose=arr)   # array form == dict form
+    for k in ("lateral_m", "longitudinal_m", "heading_deg"):
+        np.testing.assert_allclose(out1[k], out2[k], rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="init_pose"):
+        loc.predict(sat, grd, init_pose=arr[:2])
+
+
+def test_init_and_cov_metric_conversions():
+    """The user-facing metric<->normalized conversions are exact inverses
+    of the models' denormalization, per family."""
+    from highlyaccurate_tpu.inference import (_cov_to_metric,
+                                              _init_to_normalized)
+    ranges = (20.0, 15.0, 10.0)
+    pose_m = np.array([[2.0, -3.0, 5.0]], np.float32)  # lat, lon, deg
+
+    kitti = _init_to_normalized(pose_m, 1, ford=False, ranges=ranges)
+    np.testing.assert_allclose(kitti, [[-3 / 15, 2 / 20, 5 / 10]], rtol=1e-6)
+    ford = _init_to_normalized(pose_m, 1, ford=True, ranges=ranges)
+    np.testing.assert_allclose(ford, [[2 / 20, -3 / 15, 5 / 10]], rtol=1e-6)
+
+    cov_n = np.arange(9, dtype=np.float32).reshape(1, 3, 3)
+    got = _cov_to_metric(cov_n, ford=False, ranges=ranges)
+    # KITTI pose order (u=lon, v=lat, th) -> (lat, lon, th): perm [1,0,2]
+    perm = [1, 0, 2]
+    s = np.array(ranges, np.float32)
+    want = cov_n[:, perm][:, :, perm] * s[None, :, None] * s[None, None, :]
+    np.testing.assert_allclose(got, want)
+    got_f = _cov_to_metric(cov_n, ford=True, ranges=ranges)
+    want_f = cov_n * s[None, :, None] * s[None, None, :]
+    np.testing.assert_allclose(got_f, want_f)
+
+
+def test_export_warm_cov_roundtrip(tmp_path):
+    """warm_start + return_cov artifacts serve identically to the live
+    Localizer; a cold artifact rejects init_pose."""
+    from highlyaccurate_tpu.inference import ExportedLocalizer, Localizer
+    cfg = Config(**TINY)
+    loc = Localizer(cfg, batch_size=2, seed=3, random_init=True)
+    rng = np.random.RandomState(6)
+    sat = rng.rand(2, 64, 64, 3).astype(np.float32)
+    grd = rng.rand(2, 32, 128, 3).astype(np.float32)
+    init = np.array([[1.0, -2.0, 3.0], [0.0, 0.5, -1.0]], np.float32)
+
+    path = str(tmp_path / "warmcov.halexp")
+    loc.export(path, warm_start=True, return_cov=True)
+    srv = ExportedLocalizer(path, seed=3)
+    want = loc.predict(sat, grd, init_pose=init, return_cov=True)
+    got = srv.predict(sat, grd, init_pose=init)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-6)
+
+    cold = str(tmp_path / "cold.halexp")
+    loc.export(cold)
+    srv_cold = ExportedLocalizer(cold, seed=3)
+    with pytest.raises(ValueError, match="warm_start"):
+        srv_cold.predict(sat, grd, init_pose=init)
