@@ -157,12 +157,32 @@ def _bench_eval_fps(model_cls, cfg, batch, n_iters, extra_init=(),
     v = model.init({"params": jax.random.PRNGKey(0),
                     "lm": jax.random.PRNGKey(1)}, *args,
                    jnp.zeros((batch, 3)), mode="train")
-    kw = {"init_pose": jnp.zeros((batch, 3))} if warm else {}
+
+    if warm:
+        # true tracking loop: the previous call's estimate is the next
+        # call's init_pose — a RUNTIME input (a constant init would trace
+        # to the same HLO as the cold program and bench nothing new)
+        @jax.jit
+        def evw(params, init, key):
+            lat, lon, th = model.apply(
+                {"params": params}, *args, mode="test", init_pose=init,
+                rngs={"lm": key})
+            return jnp.stack([lon, lat, th], -1)
+
+        init = evw(v["params"], jnp.zeros((batch, 3)), jax.random.PRNGKey(0))
+        np.asarray(init)
+        t0 = time.perf_counter()
+        init = jnp.zeros((batch, 3))
+        for i in range(n_iters):
+            init = evw(v["params"], init,
+                       jax.random.fold_in(jax.random.PRNGKey(0), i))
+        np.asarray(init)
+        return batch * n_iters / (time.perf_counter() - t0)
 
     @jax.jit
     def ev(params, carry, key):
         out = model.apply({"params": params}, args[0] + carry * 1e-38,
-                          *args[1:], mode="test", rngs={"lm": key}, **kw)
+                          *args[1:], mode="test", rngs={"lm": key})
         return carry + jnp.sum(out[0]) * 1e-30
 
     carry = ev(v["params"], jnp.zeros(()), jax.random.PRNGKey(0))

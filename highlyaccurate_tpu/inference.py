@@ -71,7 +71,8 @@ class Localizer:
                  ckpt_name: str = "Model_best", pth_path: Optional[str] = None,
                  batch_size: int = 8, mesh=None, seed: int = 0,
                  random_init: bool = False, ford_extrinsics=None,
-                 ford_side_m: Optional[float] = None, camera_k=None):
+                 ford_side_m: Optional[float] = None, camera_k=None,
+                 cov_scale: float = 1.0):
         import jax
         import jax.numpy as jnp
 
@@ -100,6 +101,10 @@ class Localizer:
         self.batch_size = batch_size
         self._jnp = jnp
         self._jax = jax
+        # raw GN covariance is optimistic when residuals correlate (PERF.md
+        # round-3 calibration study) — cov_scale is the user's empirical
+        # multiplier, calibrated on validation data (e.g. mean z^2 / 3)
+        self.cov_scale = float(cov_scale)
         self._ford_side_m = ford_side_m
         self._g2sp = g2sp
         self._camera_k = None
@@ -222,7 +227,10 @@ class Localizer:
         ``return_cov=True`` adds ``"cov"`` [N, 3, 3]: the pose covariance
         over (lateral_m, longitudinal_m, heading_deg) from the solver's
         Gauss-Newton information at the solution (metric units; zero
-        rows/cols on frozen DoFs)."""
+        rows/cols on frozen DoFs), times the constructor's ``cov_scale``.
+        NOTE: the raw GN covariance ranks uncertainty but is optimistic in
+        scale when residuals correlate — calibrate ``cov_scale`` on
+        validation data (PERF.md round-3 calibration study)."""
         jnp = self._jnp
         jax = self._jax
         cfg = self.cfg
@@ -255,7 +263,8 @@ class Localizer:
         out = _batched_predict(run, sat_imgs, grd_imgs, [self.batch_size],
                                ranges, extras, with_cov=return_cov)
         if return_cov:
-            out["cov"] = _cov_to_metric(out["cov"], ford, ranges)
+            out["cov"] = _cov_to_metric(out["cov"], ford,
+                                        ranges) * self.cov_scale
         return out
 
     def export(self, path: str, platforms=None, batch_sizes=None,
@@ -333,6 +342,7 @@ class Localizer:
             "g2sp": g2sp,
             "warm_start": warm_start,
             "return_cov": return_cov,
+            "cov_scale": self.cov_scale,
             "shift_range_lat": cfg.shift_range_lat,
             "shift_range_lon": cfg.shift_range_lon,
             "rotation_range": cfg.rotation_range,
@@ -444,7 +454,8 @@ class ExportedLocalizer:
         out = _batched_predict(run, sat_imgs, grd_imgs, self.batch_sizes,
                                ranges, extras, with_cov=self._cov)
         if self._cov:
-            out["cov"] = _cov_to_metric(out["cov"], self._ford, ranges)
+            out["cov"] = (_cov_to_metric(out["cov"], self._ford, ranges)
+                          * float(meta.get("cov_scale", 1.0)))
         return out
 
 

@@ -399,6 +399,9 @@ class LMS2GPFord(nn.Module):
         cfg = self.cfg
         if cfg.estimate_depth:
             raise ValueError("with_info does not support estimate_depth")
+        if cfg.using_weight:
+            # weighted-residual covariance is not implemented (see lm_s2gp)
+            raise ValueError("with_info does not support using_weight=1")
         lvl = len(self._slots) - 1
         slot = self._slots[lvl]
         gH = grd_feats[lvl].shape[1]

@@ -294,6 +294,9 @@ class LMG2SP(nn.Module):
         the full satellite grid (reference models_kitti.py:333-379), so
         normalize=False and an all-ones mask."""
         cfg = self.cfg
+        if cfg.using_weight:
+            # weighted-residual covariance is not implemented (see lm_s2gp)
+            raise ValueError("with_info does not support using_weight=1")
         lvl = len(self._slots) - 1
         A = sat_feats[lvl].shape[1]
         Hg, Wg = grd_feats[lvl].shape[1:3]

@@ -590,6 +590,7 @@ class LMS2GP(nn.Module):
         sat_confs = [tile(c) for c in sat_confs]
         grd_feats_t = [tile(f) for f in grd_feats]
         grd_confs_t = [tile(c) for c in grd_confs]
+        gt_depth_t = None if gt_depth is None else tile(gt_depth)
 
         base_key = self.make_rng("lm")
         init = jax.random.uniform(jax.random.fold_in(base_key, 0x5EED),
@@ -603,7 +604,7 @@ class LMS2GP(nn.Module):
 
         traj, _, _ = self._run_rounds(
             pose0, sat_feats, sat_confs, grd_feats_t, grd_confs_t, base_key,
-            collect_aux=False, gt_depth=gt_depth, mode="test")
+            collect_aux=False, gt_depth=gt_depth_t, mode="test")
         final = traj[:, -1]  # [B*P, 3]
 
         # score: normalized residual at the finest level under the final pose
@@ -613,7 +614,7 @@ class LMS2GP(nn.Module):
         half = gH // 2 if cfg.proj == "geo" else 0
         sat_fp, _, _, _, m = self._project(
             sat_feats[lvl], None, final, slot, with_jac=False,
-            gt_depth=gt_depth, row_start=half)
+            gt_depth=gt_depth_t, row_start=half)
         g = grd_feats_t[lvl][:, half:] * m[..., None]
         s_f = sat_fp.reshape(B * P, -1)
         g_f = g.reshape(B * P, -1)
@@ -635,6 +636,11 @@ class LMS2GP(nn.Module):
         one extra finest-level projection via the gather-path implicit
         pieces; see solver.updates.lm_information / pose_covariance."""
         cfg = self.cfg
+        if cfg.using_weight:
+            # the solver optimized a conf-WEIGHTED residual; reporting the
+            # unweighted information would misstate the estimator's
+            # covariance — refuse instead of silently lying
+            raise ValueError("with_info does not support using_weight=1")
         lvl = len(self._slots) - 1
         slot = self._slots[lvl]
         gH = grd_feats[lvl].shape[1]

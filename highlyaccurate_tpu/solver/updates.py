@@ -237,6 +237,17 @@ def _implicit_moments(out, dx, dy, grd_feat, m2d, cfg: LMConfig,
     return mom, ns, ng, reinit_key
 
 
+def _pixel_hessian(Du, Dv, sxx, sxy, syy):
+    """Sum_pix duv^T S duv with S = [[sxx, sxy], [sxy, syy]] per pixel —
+    the shared H contraction of the per-pixel implicit LM updates and
+    ``lm_information`` (one definition so the solver and the covariance
+    numerics cannot drift apart)."""
+    return (jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Du, sxx)
+            + jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Dv, sxy)
+            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Du, sxy)
+            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Dv, syy))
+
+
 def lm_update_implicit(pose, out, dx, dy, grd_feat, m2d, P0, dP,
                        damping_param, cfg: LMConfig,
                        key: Optional[jax.Array] = None):
@@ -413,11 +424,7 @@ def lm_update_implicit_pixel_norm(pose, out, dx, dy, grd_feat, m2d, duv,
 
     Du = duv[..., 0, :].astype(f32)   # [B, H, W, 3]
     Dv = duv[..., 1, :].astype(f32)
-    hess = (jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Du, sxx)
-            + jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Dv, sxy)
-            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Du, sxy)
-            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Dv, syy)
-            ) / (ns * ns)[:, None, None]
+    hess = _pixel_hessian(Du, Dv, sxx, sxy, syy) / (ns * ns)[:, None, None]
 
     # g = J^T r with r = s/ns - g/ng
     qx = dxs / (ns[:, None, None] ** 2) - dxg / (ns * ng)[:, None, None]
@@ -463,10 +470,7 @@ def lm_update_implicit_pixel(pose, out, dx, dy, target, duv, damping_param,
 
     Du = duv[..., 0, :].astype(f32)   # [B, H, W, 3]
     Dv = duv[..., 1, :].astype(f32)
-    hess = (jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Du, sxx)
-            + jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Dv, sxy)
-            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Du, sxy)
-            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Dv, syy))
+    hess = _pixel_hessian(Du, Dv, sxx, sxy, syy)
     g = (jnp.einsum("bhwp,bhw->bp", Du, rx)
          + jnp.einsum("bhwp,bhw->bp", Dv, ry))
     act = jnp.array(cfg.active_dims)
@@ -605,38 +609,34 @@ def lm_information(out, dx, dy, target, m2d, duv, active_dims,
     """
     f32 = jnp.float32
     out = out.astype(f32)
-    dx = dx.astype(f32)
-    dy = dy.astype(f32)
     tgt = target.astype(f32)
     B, H, W, C = out.shape
-    m = jnp.broadcast_to(m2d.astype(f32), (m2d.shape[0], H, W))
-
-    sxx = jnp.sum(dx * dx, -1) * m
-    sxy = jnp.sum(dx * dy, -1) * m
-    syy = jnp.sum(dy * dy, -1) * m
+    # reuse the solver's own moment preamble (no dropout at info time) so
+    # the covariance H and the LM H share one definition
+    mm, ns, ng, _ = _implicit_moments(out, dx, dy, target, m2d,
+                                      LMConfig(dropout=0), None)
     Du = duv[..., 0, :].astype(f32)   # [B, H, W, 3]
     Dv = duv[..., 1, :].astype(f32)
-    hess = (jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Du, sxx)
-            + jnp.einsum("bhwp,bhwq,bhw->bpq", Du, Dv, sxy)
-            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Du, sxy)
-            + jnp.einsum("bhwp,bhwq,bhw->bpq", Dv, Dv, syy))
+    hess = _pixel_hessian(Du, Dv, mm["sxx"], mm["sxy"], mm["syy"])
 
-    ss = jnp.sum(jnp.sum(out * out, -1) * m, (1, 2))          # [B]
-    gg = jnp.sum(jnp.sum(tgt * tgt, -1) * m, (1, 2))
-    sg = jnp.sum(jnp.sum(out * tgt, -1) * m, (1, 2))
+    # rss from the residual DIRECTLY — the ss+gg-2sg moment identity
+    # cancels catastrophically in f32 exactly when the fit is good (huge
+    # sums, tiny difference), which would report near-zero covariance on
+    # well-matched features
+    m = jnp.broadcast_to(m2d.astype(f32), (m2d.shape[0], H, W))[..., None]
     if normalize:
-        ns = jnp.sqrt(jnp.maximum(ss, 1e-12))
-        ng = jnp.sqrt(jnp.maximum(gg, 1e-12))
         hess = hess / (ns * ns)[:, None, None]
-        rss = ss / (ns * ns) + gg / (ng * ng) - 2.0 * sg / (ns * ng)
+        r = (out / ns[:, None, None, None]
+             - tgt / ng[:, None, None, None]) * m
     else:
-        rss = ss + gg - 2.0 * sg
-    n_res = jnp.broadcast_to(jnp.sum(m, (1, 2)) * C, (B,))
+        r = (out - tgt) * m
+    rss = jnp.sum(r * r, (1, 2, 3))
+    n_res = jnp.broadcast_to(jnp.sum(m[..., 0], (1, 2)) * C, (B,))
 
     act = jnp.array(active_dims)
     sel = jnp.zeros((3,), f32).at[act].set(1.0)
     hess = hess * sel[None, :, None] * sel[None, None, :]
-    return hess, jnp.maximum(rss, 0.0), n_res
+    return hess, rss, n_res
 
 
 def pose_covariance(hess, rss, n_res, active_dims):

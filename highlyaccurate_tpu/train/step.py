@@ -176,6 +176,10 @@ def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None,
             return model.apply({"params": params}, sat, grd, camera_k,
                                mode="test", init_pose=init,
                                rngs={"lm": rng}, **kw)
+        if extras:  # the star-unpack must not silently eat stray args
+            raise TypeError(f"S2GP eval step takes (params, sat, grd"
+                            f"{', init_pose' if warm_start else ''}, rng); "
+                            f"got {len(extras)} unexpected extra args")
         return model.apply({"params": params}, sat, grd, mode="test",
                            init_pose=init, rngs={"lm": rng}, **kw)
 

@@ -16,7 +16,15 @@ trade on geometry-consistent synthetic sequences with CONVERGED features:
        cold2   N_iters=2, zero init        (latency floor, no tracking)
        warm2   N_iters=2, init = previous frame's estimate
        warm1   N_iters=1, init = previous frame's estimate
-  4. batch-1 latency for cold5 vs warm2 (the serving scenario).
+  4. batch-1 latency for cold5 vs warm2 (the serving scenario);
+  5. covariance calibration: predict with with_info=True on i.i.d. frames
+     and compare the predicted [3,3] covariance against the actual error
+     distribution (mean Mahalanobis z^2 vs the chi^2_3 expectation of 3,
+     per-dim 1/2-sigma coverage, and error-vs-predicted-sigma quartile
+     monotonicity — does the covariance RANK uncertainty correctly?).
+
+Trained params are saved to /tmp/r3_track_params.npz for follow-up TPU
+experiments in later processes (no retrain needed).
 
 One TPU process.  Usage:
   python scripts/r3_tracking_study.py [--steps 2500] [--frames 64]
@@ -141,6 +149,47 @@ def run_variant(name, params, cfg, gen, frames, warm: bool, batch=B):
     return dist.mean(), ang.mean(), fps
 
 
+def evaluate_covariance(params, cfg, gen, n_batches=24):
+    """Covariance calibration on i.i.d. frames (study step 5)."""
+    model = LMS2GP(cfg=cfg)
+
+    @jax.jit
+    def ev(p, sat, grd, key):
+        lat, lon, th, cov = model.apply(
+            {"params": p}, sat, grd, mode="test", with_info=True,
+            rngs={"lm": key})
+        return jnp.stack([lon, lat, th], -1), cov   # pose order
+
+    zeros = jnp.zeros((B, 3))
+    errs, covs = [], []
+    for i in range(n_batches):
+        sat, grd, gt = gen(jax.random.fold_in(jax.random.PRNGKey(888), i),
+                           zeros)
+        pred, cov = ev(params, sat, grd, jax.random.PRNGKey(2000 + i))
+        errs.append(np.asarray(pred) - np.asarray(gt))
+        covs.append(np.asarray(cov))
+    e = np.concatenate(errs)                    # [N, 3] normalized pose
+    C = np.concatenate(covs)                    # [N, 3, 3]
+
+    z2 = np.array([ee @ np.linalg.solve(cc, ee) for ee, cc in zip(e, C)])
+    sig = np.sqrt(np.diagonal(C, axis1=1, axis2=2))       # [N, 3]
+    within1 = (np.abs(e) <= sig).mean(0) * 100
+    within2 = (np.abs(e) <= 2 * sig).mean(0) * 100
+    print(f"[cov] N={len(e)}  mean z^2 {z2.mean():.2f} (chi2_3 expects 3)  "
+          f"median z^2 {np.median(z2):.2f}", flush=True)
+    print(f"[cov] 1-sigma coverage (u, v, heading): "
+          f"{within1[0]:.0f}% {within1[1]:.0f}% {within1[2]:.0f}%  "
+          f"(Gaussian: 68%)   2-sigma: {within2[0]:.0f}% {within2[1]:.0f}% "
+          f"{within2[2]:.0f}% (95%)", flush=True)
+    # ranking: actual |err| by predicted-sigma quartile (per dim 0 = u)
+    for d, name in enumerate(("u", "v", "heading")):
+        order = np.argsort(sig[:, d])
+        q = np.array_split(np.abs(e[order, d]), 4)
+        means = "  ".join(f"{x.mean():.4f}" for x in q)
+        print(f"[cov] |err_{name}| by sigma quartile (low->high): {means}",
+              flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2500)
@@ -154,6 +203,14 @@ def main():
 
     print("training...", flush=True)
     params = train(cfg, args.steps, gen)
+
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(params, sep="/")
+    np.savez("/tmp/r3_track_params.npz",
+             **{k: np.asarray(v) for k, v in flat.items()})
+    print("params saved to /tmp/r3_track_params.npz", flush=True)
+
+    evaluate_covariance(params, cfg, gen)
 
     cfg2 = dataclasses.replace(cfg, N_iters=2)
     cfg1 = dataclasses.replace(cfg, N_iters=1)

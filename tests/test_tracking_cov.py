@@ -157,6 +157,26 @@ def test_multi_hypothesis_one_start_equals_warm_single():
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_multi_hypothesis_tiles_gt_depth():
+    """use_gt_depth + pose_hypotheses>1 must tile the depth map alongside
+    the features (untiled [B,...] depth against [B*P,3] poses was a trace-
+    time crash — review finding, round 3)."""
+    cfg = Config(**TINY, use_gt_depth=1, pose_hypotheses=2)
+    model = LMS2GP(cfg=cfg)
+    rng = np.random.RandomState(8)
+    sat = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    grd = jnp.asarray(rng.rand(2, 32, 128, 3).astype(np.float32))
+    depth = jnp.asarray((1.0 + rng.rand(2, 32, 128)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "lm": jax.random.PRNGKey(1)},
+                           sat, grd, jnp.zeros((2, 3)), mode="train",
+                           gt_depth=depth)
+    out = model.apply(variables, sat, grd, mode="test", gt_depth=depth,
+                      rngs={"lm": jax.random.PRNGKey(2)})
+    assert all(np.isfinite(np.asarray(o)).all() and o.shape == (2,)
+               for o in out)
+
+
 def test_s2gp_with_info_outputs():
     cfg, model, variables, sat, grd = _tiny_model_and_inputs()
     rngs = {"lm": jax.random.PRNGKey(5)}
@@ -252,6 +272,25 @@ def test_localizer_tracking_and_cov_roundtrip():
 
     with pytest.raises(ValueError, match="init_pose"):
         loc.predict(sat, grd, init_pose=arr[:2])
+
+
+def test_cov_scale_multiplier():
+    """Localizer(cov_scale=s) scales the returned covariance by s (the
+    empirical calibration knob — PERF.md round-3 calibration study)."""
+    from highlyaccurate_tpu.inference import Localizer
+    cfg = Config(**TINY)
+    loc = Localizer(cfg, batch_size=2, seed=11, random_init=True)
+    rng = np.random.RandomState(9)
+    sat = rng.rand(2, 64, 64, 3).astype(np.float32)
+    grd = rng.rand(2, 32, 128, 3).astype(np.float32)
+    base = loc.predict(sat, grd, return_cov=True)
+    loc4 = Localizer(cfg, params=loc.params, batch_size=2, seed=11,
+                     cov_scale=4.0)
+    scaled = loc4.predict(sat, grd, return_cov=True)
+    np.testing.assert_allclose(scaled["cov"], 4.0 * base["cov"],
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(scaled["lateral_m"], base["lateral_m"],
+                               rtol=1e-6)
 
 
 def test_init_and_cov_metric_conversions():
