@@ -208,12 +208,19 @@ def test_g2sp_with_info_and_warm():
                             "lm": jax.random.PRNGKey(1)},
                            sat, grd, k, jnp.zeros((2, 3)), mode="train")
     rngs = {"lm": jax.random.PRNGKey(2)}
+    init = jnp.full((2, 3), 0.2)
     out = model.apply(variables, sat, grd, k, mode="test", with_info=True,
-                      init_pose=jnp.full((2, 3), 0.2), rngs=rngs)
+                      init_pose=init, rngs=rngs)
     assert len(out) == 4
     cov = np.asarray(out[3])
     assert cov.shape == (2, 3, 3) and np.isfinite(cov).all()
     assert (np.linalg.eigvalsh(cov) >= -1e-9).all()
+    # n_hyp=1 multi-start with the same warm init == the single-start solve
+    multi = model.apply(variables, sat, grd, k, 1, init_pose=init,
+                        rngs=rngs, method=LMG2SP.multi_hypothesis_test)
+    for a, b in zip(out[:3], multi):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_ford_with_info_and_warm():
@@ -234,12 +241,18 @@ def test_ford_with_info_and_warm():
                            sat, grd, side, R, T, jnp.zeros((2, 3)),
                            mode="train")
     rngs = {"lm": jax.random.PRNGKey(2)}
+    init = jnp.full((2, 3), -0.3)
     out = model.apply(variables, sat, grd, side, R, T, mode="test",
-                      with_info=True, init_pose=jnp.full((2, 3), -0.3),
-                      rngs=rngs)
+                      with_info=True, init_pose=init, rngs=rngs)
     assert len(out) == 4
     cov = np.asarray(out[3])
     assert cov.shape == (2, 3, 3) and np.isfinite(cov).all()
+    # n_hyp=1 multi-start with the same warm init == the single-start solve
+    multi = model.apply(variables, sat, grd, side, R, T, 1, init_pose=init,
+                        rngs=rngs, method=LMS2GPFord.multi_hypothesis_test)
+    for a, b in zip(out[:3], multi):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
 
 
 # ----------------------------------------------------------- serving layer
