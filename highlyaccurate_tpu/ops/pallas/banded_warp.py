@@ -1554,6 +1554,18 @@ def make_projline_sampler(AY: int, AX: int, C: int, V: int, W: int,
         grad_coefs = jnp.stack(cols + [zeros] * (_NCOEF_PL - 6), axis=-1)
         return grad_img, grad_coefs
 
+    # NOTE on remat (measured, round 3): the G2SP train path always wraps
+    # its solver rounds in jax.checkpoint (lm_g2sp.py), and plain custom_vjp
+    # residuals are opaque to remat — the backward re-runs sample_fwd, so
+    # the kernel executes twice per round (raw_eval primal + raw_fwd remat).
+    # defvjp(..., optimize_remat=True) eliminates the re-run by SAVING the
+    # residuals (coefs, dx, dy, dxy) through the checkpoint — but storing
+    # 3x[B,A,A,C] f32 per round x 15 rounds (~3.5 GB at batch 8) trades the
+    # recompute for HBM pressure: measured NEUTRAL at fp32 (322.8 vs 327 ms)
+    # and -22% at bf16 feature compute (371 vs ~290 ms) on TPU v5e
+    # (scripts/r3_g2sp_remat_probe.py) — rejected; the recompute is the
+    # cheaper side of the trade at these shapes.  Gradient-neutrality of
+    # remat over this VJP is pinned by test_projline_diff_grad_under_remat.
     sample.defvjp(sample_fwd, sample_bwd)
 
     def sample_pub(img, coefs):

@@ -439,3 +439,36 @@ def test_projline_diff_grad_parity(Cp, AX):
     for name, a, b in zip(("img", "h0", "dh"), gk, go):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    err_msg=name, **tols[name])
+
+
+def test_projline_diff_grad_under_remat():
+    """jax.checkpoint around the differentiable projline sampler yields the
+    same gradients as the un-rematted call (the G2SP train path always
+    remats its rounds, lm_g2sp.py — remat re-runs the with_dxy kernel to
+    rebuild the VJP residuals; this pins that the re-run is bit-identical.
+    defvjp(optimize_remat=True), which would instead SAVE the residuals,
+    measured neutral-fp32 / -22%-bf16 and was rejected — see the note at
+    make_projline_sampler and scripts/r3_g2sp_remat_probe.py)."""
+    from highlyaccurate_tpu.ops.pallas.banded_warp import (
+        make_projline_sampler, pack_projline_coefs)
+    Bp, AY, AX, Cp, Vp, Wp = 2, 16, 48, 8, 6, 12
+    rng = np.random.RandomState(71)
+    img = jnp.asarray(rng.rand(Bp, AY, AX, Cp).astype(np.float32))
+    h0, dh = _projlines(Bp, AY, AX, Vp, Wp, seed=72)
+    cw = jnp.asarray(rng.randn(Bp, Vp, Wp, Cp).astype(np.float32))
+
+    df = make_projline_sampler(AY=AY, AX=AX, C=Cp, V=Vp, W=Wp,
+                               interpret=True, differentiable=True)
+
+    def loss(img, h0, dh):
+        coefs = pack_projline_coefs(h0, dh, AY, AX, AY, Wp)
+        out, dx, dy = df(img, coefs)
+        # touch all three outputs + a nonlinearity so the remat body is
+        # non-trivial (mirrors the moment contraction after the sampler)
+        return jnp.sum(cw * out * out) + jnp.sum(dx * dy)
+
+    g_plain = jax.grad(loss, argnums=(0, 1, 2))(img, h0, dh)
+    g_remat = jax.grad(jax.checkpoint(loss), argnums=(0, 1, 2))(img, h0, dh)
+    for name, a, b in zip(("img", "h0", "dh"), g_plain, g_remat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0, err_msg=name)
