@@ -1,95 +1,71 @@
 """Benchmark: end-to-end LM inference throughput on the flagship KITTI model.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines of the contract {"metric", "value", "unit", "vs_baseline",
+"extra"}.  Every printed line is complete and parseable; later lines carry
+more extras — a consumer should take the LAST parseable line (or any line:
+the flagship value is identical in all of them once measured live).
 
 Protocol: the reference's eval forward (LM_S2GP, level=3, N_iters=5, LM
 optimizer, 512x512 satellite patch, 256x1024 ground image — reference
 defaults, train_kitti.py:439-469) on synthetic data, batched, jitted, on the
-available accelerator.  Metric = frames/sec/chip.
+available accelerator, in the recommended production eval config (bfloat16
+feature compute — recall-neutral per the PERF.md round-2 study; fp32 is the
+``fp32_eval_fps`` extra and stays the default for imported .pth checkpoints).
+Metric = frames/sec/chip.
 
 vs_baseline: the reference repo publishes no throughput number (SURVEY.md §6);
 the eval protocol logs "time per image" per run.  We anchor against an
 estimated reference GPU batch-1 inference rate of 2.86 fps (0.35 s/image,
 single consumer GPU of the paper's era) — the BASELINE.json north star asks
 for >=20x that (~57 fps/chip).
+
+Failure-mode design (round-3 postmortem, VERDICT r3 weak #1): the axon TPU
+tunnel's REMOTE COMPILE HELPER can stall indefinitely even while the data
+path answers probes, so any in-process jax work can hang unkillably.  This
+orchestrator therefore NEVER imports jax in the parent:
+
+  * every metric runs in its own killable subprocess with its own deadline
+    (``python bench.py --metric NAME``);
+  * the flagship line is printed THE MOMENT the flagship program finishes;
+  * a watchdog thread flushes a parseable line at a fixed deadline even if
+    the flagship child is still hung, falling back to the last cached
+    same-platform flagship measurement (``.bench_cache.json``, labeled with
+    its commit + timestamp) or a loudly-labeled zero;
+  * a global budget skips (not hangs on) remaining extras.
+
+Env knobs (seconds): _BENCH_PROBE_TIMEOUT (120), _BENCH_FLUSH_S (420),
+_BENCH_FLAGSHIP_TIMEOUT_S (2400), _BENCH_METRIC_TIMEOUT_S (900),
+_BENCH_TOTAL_S (7200).  _BENCH_ONLY="name1,name2" restricts extras.
 """
 
 import json
+import os
+import subprocess
+import sys
+import threading
 import time
 
 REF_GPU_BATCH1_FPS = 2.86
+CACHE_PATH = os.environ.get(
+    "_BENCH_CACHE_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".bench_cache.json"))
+MARKER = "##BENCH##"
+
+# ---------------------------------------------------------------------------
+# measurement functions (run inside --metric child processes; import jax)
+# ---------------------------------------------------------------------------
 
 
-def _accelerator_responsive(timeout_s: float = 600.0) -> bool:
-    """Probe the accelerator in a SUBPROCESS with a timeout.
-
-    The axon TPU tunnel has been observed down for hours at a stretch with
-    jax.devices() HANGING (no error) — which would hang the whole bench and
-    leave the round with no number at all.  A subprocess probe can be
-    killed; the in-process call cannot.  The probe exits before the real
-    run starts (one JAX process at a time on the tunnel)."""
-    import os
-    import subprocess
-    import sys
-
-    timeout_s = float(os.environ.get("_BENCH_PROBE_TIMEOUT", timeout_s))
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, numpy as np, jax.numpy as jnp;"
-             "print(np.asarray(jnp.ones((64,64)) @ jnp.ones((64,64)))[0,0])"],
-            timeout=timeout_s, capture_output=True)
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
-def main():
-    import os
-    import sys
-
-    explicit_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
-    if not explicit_cpu and not os.environ.get("_BENCH_CPU_FALLBACK") \
-            and not _accelerator_responsive():
-        # re-exec CPU-only (axon plugin stripped) with a labeled metric so
-        # a fallback number can never be mistaken for a TPU regression
-        print("bench: accelerator probe failed/hung — re-running CPU-only",
-              file=sys.stderr)
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env.pop("PYTHONPATH", None)
-        env["_BENCH_CPU_FALLBACK"] = "1"
-        os.execve(sys.executable, [sys.executable, __file__], env)
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
+def _flagship_cfg(on_tpu):
     from highlyaccurate_tpu.config import Config
-    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
-
-    on_tpu = any(d.platform != "cpu" for d in jax.devices())
     if on_tpu:
-        batch, cfg = 8, Config(level=3, N_iters=5)
-    else:  # CPU smoke fallback
-        batch, cfg = 2, Config(level=-1, N_iters=2, grd_h=32, grd_w=128,
-                               sat_size=64, use_banded_warp=0)
-
-    try:
-        return run(cfg, batch, on_tpu)
-    except Exception as e:
-        if not cfg.use_banded_warp:
-            raise
-        # Pallas path unavailable in this environment -> gather fallback.
-        # Loud on stderr: a silent fallback here once masked a Mosaic
-        # lowering bug and benched the slow path.
-        import sys
-        import traceback
-        print(f"bench: banded path FAILED ({type(e).__name__}: {e}); "
-              "falling back to the gather sampler", file=sys.stderr)
-        traceback.print_exc()
-        cfg = Config(**{**cfg.__dict__, "use_banded_warp": 0})
-        return run(cfg, batch, on_tpu)
+        # production eval config: bf16 feature compute (recall-neutral,
+        # PERF.md recall study; config.py resolves the same default for
+        # non-imported eval runs)
+        return 8, Config(level=3, N_iters=5, compute_dtype="bfloat16")
+    return 2, Config(level=-1, N_iters=2, grd_h=32, grd_w=128,
+                     sat_size=64, use_banded_warp=0)
 
 
 def _bench_train_step(cfg, batch, model_cls=None, extra=(),
@@ -122,7 +98,7 @@ def _bench_train_step(cfg, batch, model_cls=None, extra=(),
     ts = step_lib.make_train_step(model, cfg, mesh=None,
                                   ford_side_m=ford_side_m)
     state, metrics = ts(state, sat, grd, *extra, gt, jax.random.PRNGKey(0))
-    np.asarray(metrics["loss"])  # fence (see run())
+    np.asarray(metrics["loss"])  # fence (see _bench_eval_fps)
     # one timed step picks n: slow paths (e.g. G2SP's scatter-bound gather
     # backward) get fewer reps so the bench suite stays bounded
     t0 = time.perf_counter()
@@ -142,7 +118,11 @@ def _bench_eval_fps(model_cls, cfg, batch, n_iters, extra_init=(),
     """Chained-dispatch eval throughput for any model class.
 
     ``warm`` benches the tracking-mode program (init_pose input wired —
-    the warm-start value itself is an accuracy property, PERF.md round 3)."""
+    the warm-start value itself is an accuracy property, PERF.md round 3).
+
+    NOTE: np.asarray (device->host fetch) is the sync fence — on the
+    experimental axon platform block_until_ready returns before execution
+    completes, so only a value fetch is reliable."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -181,6 +161,9 @@ def _bench_eval_fps(model_cls, cfg, batch, n_iters, extra_init=(),
 
     @jax.jit
     def ev(params, carry, key):
+        # ``carry`` chains successive calls on-device (forces serial
+        # execution without per-call host syncs); 1e-38 scaling keeps the
+        # data dependency while leaving the inputs numerically unchanged.
         out = model.apply({"params": params}, args[0] + carry * 1e-38,
                           *args[1:], mode="test", rngs={"lm": key})
         return carry + jnp.sum(out[0]) * 1e-30
@@ -196,25 +179,47 @@ def _bench_eval_fps(model_cls, cfg, batch, n_iters, extra_init=(),
     return batch * n_iters / (time.perf_counter() - t0)
 
 
-def _best_effort(out, name, fn):
-    """Record fn() under ``name``; retry once on failure (the axon TPU
-    tunnel throws transient backend-setup errors — one retry recovered
-    every flake observed so far), report the error instead of dying."""
-    for attempt in (0, 1):  # pragma: no cover - error paths need a flake
-        try:
-            out[name] = round(fn(), 2)
-            return
-        except Exception as e:
-            err = f"error: {type(e).__name__}"
-            import sys
-            print(f"bench: {name} attempt {attempt} failed "
-                  f"({type(e).__name__}: {e})", file=sys.stderr)
-    out[name] = err
+def _bench_ford_eval(cfg, batch, n_iters):
+    """Ford model eval throughput (cam->body->world->sat chain)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from highlyaccurate_tpu.geometry import ford as fgeom
+    from highlyaccurate_tpu.models.ford import LMS2GPFord
+
+    side_m = cfg.sat_size * 0.22  # scalar, as the CLI passes it
+    R = np.broadcast_to(np.asarray(fgeom.qvec2rotmat(
+        [0.997, 0.01, 0.05, 0.02]), np.float32), (batch, 3, 3)).copy()
+    T = np.broadcast_to(np.array([1.0, 0.5, -1.4], np.float32),
+                        (batch, 3)).copy()
+    return _bench_eval_fps(
+        LMS2GPFord, cfg, batch, n_iters,
+        extra_init=(jnp.asarray(side_m), R, T))
 
 
-def extra_metrics(cfg, batch, on_tpu):
-    """Secondary bench surface (train / G2SP / multi-hypothesis) so perf
-    work can't regress unmeasured paths. Each is best-effort."""
+def _measure_flagship(on_tpu):
+    batch, cfg = _flagship_cfg(on_tpu)
+    n = 30 if on_tpu else 3
+    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
+    try:
+        return _bench_eval_fps(LMS2GP, cfg, batch, n)
+    except Exception as e:
+        if not cfg.use_banded_warp:
+            raise
+        # Pallas path unavailable in this environment -> gather fallback.
+        # Loud on stderr: a silent fallback here once masked a Mosaic
+        # lowering bug and benched the slow path.
+        import dataclasses
+        import traceback
+        print(f"bench: banded path FAILED ({type(e).__name__}: {e}); "
+              "falling back to the gather sampler", file=sys.stderr)
+        traceback.print_exc()
+        return _bench_eval_fps(
+            LMS2GP, dataclasses.replace(cfg, use_banded_warp=0), batch, n)
+
+
+def _make_extra_metrics(on_tpu):
+    """name -> zero-arg callable.  Each runs in its own child process."""
     import dataclasses
 
     import numpy as np
@@ -222,6 +227,8 @@ def extra_metrics(cfg, batch, on_tpu):
     from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
     from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
 
+    batch, cfg_bf16 = _flagship_cfg(on_tpu)
+    cfg = dataclasses.replace(cfg_bf16, compute_dtype="float32")
     n = 10 if on_tpu else 2
     k = np.broadcast_to(
         np.array([[582.9802, 0.0, 496.2420],
@@ -229,7 +236,6 @@ def extra_metrics(cfg, batch, on_tpu):
                   [0.0, 0.0, 1.0]], np.float32), (batch, 3, 3)).copy()
 
     def _ford_train():
-        # imports inside so a Ford-side failure error-tags this key only
         from highlyaccurate_tpu.geometry import ford as fgeom
         from highlyaccurate_tpu.models.ford import LMS2GPFord
         R = np.broadcast_to(np.asarray(fgeom.qvec2rotmat(
@@ -239,10 +245,9 @@ def extra_metrics(cfg, batch, on_tpu):
         return _bench_train_step(cfg, batch, model_cls=LMS2GPFord,
                                  extra=(R, T),
                                  ford_side_m=cfg.sat_size * 0.22)
-    bf16_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+
     # reference-faithful eval path (mandatory for imported .pth checkpoints
-    # — PERF.md recall study); implicit-J contraction rides the gather
-    # sampler (round-3 VERDICT #2)
+    # — PERF.md recall study; fp32 + gather sampler + implicit-J)
     gather_cfg = dataclasses.replace(cfg, use_banded_warp=0)
     # G2SP training: the differentiable projline custom-VJP kernel on TPU
     # (the XLA gather/scatter formulation measured 0.43 fps at batch 8).
@@ -251,144 +256,240 @@ def extra_metrics(cfg, batch, on_tpu):
     # HBM (measured OOM, PERF.md round 3).
     g2sp_cfg = dataclasses.replace(cfg, direction="G2SP")
 
-    out = {}
-    _best_effort(out, "train_fps", lambda: _bench_train_step(cfg, batch))
-    _best_effort(out, "g2sp_eval_fps", lambda: _bench_eval_fps(
-        LMG2SP, g2sp_cfg, batch, n, extra_init=(k,)))
-    _best_effort(out, "gather_eval_fps", lambda: _bench_eval_fps(
-        LMS2GP, gather_cfg, batch, n))
-    _best_effort(out, "multihyp4_eval_fps", lambda: _bench_eval_fps(
-        LMS2GP, dataclasses.replace(cfg, pose_hypotheses=4), batch, n))
-    _best_effort(out, "ford_eval_fps",
-                 lambda: _bench_ford_eval(cfg, batch, n))
-    # bf16 feature compute at eval: recall-neutral (PERF.md recall study)
-    _best_effort(out, "bf16_eval_fps", lambda: _bench_eval_fps(
-        LMS2GP, bf16_cfg, batch, n))
-    # mixed-precision training (fp32 params/Adam/LM-solve): the
-    # recommended production config (PERF.md round-3 decomposition)
-    _best_effort(out, "bf16_train_fps",
-                 lambda: _bench_train_step(bf16_cfg, batch))
-    # single-stream latency: one image per dispatch, chained (the
-    # reference's batch-1 "time per image" scenario)
-    _best_effort(out, "batch1_latency_ms",
-                 lambda: 1e3 / _bench_eval_fps(LMS2GP, cfg, 1, 3 * n))
-    # tracking mode (NEW): warm-started 2-iteration solve — the sequential-
-    # frame serving config (accuracy study: PERF.md round-3 tracking study)
-    _best_effort(out, "tracking_warm2_b1_latency_ms",
-                 lambda: 1e3 / _bench_eval_fps(
-                     LMS2GP, dataclasses.replace(cfg, N_iters=2), 1, 3 * n,
-                     warm=True))
-    _best_effort(out, "g2sp_train_fps", lambda: _bench_train_step(
-        dataclasses.replace(g2sp_cfg, remat=1), batch, model_cls=LMG2SP,
-        extra=(k,)))
-    # Ford training (banded custom-VJP kernels, cam->body->world chain)
-    _best_effort(out, "ford_train_fps", _ford_train)
-    return out
+    return {
+        # fp32 eval: round<=3's flagship config, kept for cross-round
+        # comparability and as the --import_pth eval dtype
+        "fp32_eval_fps": lambda: _bench_eval_fps(LMS2GP, cfg, batch, 3 * n),
+        "train_fps": lambda: _bench_train_step(cfg, batch),
+        # mixed-precision training (fp32 params/Adam/LM-solve): the
+        # recommended production config (PERF.md round-3 decomposition)
+        "bf16_train_fps": lambda: _bench_train_step(
+            dataclasses.replace(cfg, compute_dtype="bfloat16"), batch),
+        "gather_eval_fps": lambda: _bench_eval_fps(
+            LMS2GP, gather_cfg, batch, n),
+        "g2sp_eval_fps": lambda: _bench_eval_fps(
+            LMG2SP, g2sp_cfg, batch, n, extra_init=(k,)),
+        "g2sp_train_fps": lambda: _bench_train_step(
+            dataclasses.replace(g2sp_cfg, remat=1), batch, model_cls=LMG2SP,
+            extra=(k,)),
+        "multihyp4_eval_fps": lambda: _bench_eval_fps(
+            LMS2GP, dataclasses.replace(cfg, pose_hypotheses=4), batch, n),
+        "ford_eval_fps": lambda: _bench_ford_eval(cfg, batch, n),
+        "ford_train_fps": _ford_train,
+        # single-stream latency: one image per dispatch, chained (the
+        # reference's batch-1 "time per image" scenario)
+        "batch1_latency_ms": lambda: 1e3 / _bench_eval_fps(
+            LMS2GP, cfg, 1, 3 * n),
+        # tracking mode: warm-started 2-iteration solve — the sequential-
+        # frame serving config (accuracy study: PERF.md round-3 tracking)
+        "tracking_warm2_b1_latency_ms": lambda: 1e3 / _bench_eval_fps(
+            LMS2GP, dataclasses.replace(cfg, N_iters=2), 1, 3 * n,
+            warm=True),
+    }
 
 
-def _bench_ford_eval(cfg, batch, n_iters):
-    """Ford model eval throughput (cam->body->world->sat chain)."""
+def child_main(metric: str):
+    """--metric entry: measure ONE metric, print a marker JSON line."""
+    hang = os.environ.get("_BENCH_FAKE_HANG", "")
+    if metric in [h for h in hang.split(",") if h]:  # test hook: simulate a
+        time.sleep(3600)                             # stuck compile helper
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from highlyaccurate_tpu.geometry import ford as fgeom
-    from highlyaccurate_tpu.models.ford import LMS2GPFord
-
-    model = LMS2GPFord(cfg=cfg)
-    rng = np.random.RandomState(0)
-    sat = jnp.asarray(rng.rand(batch, cfg.sat_size, cfg.sat_size, 3)
-                      .astype(np.float32))
-    grd = jnp.asarray(rng.rand(batch, cfg.grd_h, cfg.grd_w, 3)
-                      .astype(np.float32))
-    side_m = cfg.sat_size * 0.22  # scalar, as the CLI passes it
-    R = jnp.broadcast_to(jnp.asarray(fgeom.qvec2rotmat(
-        [0.997, 0.01, 0.05, 0.02])), (batch, 3, 3))
-    T = jnp.broadcast_to(jnp.array([1.0, 0.5, -1.4], jnp.float32), (batch, 3))
-    v = model.init({"params": jax.random.PRNGKey(0),
-                    "lm": jax.random.PRNGKey(1)},
-                   sat, grd, side_m, R, T, jnp.zeros((batch, 3)),
-                   mode="train")
-
-    @jax.jit
-    def ev(params, carry, key):
-        out = model.apply({"params": params}, sat + carry * 1e-38, grd,
-                          side_m, R, T, mode="test", rngs={"lm": key})
-        return carry + jnp.sum(out[0]) * 1e-30
-
-    carry = ev(v["params"], jnp.zeros(()), jax.random.PRNGKey(0))
-    np.asarray(carry)
-    t0 = time.perf_counter()
-    carry = jnp.zeros(())
-    for i in range(n_iters):
-        carry = ev(v["params"], carry,
-                   jax.random.fold_in(jax.random.PRNGKey(0), i))
-    np.asarray(carry)
-    return batch * n_iters / (time.perf_counter() - t0)
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    if metric == "flagship":
+        value = _measure_flagship(on_tpu)
+    else:
+        fns = _make_extra_metrics(on_tpu)
+        if metric not in fns:
+            print(f"bench child: unknown metric {metric}", file=sys.stderr)
+            sys.exit(2)
+        value = fns[metric]()
+    print(f"{MARKER} " + json.dumps(
+        {"name": metric, "value": round(float(value), 2),
+         "platform": jax.devices()[0].platform}), flush=True)
 
 
-def run(cfg, batch, on_tpu):
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+# ---------------------------------------------------------------------------
+# parent orchestrator (no jax imports anywhere below)
+# ---------------------------------------------------------------------------
 
-    from highlyaccurate_tpu.models.lm_s2gp import LMS2GP
 
-    model = LMS2GP(cfg=cfg)
-    rng = np.random.RandomState(0)
-    sat = jnp.asarray(rng.rand(batch, cfg.sat_size, cfg.sat_size, 3)
-                      .astype(np.float32))
-    grd = jnp.asarray(rng.rand(batch, cfg.grd_h, cfg.grd_w, 3)
-                      .astype(np.float32))
-    variables = model.init({"params": jax.random.PRNGKey(0),
-                            "lm": jax.random.PRNGKey(1)},
-                           sat, grd, jnp.zeros((batch, 3)), mode="train")
+def _env_s(name, default):
+    return float(os.environ.get(name, default))
 
-    @jax.jit
-    def eval_step(params, sat, grd, key, carry):
-        # ``carry`` chains successive calls on-device (forces serial
-        # execution without per-call host syncs); 1e-38 scaling keeps the
-        # data dependency while leaving the inputs numerically unchanged.
-        sat = sat + carry * 1e-38
-        lat, lon, th = model.apply({"params": params}, sat, grd, mode="test",
-                                   rngs={"lm": key})
-        return lat, lon, th, carry + jnp.sum(lat) * 1e-30
 
-    params = variables["params"]
-    key = jax.random.PRNGKey(0)
+def _load_cache():
+    try:
+        with open(CACHE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
 
-    # warmup + compile. NOTE: np.asarray (device->host fetch) is the sync
-    # fence — on the experimental axon platform block_until_ready returns
-    # before execution completes, so only a value fetch is reliable.
-    carry = jnp.zeros(())
-    out = eval_step(params, sat, grd, key, carry)
-    np.asarray(out[0])
 
-    # throughput: N chained dispatches, one final fetch (amortizes the
-    # host<->device round-trip, which dominates a per-call fence here)
-    n_iters = 30 if on_tpu else 3
-    t0 = time.perf_counter()
-    carry = jnp.zeros(())
-    for i in range(n_iters):
-        lat, lon, th, carry = eval_step(params, sat, grd,
-                                        jax.random.fold_in(key, i), carry)
-    np.asarray(carry)
-    dt = time.perf_counter() - t0
+def _save_cache(cache):
+    try:
+        with open(CACHE_PATH, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+    except Exception as e:  # cache is best-effort, never fatal
+        print(f"bench: cache write failed: {e}", file=sys.stderr)
 
-    fps = batch * n_iters / dt
-    import os
-    fallback = (" [CPU FALLBACK — TPU tunnel down, NOT a TPU number]"
-                if os.environ.get("_BENCH_CPU_FALLBACK") else "")
-    print(json.dumps({
-        "metric": "KITTI LM_S2GP end-to-end inference frames/sec/chip "
-                  f"(batch {batch}, level {cfg.level}, N_iters {cfg.N_iters})"
-                  + fallback,
-        "value": round(fps, 2),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / REF_GPU_BATCH1_FPS, 2),
-        "extra": extra_metrics(cfg, batch, on_tpu),
-    }))
+
+def _git_commit():
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__))
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _run_child(metric, timeout_s, env):
+    """Run one --metric child; return (value, platform) or (None, why)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--metric", metric],
+            timeout=timeout_s, capture_output=True, text=True, env=env)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout_s:.0f}s"
+    if proc.stderr:
+        sys.stderr.write(proc.stderr)
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(MARKER):
+            d = json.loads(line[len(MARKER):])
+            return d["value"], d["platform"]
+    return None, f"exit {proc.returncode}, no result line"
+
+
+class Scoreboard:
+    """Thread-safe current-best results + JSON line printer."""
+
+    def __init__(self, cpu_fallback: bool, on_cpu: bool):
+        self._lock = threading.Lock()
+        self.flagship = None      # (value, label_suffix)
+        self.extra = {}
+        self.cpu_fallback = cpu_fallback
+        # mirror _flagship_cfg's shapes for an honest label
+        self.desc = ("batch 2, level -1, N_iters 2, CPU smoke shapes"
+                     if on_cpu else
+                     "batch 8, level 3, N_iters 5, bf16 features")
+
+    def line(self, tag=""):
+        with self._lock:
+            if self.flagship is None:
+                value, suffix = 0.0, (" [FAILED: flagship did not complete "
+                                      "and no cached measurement exists]")
+            else:
+                value, suffix = self.flagship
+            if self.cpu_fallback:
+                suffix += " [CPU FALLBACK — TPU tunnel down, NOT a TPU number]"
+            return json.dumps({
+                "metric": "KITTI LM_S2GP end-to-end inference frames/sec/chip"
+                          f" ({self.desc})" + suffix + tag,
+                "value": round(float(value), 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(float(value) / REF_GPU_BATCH1_FPS, 2),
+                "extra": dict(self.extra),
+            })
+
+    def emit(self, tag=""):
+        print(self.line(tag), flush=True)
+
+
+def parent_main():
+    t_start = time.monotonic()
+    probe_timeout = _env_s("_BENCH_PROBE_TIMEOUT", 120)
+    flush_s = _env_s("_BENCH_FLUSH_S", 420)
+    flagship_timeout = _env_s("_BENCH_FLAGSHIP_TIMEOUT_S", 2400)
+    metric_timeout = _env_s("_BENCH_METRIC_TIMEOUT_S", 900)
+    total_s = _env_s("_BENCH_TOTAL_S", 7200)
+
+    env = dict(os.environ)
+    explicit_cpu = env.get("JAX_PLATFORMS", "") == "cpu"
+    cpu_fallback = False
+    if not explicit_cpu:
+        # probe the accelerator in a killable subprocess (the tunnel has
+        # hung for hours at a stretch with jax.devices() never returning)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np, jax.numpy as jnp;"
+                 "print(np.asarray(jnp.ones((64,64)) @ jnp.ones((64,64)))"
+                 "[0,0])"],
+                timeout=probe_timeout, capture_output=True, env=env)
+            ok = proc.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print("bench: accelerator probe failed/hung — running CPU-only",
+                  file=sys.stderr)
+            cpu_fallback = True
+            env["JAX_PLATFORMS"] = "cpu"
+            env.pop("PYTHONPATH", None)  # strip the axon plugin
+
+    board = Scoreboard(cpu_fallback, on_cpu=cpu_fallback or explicit_cpu)
+    cache = _load_cache()
+    want_platform = "cpu" if (cpu_fallback or explicit_cpu) else "tpu"
+
+    # watchdog: guarantee a parseable line by flush_s even if the flagship
+    # child hangs on a stuck remote compile helper
+    def _flush():
+        if board.flagship is None:
+            c = cache.get("flagship")
+            if c and c.get("platform_class") == want_platform:
+                board.flagship = (
+                    c["value"],
+                    f" [CACHED {c['when']} @ {c['commit']} — live flagship "
+                    "run did not finish before the watchdog deadline]")
+        board.emit()
+
+    watchdog = threading.Timer(flush_s, _flush)
+    watchdog.daemon = True
+    watchdog.start()
+
+    value, info = _run_child("flagship", flagship_timeout, env)
+    if value is not None:
+        board.flagship = (value, "")
+        platform_class = "cpu" if info == "cpu" else "tpu"
+        if platform_class == want_platform:
+            cache["flagship"] = {
+                "value": value, "platform_class": platform_class,
+                "commit": _git_commit(),
+                "when": time.strftime("%Y-%m-%d %H:%MZ", time.gmtime())}
+            _save_cache(cache)
+        board.emit()  # the moment the flagship program finishes
+    else:
+        print(f"bench: flagship child failed ({info})", file=sys.stderr)
+        _flush()  # cached fallback now; don't wait for the timer
+
+    only = os.environ.get("_BENCH_ONLY")  # "" selects NO extras (tests)
+    names = (["fp32_eval_fps", "train_fps", "bf16_train_fps",
+              "gather_eval_fps", "g2sp_eval_fps", "g2sp_train_fps",
+              "multihyp4_eval_fps", "ford_eval_fps", "ford_train_fps",
+              "batch1_latency_ms", "tracking_warm2_b1_latency_ms"]
+             if only is None else [m for m in only.split(",") if m])
+    for name in names:
+        left = total_s - (time.monotonic() - t_start)
+        if left < 60:
+            board.extra[name] = "skipped: total budget exhausted"
+            continue
+        value, info = _run_child(name, min(metric_timeout, left), env)
+        if value is not None:
+            board.extra[name] = value
+            cache[name] = {
+                "value": value, "platform_class": want_platform,
+                "commit": _git_commit(),
+                "when": time.strftime("%Y-%m-%d %H:%MZ", time.gmtime())}
+        else:
+            board.extra[name] = f"error: {info}"
+            print(f"bench: {name} failed ({info})", file=sys.stderr)
+    _save_cache(cache)
+    watchdog.cancel()
+    board.emit()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--metric":
+        child_main(sys.argv[2])
+    else:
+        parent_main()

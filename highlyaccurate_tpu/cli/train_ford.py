@@ -86,6 +86,14 @@ def parse_args(argv=None):
                         "were trained through the gather-equivalent "
                         "sampler — see PERF.md recall study)")
     p.add_argument("--save_root", type=str, default=".")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   help="feature compute dtype. Default: bfloat16 for "
+                        "--test 1 on natively-trained checkpoints (recall-"
+                        "neutral, PERF.md study), float32 for training and "
+                        "for --import_pth eval (strict reference numerics)")
+    p.add_argument("--pretrained_vgg16", type=str, default=None,
+                   help="torchvision VGG16 ImageNet .pth: initialize both "
+                        "encoder branches like the reference (VGG.py:20)")
     p.add_argument("--keep_optimizer_state", type=int, default=0)
     p.add_argument("--pose_hypotheses", type=int, default=1,
                    help="multi-start LM at eval: N initial poses per "
@@ -139,6 +147,42 @@ def make_loader(cfg: Config, args, split: str):
     return ds, loader
 
 
+def _visualize_batch(model, cfg: Config, params, batch, side_m, rng,
+                     traj_name: str, feat_prefix: str, loop: int = 0):
+    """``--visualize``: trajectory plot + per-level feature-PCA RGBs for the
+    first sample of a batch (reference Ford plots:
+    /root/reference/visualize_utils.py:173-239 RGB_iterative_pose_ford +
+    the models_ford feature-PCA debug dumps).  Shared by train/evaluate."""
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.viz.visualize import (features_to_rgb,
+                                                  pose_trajectory_plot)
+    params_h = jax.device_get(params)
+    args1 = (jnp.asarray(batch["sat"][:1]), jnp.asarray(batch["grd"][:1]),
+             side_m, jnp.asarray(batch["R_FL"][:1]),
+             jnp.asarray(batch["T_FL"][:1]))
+    lats, lons, ths = model.apply({"params": params_h}, *args1,
+                                  mode="trajectory", rngs={"lm": rng})
+    save_dir = f"./visualize_ford_rot{cfg.rotation_range}"
+    # Ford pose is [B,3] = (shift_u=lat, shift_v=lon, heading)
+    # (models_ford.py:823-824); the plotter expects (lon, lat, heading)
+    gt = np.asarray(batch["gt_pose"])
+    gt_plot = np.stack([gt[:, 1], gt[:, 0], gt[:, 2]], -1)
+    pose_trajectory_plot(
+        batch["sat"][0], np.asarray(lats), np.asarray(lons), np.asarray(ths),
+        gt_plot, side_m / cfg.sat_size, cfg.shift_range_lat,
+        cfg.shift_range_lon, cfg.rotation_range,
+        os.path.join(save_dir, f"traj_{traj_name}.png"))
+    pred = jnp.asarray(np.stack([np.asarray(lats)[:, -1, -1],
+                                 np.asarray(lons)[:, -1, -1],
+                                 np.asarray(ths)[:, -1, -1]], -1))
+    per_level = model.apply({"params": params_h}, *args1, pred,
+                            jnp.asarray(gt[:1]), method="project_at_pose")
+    for lvl, maps in enumerate(per_level):
+        features_to_rgb([np.asarray(m) for m in maps], save_dir,
+                        prefix=f"{feat_prefix}_L{lvl}", loop=loop)
+
+
 def evaluate(model, cfg: Config, params, args, save_path: str, epoch: int,
              best_rank: float, eval_step=None, mesh=None, side_m=None):
     import jax
@@ -179,6 +223,11 @@ def evaluate(model, cfg: Config, params, args, save_path: str, epoch: int,
     for batch in loader:
         _, (u, _, _) = run_batch(batch, 0)
         np.asarray(u)  # fence (device->host fetch; see CLAUDE.md)
+        if cfg.visualize:
+            _visualize_batch(model, cfg, params, batch, side_m,
+                             jax.random.PRNGKey(2022),
+                             traj_name=f"test_log{args.test_log_ind}_e{epoch}",
+                             feat_prefix=f"feat_test_e{epoch}")
         break
 
     pu, pv, pt, gts = [], [], [], []
@@ -237,6 +286,12 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
     freeze = False
     if args.resume:
         params = load_params(save_path, epoch_ckpt_name(args.resume - 1), params)
+    elif getattr(args, "pretrained_vgg16", None):
+        # reference from-scratch init: both branches start from ImageNet
+        # VGG16 (reference VGG.py:20-28)
+        from highlyaccurate_tpu.train.checkpoint import apply_vgg16_init
+        params = apply_vgg16_init(params, args.pretrained_vgg16)
+        print(f"encoder init from {args.pretrained_vgg16}")
     elif restore_path is not None:
         # frozen-backbone partial restore (reference train_ford.py:499-511)
         params = load_params(restore_path, "Model_best", params)
@@ -280,6 +335,13 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
                 _prof.__enter__()
             state, metrics = train_step(state, b["sat"], b["grd"], b["R_FL"],
                                         b["T_FL"], b["gt_pose"], rng)
+            if cfg.visualize and loop % 100 == 0:
+                # reference dumps trajectory plots AND per-level feature-PCA
+                # RGBs under --visualize (visualize_utils.py:173-239)
+                _visualize_batch(model, cfg, state.params, batch, side_m, rng,
+                                 traj_name=f"{epoch}_{loop}",
+                                 feat_prefix=f"feat_e{epoch}_l{loop}",
+                                 loop=loop)
             if _prof is not None and loop == 4:
                 np.asarray(metrics["loss"])  # fence: capture real work
                 _prof.__exit__(None, None, None)

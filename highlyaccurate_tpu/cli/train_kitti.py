@@ -80,7 +80,11 @@ def parse_args(argv=None):
                    help="torchvision VGG16 ImageNet .pth: initialize both "
                         "encoder branches like the reference (VGG.py:20)")
     p.add_argument("--save_root", type=str, default=".")
-    p.add_argument("--compute_dtype", type=str, default="float32")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   help="feature compute dtype. Default: bfloat16 for "
+                        "--test 1 on natively-trained checkpoints (recall-"
+                        "neutral, PERF.md study), float32 for training and "
+                        "for --import_pth eval (strict reference numerics)")
     p.add_argument("--keep_optimizer_state", type=int, default=0)
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler device trace of train "

@@ -211,11 +211,19 @@ def config_from_args(args) -> Config:
     recall study shows cross-sampler-path eval costs recall — so unset
     resolves to the faithful gather path (0) there and to the banded kernel
     (1) everywhere else.  Resolved HERE so every consumer of a parsed
-    Namespace gets a concrete int (not just the CLI main())."""
+    Namespace gets a concrete int (not just the CLI main()).
+
+    ``--compute_dtype`` likewise defaults to None: unset resolves to
+    bfloat16 for evaluation of natively-trained checkpoints (recall-neutral,
+    PERF.md round-2 study — the production eval config) and to float32 for
+    training and for ``--import_pth`` eval (strict reference numerics)."""
     fields = {f.name for f in dataclasses.fields(Config)}
     kw = {k: v for k, v in vars(args).items() if k in fields}
+    faithful = bool(getattr(args, "test", 0)) \
+        and getattr(args, "import_pth", None)
     if kw.get("use_banded_warp", 1) is None:
-        kw["use_banded_warp"] = 0 if (getattr(args, "test", 0)
-                                      and getattr(args, "import_pth", None)) \
-            else 1
+        kw["use_banded_warp"] = 0 if faithful else 1
+    if kw.get("compute_dtype", "x") is None:
+        kw["compute_dtype"] = ("bfloat16" if getattr(args, "test", 0)
+                               and not faithful else "float32")
     return Config(**kw)

@@ -388,6 +388,36 @@ class LMS2GPFord(nn.Module):
             return final[:, 0], final[:, 1], final[:, 2], cov
         return final[:, 0], final[:, 1], final[:, 2]
 
+    def project_at_pose(self, sat_map, grd_img, satmap_sidelength_meters,
+                        R_FL, T_FL, pred_pose, gt_pose):
+        """Per-level feature maps for ``--visualize`` PCA dumps.
+
+        Ford analogue of LMS2GP.project_at_pose: the reference's Ford debug
+        visualization feeds sat/grd features plus projections at the
+        predicted and gt poses (reference models_ford.py sat_feat_proj use +
+        visualize_utils.py:173-239).  Returns per level
+        (sat_feat, grd_feat, proj_at_pred, proj_at_gt)."""
+        cfg = self.cfg
+        sat_feats, _ = self.SatFeatureNet(sat_map)
+        if cfg.estimate_depth:
+            grd_feats, _, grd_depths = self.GrdFeatureNet(grd_img)
+        else:
+            grd_feats, _ = self.GrdFeatureNet(grd_img)
+            grd_depths = [None] * len(grd_feats)
+        outs = []
+        for lvl in range(len(self._slots)):
+            slot = self._slots[lvl]
+            fp_pred, _, _, _, _ = self._project(
+                sat_feats[lvl], None, pred_pose, slot, R_FL, T_FL,
+                satmap_sidelength_meters, with_jac=False,
+                depth=grd_depths[lvl])
+            fp_gt, _, _, _, _ = self._project(
+                sat_feats[lvl], None, gt_pose, slot, R_FL, T_FL,
+                satmap_sidelength_meters, with_jac=False,
+                depth=grd_depths[lvl])
+            outs.append((sat_feats[lvl], grd_feats[lvl], fp_pred, fp_gt))
+        return outs
+
     def _pose_info(self, sat_feats, grd_feats, grd_depths, pose, R_FL, T_FL,
                    satmap_sidelength_meters):
         """[B, 3, 3] pose covariance at ``pose`` from the Ford LM

@@ -168,6 +168,46 @@ def test_ford_cli_synthetic_eval(tmp_path):
     assert 0.0 <= rank <= 100.0
 
 
+def test_ford_cli_visualize_dumps_plots(tmp_path, monkeypatch):
+    """Ford ``--visualize`` writes a trajectory plot AND per-level
+    feature-PCA RGBs during eval (reference Ford plots:
+    visualize_utils.py:173-239; round-3 VERDICT missing #3 — the flag was
+    accepted but wired to nothing)."""
+    import glob
+    import jax
+    import jax.numpy as jnp
+    from highlyaccurate_tpu.cli import train_ford as cli
+    from highlyaccurate_tpu.config import config_from_args
+    from highlyaccurate_tpu.models.ford import LMS2GPFord
+
+    monkeypatch.chdir(tmp_path)  # plots land in ./visualize_ford_rot<r>
+    argv = ["--test", "1", "--synthetic", "2", "--batch_size", "2",
+            "--level", "-1", "--N_iters", "1", "--visualize", "1",
+            "--save_root", str(tmp_path)]
+    args = cli.parse_args(argv)
+    cfg = config_from_args(args)
+    cfg = cfg.__class__(**{**cfg.__dict__, "grd_h": 32, "grd_w": 128,
+                           "sat_size": 64})
+    save_path = cfg.save_path_ford(str(tmp_path))
+    os.makedirs(save_path, exist_ok=True)
+
+    model = LMS2GPFord(cfg=cfg)
+    ds, _ = cli.make_loader(cfg, args, "test")
+    s = ds[0]
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "lm": jax.random.PRNGKey(1)},
+                           jnp.asarray(s.sat[None]), jnp.asarray(s.grd[None]),
+                           ds.satmap_sidelength_meters,
+                           jnp.asarray(s.R_FL[None]), jnp.asarray(s.T_FL[None]),
+                           jnp.zeros((1, 3)), mode="train")
+    cli.evaluate(model, cfg, variables["params"], args, save_path,
+                 epoch=0, best_rank=1e9)
+
+    viz = tmp_path / "visualize_ford_rot10.0"
+    assert glob.glob(str(viz / "traj_test_*.png")), "trajectory plot missing"
+    assert glob.glob(str(viz / "feat_test_*.png")), "feature PCA dumps missing"
+
+
 def test_kitti_cli_synthetic_train_epoch(tmp_path):
     """One tiny synthetic training epoch end-to-end: checkpoints written,
     eval files produced, loss finite."""
