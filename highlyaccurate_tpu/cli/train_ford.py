@@ -205,7 +205,9 @@ def evaluate(model, cfg: Config, params, args, save_path: str, epoch: int,
         params = step_lib.replicate(mesh, jax.device_get(params))
     padded_bs = step_lib.eval_batch_pad(cfg.batch_size, mesh)
 
-    def run_batch(batch, i):
+    def prep(batch):
+        # host pad + async H2D dispatch; used through device_prefetch so
+        # batch i+1's transfer overlaps batch i's inference (SURVEY P8)
         n = batch["sat"].shape[0]
         pad = padded_bs - n  # pad ragged/mesh-short batches (trimmed below)
 
@@ -214,14 +216,18 @@ def evaluate(model, cfg: Config, params, args, save_path: str, epoch: int,
                 x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
             return jnp.asarray(x)
 
-        return n, eval_step(params, p(batch["sat"]), p(batch["grd"]),
-                            p(batch["R_FL"]), p(batch["T_FL"]),
-                            jax.random.fold_in(jax.random.PRNGKey(2022), i))
+        return batch, n, tuple(p(batch[k])
+                               for k in ("sat", "grd", "R_FL", "T_FL"))
+
+    def run_batch(placed, i):
+        batch, n, dev = placed
+        return batch, n, eval_step(
+            params, *dev, jax.random.fold_in(jax.random.PRNGKey(2022), i))
 
     # warm-up: compile + first dispatch outside the timing window
     # (time_per_image must measure steady-state inference, not jit compile)
-    for batch in loader:
-        _, (u, _, _) = run_batch(batch, 0)
+    for batch0 in loader:
+        batch, _, (u, _, _) = run_batch(prep(batch0), 0)
         np.asarray(u)  # fence (device->host fetch; see CLAUDE.md)
         if cfg.visualize:
             _visualize_batch(model, cfg, params, batch, side_m,
@@ -233,8 +239,8 @@ def evaluate(model, cfg: Config, params, args, save_path: str, epoch: int,
     pu, pv, pt, gts = [], [], [], []
     t0 = time.time()
     n_images = 0
-    for i, batch in enumerate(loader):
-        n, (u, v, th) = run_batch(batch, i)
+    for i, placed in enumerate(step_lib.device_prefetch(loader, prep)):
+        batch, n, (u, v, th) = run_batch(placed, i)
         pu.append(np.asarray(u)[:n])
         pv.append(np.asarray(v)[:n])
         pt.append(np.asarray(th)[:n])
@@ -320,11 +326,17 @@ def train(model, cfg: Config, args, save_path: str, restore_path=None):
     _prof = None
     for epoch in range(args.resume, cfg.epochs):
         state = reset_for_epoch(state, cfg, epoch)
-        for loop, batch in enumerate(loader):
-            b = step_lib.shard_batch(mesh, {
+
+        def _place(batch):
+            # async shard_batch dispatch; device_prefetch keeps the next
+            # batch's H2D copy in flight under the current step (SURVEY P8)
+            return batch, step_lib.shard_batch(mesh, {
                 "sat": batch["sat"], "grd": batch["grd"],
                 "R_FL": batch["R_FL"], "T_FL": batch["T_FL"],
                 "gt_pose": batch["gt_pose"]})
+
+        for loop, (batch, b) in enumerate(
+                step_lib.device_prefetch(loader, _place)):
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed),
                                      epoch * 100000 + loop)
             # device trace of steps 2-4 (steps 0/1 carry compiles; the

@@ -105,6 +105,10 @@ def parse_args(argv=None):
                         "sampler — see PERF.md recall study)")
     p.add_argument("--pose_hypotheses", type=int, default=1,
                    help="multi-start LM hypotheses at eval (new capability)")
+    p.add_argument("--g2sp_restrict_grid", type=int, default=1,
+                   help="G2SP: drop satellite columns that can never be in "
+                        "view (zero-J; numerically identical for poses "
+                        "within 1.5x the ranges). 0 = full A x A grid")
     p.add_argument("--seed", type=int, default=2022)
     p.add_argument("--grd_h", type=int, default=256)
     p.add_argument("--grd_w", type=int, default=1024)
@@ -209,22 +213,27 @@ def evaluate(model, cfg: Config, params, args, split: str, save_path: str,
         params = step_lib.replicate(mesh, jax.device_get(params))
     padded_bs = step_lib.eval_batch_pad(cfg.batch_size, mesh)
 
-    def run_batch(batch, i):
+    def prep(batch):
+        # host pad + async H2D dispatch; used through device_prefetch so
+        # batch i+1's transfer overlaps batch i's inference (SURVEY P8)
         n = batch["sat"].shape[0]
         pad = padded_bs - n  # pad ragged/mesh-short batches (trimmed below)
         def p(x):
             if pad > 0:
                 x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
             return jnp.asarray(x)
+        keys = ["sat", "grd"] + (["camera_k"]
+                                 if cfg.direction == "G2SP" else [])
+        return batch, n, tuple(p(batch[k]) for k in keys)
+
+    def run_batch(placed, i):
+        batch, n, dev = placed
         rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
-        if cfg.direction == "G2SP":
-            return n, eval_step(params, p(batch["sat"]), p(batch["grd"]),
-                                p(batch["camera_k"]), rng)
-        return n, eval_step(params, p(batch["sat"]), p(batch["grd"]), rng)
+        return batch, n, eval_step(params, *dev, rng)
 
     # warm-up: compile + first dispatch outside the timing window
-    for batch in loader:
-        _, (lat, _, _) = run_batch(batch, 0)
+    for batch0 in loader:
+        batch, _, (lat, _, _) = run_batch(prep(batch0), 0)
         np.asarray(lat)  # fence (device->host fetch; see CLAUDE.md)
         if cfg.visualize and cfg.direction == "S2GP":
             _visualize_batch(model, cfg, params, batch,
@@ -237,8 +246,8 @@ def evaluate(model, cfg: Config, params, args, split: str, save_path: str,
     gts = []
     t0 = time.time()
     n_images = 0
-    for i, batch in enumerate(loader):
-        n, (lat, lon, th) = run_batch(batch, i)
+    for i, placed in enumerate(step_lib.device_prefetch(loader, prep)):
+        batch, n, (lat, lon, th) = run_batch(placed, i)
         preds_lat.append(np.asarray(lat)[:n])
         preds_lon.append(np.asarray(lon)[:n])
         preds_th.append(np.asarray(th)[:n])
@@ -318,12 +327,18 @@ def train(model, cfg: Config, args, save_path: str):
         state = reset_for_epoch(state, cfg, epoch)
         loader = make_loaders(cfg, args, "train")
         print("batch_size:", cfg.batch_size, "num batches:", len(loader))
-        for loop, batch in enumerate(loader):
-            b = step_lib.shard_batch(mesh, {
+
+        def _place(batch):
+            # async shard_batch dispatch; device_prefetch keeps the next
+            # batch's H2D copy in flight under the current step (SURVEY P8)
+            return batch, step_lib.shard_batch(mesh, {
                 "sat": batch["sat"], "grd": batch["grd"],
                 "gt_pose": batch["gt_pose"],
                 **({"camera_k": batch["camera_k"]}
                    if cfg.direction == "G2SP" else {})})
+
+        for loop, (batch, b) in enumerate(
+                step_lib.device_prefetch(loader, _place)):
             rng = jax.random.fold_in(
                 jax.random.PRNGKey(args.seed), epoch * 100000 + loop)
             # device trace of steps 2-4 (steps 0/1 carry compiles; the

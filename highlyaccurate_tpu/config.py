@@ -88,6 +88,12 @@ class Config:
     # kernel instances in the program (which overflows this environment's
     # remote compile helper at level=3). Enable for very large batches.
     remat: int = 0
+    g2sp_restrict_grid: int = 1  # G2SP: drop satellite columns that can
+    #   never project into the ground image for any pose within 1.5x the
+    #   configured ranges (they contribute zero rows of J — see
+    #   geometry/kitti.py:g2sp_inview_col_start).  Numerically identical for
+    #   in-range poses; measured union keep ~82% of columns (grid study,
+    #   scripts/r4_g2sp_grid_study.py).  geo proj + implicit-LM paths only.
     use_banded_warp: int = 1  # Pallas banded line sampler in S2GP geo solver
     #   (1 = on TPU; 2 = force even off-TPU via interpret mode, tests only)
     use_implicit_lm: int = 1  # contract H/g from (out, dx, dy) + row-affine

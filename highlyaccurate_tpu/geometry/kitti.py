@@ -212,6 +212,70 @@ def warp_sat2real(satmap_sidelength: int):
     return np.stack([X, Y, Z, ones], axis=-1).astype(np.float32)
 
 
+def g2sp_inview_col_start(A: int, grd_H: int, grd_W: int,
+                          rotation_range: float,
+                          shift_range_lat: float, shift_range_lon: float,
+                          margin: float = 1.5, align: int = 8,
+                          fov_slack: float = 1.1) -> int:
+    """Westmost satellite column that can EVER project into the ground image.
+
+    The G2SP residual grid spans the full A x A satellite plane, but a sat
+    point only contributes to the LM normal equations when it projects in
+    front of the camera AND inside the ground image — otherwise its sampled
+    features and screen derivatives are zero, i.e. zero rows of J (reference
+    mask: /root/reference/models_kitti.py:123-125 + jacobian.py:168-172).
+    The camera sits near the patch center looking east; columns west of its
+    westmost in-range position are never visible, so dropping them changes
+    nothing numerically for any pose within ``margin`` x the training range
+    (margin covers transient LM overshoot — G2SP has no re-init/clamp).
+
+    Host-side numpy (model setup).  The bound is taken over a dense 5^3 pose
+    grid of the ``margin``-scaled box (measured: the extremum sits at box
+    corners; see scripts/r4_g2sp_grid_study.py), with the default K's FOV
+    widened by ``fov_slack`` to cover per-drive calibration variation, a
+    2-px bilinear-support slop, and alignment DOWN to a multiple of
+    ``align``.  Returns j0: use satellite columns [j0, A).
+
+    ``grd_H``/``grd_W`` are the LEVEL's feature-map size.  DEFAULT_CAMERA_K
+    is calibrated for the reference's 1024x256 network input
+    (models_kitti.py:657-660); the KITTI loader rescales the per-drive K to
+    the input size the same way (KITTI_dataset.py:84-100), so scaling the
+    default straight to the level size matches the runtime K the model sees
+    up to per-drive variation (covered by fov_slack).
+    """
+    import itertools as _it
+
+    k = DEFAULT_CAMERA_K.astype(np.float64).copy()
+    k[0, 0] /= fov_slack  # widen FOV: conservative for any real K
+    k[1, 1] /= fov_slack
+    k[0, :] *= grd_W / 1024.0
+    k[1, :] *= grd_H / 256.0
+    XYZ1 = warp_sat2real(A).astype(np.float64)  # [A(i), A(j), 4]
+    rot_scale = rotation_range / 180.0 * np.pi
+
+    vals = np.array([-margin, -margin / 2, 0.0, margin / 2, margin])
+    jmin = A
+    for su, sv, th in _it.product(vals, repeat=3):
+        heading = -th * rot_scale  # G2SP rotates by -heading (g2sp_P)
+        cos, sin = np.cos(heading), np.sin(heading)
+        R = np.array([[cos, 0.0, -sin], [0.0, 1.0, 0.0], [sin, 0.0, cos]])
+        T = np.array([[sv * shift_range_lat], [geo.CAMERA_HEIGHT],
+                      [-su * shift_range_lon]])
+        P = k @ np.concatenate([R, T], axis=1)  # [3, 4]
+        uv1 = XYZ1 @ P.T  # [A, A, 3]
+        front = uv1[..., 2] > 1e-6
+        den = np.maximum(uv1[..., 2], 1e-6)
+        u, v = uv1[..., 0] / den, uv1[..., 1] / den
+        # 1-px slop on each side: the clamped-corner sampler has nonzero
+        # screen derivatives up to one pixel outside the image
+        inb = front & (u > -1) & (u < grd_W + 1) & (v > -1) & (v < grd_H + 1)
+        js = np.where(inb.any(axis=0))[0]
+        if len(js):
+            jmin = min(jmin, int(js.min()))
+    j0 = max(jmin - 2, 0)
+    return (j0 // align) * align
+
+
 def g2sp_P(pose, camera_k, grd_H: int, grd_W: int, ori_grdH: int,
            ori_grdW: int, rotation_range: float, shift_range_lat: float,
            shift_range_lon: float):

@@ -102,9 +102,10 @@ class Localizer:
         self._jnp = jnp
         self._jax = jax
         # raw GN covariance is optimistic when residuals correlate (PERF.md
-        # round-3 calibration study) — cov_scale is the user's empirical
-        # multiplier, calibrated on validation data (e.g. mean z^2 / 3)
+        # round-3 calibration study) — cov_scale is the empirical
+        # multiplier; fit it with calibrate() or pass a known value
         self.cov_scale = float(cov_scale)
+        self._calibrated = self.cov_scale != 1.0
         self._ford_side_m = ford_side_m
         self._g2sp = g2sp
         self._camera_k = None
@@ -263,9 +264,86 @@ class Localizer:
         out = _batched_predict(run, sat_imgs, grd_imgs, [self.batch_size],
                                ranges, extras, with_cov=return_cov)
         if return_cov:
+            if not self._calibrated:
+                import warnings
+                warnings.warn(
+                    "Localizer covariance is UNCALIBRATED (cov_scale=1.0): "
+                    "the raw Gauss-Newton covariance ranks uncertainty but "
+                    "is strongly optimistic in scale (measured ~5000x on "
+                    "synthetic tracking, PERF.md round 3). Fit the scale "
+                    "with Localizer.calibrate(validation_batches) or pass "
+                    "cov_scale= before fusing 'cov' in a filter.",
+                    stacklevel=2)
             out["cov"] = _cov_to_metric(out["cov"], ford,
                                         ranges) * self.cov_scale
         return out
+
+    def calibrate(self, batches, dof_mask=None) -> float:
+        """Fit ``cov_scale`` on validation data and store it.
+
+        The solver's raw Gauss-Newton covariance ranks per-image
+        uncertainty well but its SCALE is optimistic when residuals
+        correlate (neighboring feature-map pixels are not independent
+        measurements).  This fits the single scalar that makes the
+        Mahalanobis statistic consistent — ``scale = mean(z^2) / dof``
+        with ``z^2 = err^T C_raw^{-1} err`` — the exact recipe of the
+        round-3 study (scripts/r3_cov_calibration.py), now an API.
+
+        ``batches``: iterable of dicts with ``sat`` [N, A, A, 3], ``grd``
+        [N, H, W, 3] and ``gt_pose`` [N, 3] metric
+        (lateral_m, longitudinal_m, heading_deg); optional ``R_FL`` /
+        ``T_FL`` / ``camera_k`` / ``init_pose`` forward to :meth:`predict`
+        (pass ``init_pose`` near GT to calibrate the tracking regime — the
+        regime a filter consumer actually operates in).
+
+        ``dof_mask``: optional length-3 bool for frozen DoFs (a zero
+        range already auto-freezes — rows/cols of the raw covariance are
+        zero there and are excluded from z^2 automatically).
+
+        Sets and returns ``self.cov_scale``; subsequent
+        ``predict(return_cov=True)`` and :meth:`export` artifacts use the
+        stored scale (an exported consumer reads it from meta.json).
+        """
+        errs, covs = [], []
+        prev = self.cov_scale
+        prev_cal = self._calibrated
+        self.cov_scale = 1.0  # raw covariance during the fit
+        self._calibrated = True  # no uncalibrated-warning inside the fit
+        try:
+            for b in batches:
+                kw = {k: b[k] for k in ("R_FL", "T_FL", "camera_k",
+                                        "init_pose") if k in b}
+                out = self.predict(b["sat"], b["grd"], return_cov=True,
+                                   **kw)
+                gt = np.asarray(b["gt_pose"], np.float64)
+                pred = np.stack([out["lateral_m"], out["longitudinal_m"],
+                                 out["heading_deg"]], -1)
+                errs.append(pred.astype(np.float64) - gt)
+                covs.append(np.asarray(out["cov"], np.float64))
+        finally:
+            self.cov_scale = prev
+            self._calibrated = prev_cal
+        if not errs:
+            raise ValueError("calibrate() got an empty batch iterable")
+        e = np.concatenate(errs)
+        C = np.concatenate(covs)
+        z2_sum, dof_sum = 0.0, 0
+        for ee, cc in zip(e, C):
+            free = np.diagonal(cc) > 0  # frozen DoFs have zero rows/cols
+            if dof_mask is not None:
+                free = free & np.asarray(dof_mask, bool)
+            if not free.any():
+                continue
+            cf = cc[np.ix_(free, free)]
+            ef = ee[free]
+            z2_sum += float(ef @ np.linalg.solve(cf, ef))
+            dof_sum += int(free.sum())
+        if dof_sum == 0:
+            raise ValueError("calibrate(): every DoF is frozen — nothing "
+                             "to fit (all covariance diagonals are zero)")
+        self.cov_scale = z2_sum / dof_sum
+        self._calibrated = True
+        return self.cov_scale
 
     def export(self, path: str, platforms=None, batch_sizes=None,
                warm_start: bool = False, return_cov: bool = False) -> None:

@@ -66,6 +66,23 @@ class LMG2SP(nn.Module):
         }[cfg.level]
         self.meters_per_pixel = [
             geo.get_meter_per_pixel() * (2 ** (3 - lvl)) for lvl in range(4)]
+        # static residual-grid restriction: satellite columns west of the
+        # camera's westmost in-range position never project into the ground
+        # image — zero rows of J for any pose within 1.5x the ranges
+        # (host-side union bound, geometry/kitti.py:g2sp_inview_col_start;
+        # measured keep ~82% of columns under reference ranges).
+        col_start = {}  # built locally then assigned once (flax freezes)
+        for lvl in range(4):
+            A = cfg.sat_size // (2 ** (3 - lvl))
+            if cfg.g2sp_restrict_grid and cfg.proj == "geo":
+                col_start[A] = geom.g2sp_inview_col_start(
+                    A, cfg.grd_h // (2 ** (3 - lvl)),
+                    cfg.grd_w // (2 ** (3 - lvl)),
+                    cfg.rotation_range, cfg.shift_range_lat,
+                    cfg.shift_range_lon)
+            else:
+                col_start[A] = 0
+        self._col_start = col_start
 
     def _project_grd_to_map(self, grd_feat, grd_conf, pose, camera_k, A: int,
                             with_jac: bool = True):
@@ -108,28 +125,29 @@ class LMG2SP(nn.Module):
             make_projline_sampler, pack_projline_coefs)
         cfg = self.cfg
         Hg, Wg, C = grd_feat.shape[1:]
-        XYZ1 = jnp.asarray(self._xyz1[A])                 # [A, A, 4]
+        j0 = self._col_start[A]  # static column restriction (see setup)
+        XYZ1 = jnp.asarray(self._xyz1[A][:, j0:])         # [A, A-j0, 4]
         P = geom.g2sp_P(pose, camera_k, Hg, Wg, cfg.grd_h, cfg.grd_w,
                         cfg.rotation_range, cfg.shift_range_lat,
                         cfg.shift_range_lon)
 
         # rows = sat columns j (constant depth at heading 0); u = sat row i
-        X0 = XYZ1[0]                                      # [A(j), 4]
-        dX = XYZ1[1] - XYZ1[0]                            # [A(j), 4]
-        h0 = jnp.einsum("bik,jk->bji", P, X0)             # [B, A(j), 3]
+        X0 = XYZ1[0]                                      # [A-j0(j), 4]
+        dX = XYZ1[1] - XYZ1[0]                            # [A-j0(j), 4]
+        h0 = jnp.einsum("bik,jk->bji", P, X0)             # [B, A-j0(j), 3]
         dh = jnp.einsum("bik,jk->bji", P, dX)
         coefs = pack_projline_coefs(h0, dh, Hg, Wg, Hg, A)
 
-        key_ = ("projline", Hg, Wg, C, A, diff)
+        key_ = ("projline", Hg, Wg, C, A, j0, diff)
         sampler = _BANDED_CACHE.get(key_)
         if sampler is None:
             sampler = make_projline_sampler(
-                AY=Hg, AX=Wg, C=C, V=A, W=A,
+                AY=Hg, AX=Wg, C=C, V=A - j0, W=A,
                 interpret=jax.default_backend() != "tpu",
                 differentiable=diff)
             _BANDED_CACHE[key_] = sampler
-        out, dx, dy = sampler(grd_feat, coefs)            # [B, j, i, C]
-        tr = lambda t: jnp.transpose(t, (0, 2, 1, 3))     # -> [B, i, j, C]
+        out, dx, dy = sampler(grd_feat, coefs)            # [B, j', i, C]
+        tr = lambda t: jnp.transpose(t, (0, 2, 1, 3))     # -> [B, i, j', C]
 
         # per-pixel duv (quotient rule) — same as the gather path's
         _, duv, _ = geom.g2sp_uv_jac(
@@ -173,10 +191,11 @@ class LMG2SP(nn.Module):
             from highlyaccurate_tpu.ops.pallas.banded_warp import \
                 projline_supported
             if banded and projline_supported(Hg, Wg, Cg):
+                j0 = self._col_start[A]
                 g_proj, dx, dy, duv = self._project_grd_banded(
                     grd_feats[lvl], p, camera_k, A, diff=(mode == "train"))
                 new_p = lm_update_implicit_pixel(
-                    p, g_proj, dx, dy, sat_feats[lvl], duv,
+                    p, g_proj, dx, dy, sat_feats[lvl][:, :, j0:], duv,
                     self.damping, lm_cfg)
                 return new_p, g_proj
             if (cfg.Optimizer == "LM" and cfg.use_implicit_lm
@@ -189,14 +208,17 @@ class LMG2SP(nn.Module):
                     uv, duv, _ = geom.inplane_uv_jac(
                         p, A, cfg.rotation_range, cfg.shift_range_lat,
                         cfg.shift_range_lon)
+                    sat_t = sat_feats[lvl]
                 else:
+                    j0 = self._col_start[A]  # zero-J columns dropped
                     uv, duv, _ = geom.g2sp_uv_jac(
-                        p, jnp.asarray(self._xyz1[A]), camera_k, Hg, Wg,
-                        cfg.grd_h, cfg.grd_w, cfg.rotation_range,
+                        p, jnp.asarray(self._xyz1[A][:, j0:]), camera_k,
+                        Hg, Wg, cfg.grd_h, cfg.grd_w, cfg.rotation_range,
                         cfg.shift_range_lat, cfg.shift_range_lon)
+                    sat_t = sat_feats[lvl][:, :, j0:]
                 out, dx, dy = grid_sample_derivs(grd_feats[lvl], uv)
                 new_p = lm_update_implicit_pixel(
-                    p, out, dx, dy, sat_feats[lvl], duv, self.damping,
+                    p, out, dx, dy, sat_t, duv, self.damping,
                     lm_cfg)
                 return new_p, out
             g_proj, c_proj, jac, _m = self._project_grd_to_map(

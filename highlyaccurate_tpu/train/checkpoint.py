@@ -63,6 +63,15 @@ def save_params(save_path: str, name: str, params: Any,
     blocks the train loop, reference train_kitti.py:409-414).  Pending
     writes are fenced by ``wait_for_async_saves``; saves to the SAME name
     are serialized here so an overwrite can never race its predecessor.
+
+    Multi-host contract (jax.distributed): this is a COLLECTIVE call —
+    every process must call it with the same path (the natural SPMD train
+    loop already does).  Orbax synchronizes the processes internally and
+    only the primary host writes array data, so two hosts never race on
+    one directory; gating the call to one process instead DEADLOCKS or
+    trips orbax's '_Checkpointer:save_start' barrier-name check.  On
+    return the write is globally complete (sync path) or snapshot-complete
+    (async path).  Exercised by tests/test_multiprocess.py.
     """
     path = os.path.abspath(os.path.join(save_path, name))
     params = jax.device_get(params)
@@ -116,7 +125,7 @@ def save_train_state(save_path: str, name: str, state,
 
     The reference never checkpoints optimizer state (SURVEY.md §5.4) — this
     is the fix path used with ``keep_optimizer_state=1``.  ``async_save``
-    as in :func:`save_params`.
+    and the multi-host collective-call contract as in :func:`save_params`.
     """
     payload = {
         "params": jax.device_get(state.params),

@@ -53,6 +53,19 @@ def global_batch_from_host_shards(mesh, host_batch: dict):
     return out
 
 
+def barrier(name: str = "barrier") -> None:
+    """Block until every process reaches this point (no-op single-process).
+
+    Needed between a checkpoint save (process 0 writes — see
+    checkpoint.save_params's multi-host contract) and a restore on any
+    other process reading the same path off the shared filesystem.
+    """
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
 def local_batch_slice(global_batch_size: int) -> int:
     """Per-host batch size for the current process."""
     import jax

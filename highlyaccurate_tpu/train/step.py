@@ -77,6 +77,27 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
+def device_prefetch(batches, place, depth: int = 2):
+    """Double-buffered host->device pipeline (SURVEY.md §2.2 P8).
+
+    ``place`` maps a host batch to device-resident arrays (shard_batch /
+    device_put — both ASYNC: they enqueue the DMA and return immediately).
+    Keeping ``depth`` placed batches in flight means batch N+1's host->device
+    copy overlaps batch N's compute instead of sitting on the step critical
+    path (the reference has no analogue: torch DataLoader workers end at
+    pinned host memory and ``.to(device)`` runs synchronously inside the
+    loop, train_kitti.py:347).
+    """
+    import collections
+    q = collections.deque()
+    for b in batches:
+        q.append(place(b))
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def make_train_step(model, cfg: Config, mesh: Optional[Mesh] = None,
                     ford_side_m: Optional[float] = None,
                     freeze_backbones: bool = False):

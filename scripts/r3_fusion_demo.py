@@ -31,11 +31,10 @@ except ImportError:
     from r3_cov_calibration import load_params
     from r3_tracking_study import B, make_seq_generator
 
-COV_SCALE = 5047.0        # from scripts/r3_cov_calibration.py (held-out
-#                           mean z^2 3.00 with this single scalar)
 DRIFT = 0.1               # GT random-walk per frame (normalized)
 ODO_SIGMA = 0.03          # odometry noise per frame (normalized)
 FRAMES = 64
+CAL_BATCHES = 6           # validation batches for Localizer.calibrate()
 
 
 def main():
@@ -52,6 +51,31 @@ def main():
             {"params": p}, sat, grd, mode="test", init_pose=init,
             with_info=True, rngs={"lm": key})
         return jnp.stack([lon, lat, th], -1), cov   # pose order
+
+    # calibrate the covariance scale with the API (round-4: replaces the
+    # hand-entered scalar from scripts/r3_cov_calibration.py) — fit in the
+    # regime the EKF operates in: warm-started near GT at this N_iters
+    from highlyaccurate_tpu.inference import Localizer
+
+    def to_metric(p):  # normalized KITTI pose order -> metric API order
+        return np.stack([p[:, 1] * cfg.shift_range_lat,
+                         p[:, 0] * cfg.shift_range_lon,
+                         p[:, 2] * cfg.rotation_range], -1)
+
+    loc = Localizer(cfg2, params=params, batch_size=B)
+    cal = []
+    for i in range(CAL_BATCHES):
+        key = jax.random.fold_in(jax.random.PRNGKey(4242), i)
+        sat, grd, gtb = gen(key, jnp.zeros((B, 3)))
+        gtb = np.asarray(gtb)
+        init = (gtb + 0.05 * np.random.RandomState(100 + i)
+                .randn(B, 3)).astype(np.float32)
+        cal.append({"sat": np.asarray(sat), "grd": np.asarray(grd),
+                    "gt_pose": to_metric(gtb), "init_pose": to_metric(init)})
+    cov_scale = loc.calibrate(cal)
+    print(f"[calibrate] Localizer.calibrate() -> cov_scale "
+          f"{cov_scale:.0f} (stored on the instance; export() persists it)",
+          flush=True)
 
     # simulate the sequence (GT + frames + odometry)
     rng = np.random.RandomState(0)
@@ -79,7 +103,9 @@ def main():
         z, C = ev(params, sats[t], grds[t], jnp.asarray(x),
                   jax.random.PRNGKey(500 + t))
         z = np.asarray(z)
-        R = np.asarray(C) * COV_SCALE
+        # z^2 is invariant to the diagonal range scaling, so the scale fit
+        # on metric covariance applies unchanged to normalized covariance
+        R = np.asarray(C) * cov_scale
         # EKF update (H = I)
         for b in range(B):
             S = P[b] + R[b]

@@ -41,6 +41,9 @@ variables = model.init({"params": jax.random.PRNGKey(0),
                        jnp.asarray(sat[:1]), jnp.asarray(grd[:1]),
                        jnp.asarray(gt[:1]), mode="train")
 state = create_train_state(cfg, variables["params"])
+# host snapshot BEFORE the donated train step: replicate()'s device_put
+# aliases the source device-0 buffer, so donation deletes variables too
+host_params = jax.tree_util.tree_map(np.asarray, variables["params"])
 state = step_lib.replicate(mesh, state)
 ts = step_lib.make_train_step(model, cfg, mesh)
 state, metrics = ts(state, b["sat"], b["grd"], b["gt"], jax.random.PRNGKey(0))
@@ -59,3 +62,34 @@ if proc_id == 0:
     _, m1 = ts1(s1, jnp.asarray(sat), jnp.asarray(grd), jnp.asarray(gt),
                 jax.random.PRNGKey(0))
     print(f"SINGLELOSS {float(m1['loss']):.6f}", flush=True)
+
+# ---- multi-host checkpoint round-trip (SURVEY §5.4/P10) -------------------
+# save_params/save_train_state are COLLECTIVE on multi-host: every process
+# calls them; orbax syncs internally and the primary host writes.  Then
+# every process restores from the shared path and continues one step —
+# which must equal continuing from the in-memory state exactly.
+import tempfile
+
+from highlyaccurate_tpu.train.checkpoint import (load_train_state,
+                                                 save_params,
+                                                 save_train_state)
+from highlyaccurate_tpu.train.state import create_train_state as _cts
+
+save_dir = os.path.join(tempfile.gettempdir(), f"dist_ckpt_{port}")
+os.makedirs(save_dir, exist_ok=True)
+save_params(save_dir, "model_0", state.params)
+save_train_state(save_dir, "model_0", state)
+dist.barrier("ckpt-write")
+assert os.path.isdir(os.path.join(save_dir, "model_0")), \
+    "process 0 must have written the checkpoint before the barrier released"
+
+template = _cts(cfg, host_params)
+restored = load_train_state(save_dir, "model_0", template)
+r_state = step_lib.replicate(mesh, restored)
+
+_, m_mem = ts(state, b["sat"], b["grd"], b["gt"], jax.random.PRNGKey(1))
+_, m_res = ts(r_state, b["sat"], b["grd"], b["gt"], jax.random.PRNGKey(1))
+l_mem = float(np.asarray(m_mem["loss"].addressable_data(0)))
+l_res = float(np.asarray(m_res["loss"].addressable_data(0)))
+assert l_mem == l_res, (l_mem, l_res)   # bit-equal continuation
+print(f"CKPTLOSS {proc_id} {l_res:.9e}", flush=True)

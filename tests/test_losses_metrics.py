@@ -115,3 +115,45 @@ def test_denormalize():
     shifts, headings = denormalize(lat, lon, th, 20.0, 10.0, 10.0)
     np.testing.assert_allclose(shifts, [[10.0, 10.0], [-10.0, 0.0]])
     np.testing.assert_allclose(headings, [[1.0], [-10.0]])
+
+
+def test_acceptance_diff_script(tmp_path):
+    """scripts/acceptance_diff.py (docs/ACCEPTANCE.md gate): parses the
+    LAST epoch block of reference-format results files, passes on
+    self-diff, fails when the criterion metric drifts past the tolerance."""
+    import sys
+    sys.path.insert(0, "scripts")
+    try:
+        from acceptance_diff import main, parse_last_block
+    finally:
+        sys.path.pop(0)
+
+    def block(lat1, epoch):
+        return "\n".join([
+            "====================================",
+            f"       EPOCH: {epoch}",
+            "Time per image (second): 0.01",
+            "distance within 1 meters (pred, init): 10.0 1.0",
+            "------------------------",
+            f"lateral      within 1 meters (pred, init): {lat1} 5.0",
+            "longitudinal within 1 meters (pred, init): 20.0 5.0",
+            "------------------------",
+            "angle within 1 degrees (pred, init): 50.0 10.0",
+            "------------------------",
+            "lat within 1 & angle within 1 (pred, init): 9.0 0.5",
+            "====================================", ""])
+
+    ours = tmp_path / "ours.txt"
+    ref = tmp_path / "ref.txt"
+    # multi-epoch file: only the LAST block must be read (epoch 0 is junk)
+    ours.write_text(block(1.0, 0) + block(80.4, 1))
+    ref.write_text(block(80.0, 3))
+
+    m = parse_last_block(str(ours))
+    assert m["lateral_1m"] == 80.4 and m["angle_1deg"] == 50.0
+    assert m["lat1m_joint"] == 9.0 and m["time_per_image"] == 0.01
+
+    assert main([str(ours), str(ref)]) == 0            # +0.4 pt: PASS
+    ours.write_text(block(80.4, 0) + block(79.0, 1))
+    assert main([str(ours), str(ref)]) == 1            # -1.0 pt: FAIL
+    assert main([str(ours), str(ref), "--tol", "1.5"]) == 0

@@ -49,3 +49,12 @@ def test_two_process_data_parallel_matches_single():
     # replicated loss identical across hosts, and == single-process truth
     np.testing.assert_allclose(dist[0], dist[1], rtol=0, atol=0)
     np.testing.assert_allclose(dist[0], single, rtol=1e-6)
+
+    # multi-host checkpoint round-trip (SURVEY §5.4/P10): process-0-gated
+    # save, barrier, restore on BOTH hosts, one more step — the worker
+    # asserts restored == in-memory continuation bit-for-bit; here we
+    # assert both hosts took the step and agree exactly
+    ckpt = {int(m.group(1)): float(m.group(2))
+            for m in re.finditer(r"CKPTLOSS (\d) ([-+.\deE]+)", text)}
+    assert set(ckpt) == {0, 1}, text[-2000:]
+    np.testing.assert_allclose(ckpt[0], ckpt[1], rtol=0, atol=0)

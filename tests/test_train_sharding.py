@@ -181,3 +181,37 @@ def test_ford_sharded_train_step():
     # but the damping param did move
     assert not np.allclose(np.asarray(new_state.params["damping"]),
                            np.asarray(variables["params"]["damping"]))
+
+
+def test_device_prefetch_order_and_depth():
+    """device_prefetch (SURVEY P8) must preserve order, call place exactly
+    once per batch, keep at most `depth` placed batches in flight, and
+    place batch N+1 BEFORE yielding batch N (the overlap property)."""
+    from highlyaccurate_tpu.train.step import device_prefetch
+
+    placed, events = [], []
+
+    def place(b):
+        placed.append(b)
+        events.append(("place", b))
+        return b * 10
+
+    out = []
+    for y in device_prefetch(range(5), place, depth=2):
+        events.append(("yield", y // 10))
+        out.append(y)
+    assert out == [0, 10, 20, 30, 40]
+    assert placed == [0, 1, 2, 3, 4]
+    # batch 1 was placed before batch 0 was yielded (double buffering)
+    assert events.index(("place", 1)) < events.index(("yield", 0))
+    # never more than `depth` outstanding placements ahead of consumption
+    outstanding = 0
+    for kind, _ in events:
+        outstanding += 1 if kind == "place" else -1
+        assert outstanding <= 2
+
+    # short iterables (fewer than depth) still drain completely
+    placed.clear()
+    assert list(device_prefetch([7], place, depth=2)) == [70]
+    assert placed == [7]
+    assert list(device_prefetch([], place, depth=2)) == []
