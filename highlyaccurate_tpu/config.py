@@ -111,6 +111,12 @@ class Config:
     #   impact measured nil, scripts/r2_bf16_train_check.py; recall impact
     #   quantified in PERF.md).  Set 0 for strictly-fp32 banded training.
     #   Ignored by the gather path; implied when compute_dtype is bfloat16.
+    #   CAVEAT (round-4 finding, PERF.md "bf16 MXU matmuls"): 0 restores
+    #   fp32 MAP precision only — on TPU, Mosaic's default-precision f32
+    #   matmuls truncate the bilinear-weight operands to bf16 anyway (one
+    #   MXU pass; proven by an exactly-zero output delta vs explicit bf16
+    #   operands).  For true fp32 numerics use the gather path
+    #   (use_banded_warp=0), which is the reference-faithful route.
     keep_optimizer_state: int = 0  # fix for the reference's per-epoch Adam reset
     async_ckpt: int = 1  # epoch checkpoints write on orbax's background
     #   thread, overlapping the test1/test2 eval that follows each save
