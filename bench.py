@@ -329,11 +329,22 @@ def _env_s(name, default):
 
 
 def _load_cache():
+    """Cache entries are keyed "<metric>@<platform_class>" so a CPU-fallback
+    run (tunnel down) can never clobber previously measured TPU numbers —
+    exactly the r3 failure mode the watchdog fallback exists for. Legacy
+    flat keys are migrated using their recorded platform_class."""
     try:
         with open(CACHE_PATH) as f:
-            return json.load(f)
+            raw = json.load(f)
     except Exception:
         return {}
+    cache = {}
+    for k, v in raw.items():
+        if "@" in k or not isinstance(v, dict):
+            cache[k] = v
+        else:
+            cache[f"{k}@{v.get('platform_class', 'tpu')}"] = v
+    return cache
 
 
 def _save_cache(cache):
@@ -446,12 +457,19 @@ def parent_main():
     # child hangs on a stuck remote compile helper
     def _flush():
         if board.flagship is None:
-            c = cache.get("flagship")
-            if c and c.get("platform_class") == want_platform:
+            c = cache.get(f"flagship@{want_platform}")
+            if c:
                 board.flagship = (
                     c["value"],
                     f" [CACHED {c['when']} @ {c['commit']} — live flagship "
                     "run did not finish before the watchdog deadline]")
+            elif want_platform == "tpu" and cache.get("flagship@cpu"):
+                c = cache["flagship@cpu"]
+                board.flagship = (
+                    c["value"],
+                    f" [CACHED CPU-smoke {c['when']} @ {c['commit']} — "
+                    "live TPU flagship hung and no TPU cache exists; "
+                    "NOT a TPU number]")
         board.emit()
 
     watchdog = threading.Timer(flush_s, _flush)
@@ -463,7 +481,7 @@ def parent_main():
         board.flagship = (value, "")
         platform_class = "cpu" if info == "cpu" else "tpu"
         if platform_class == want_platform:
-            cache["flagship"] = {
+            cache[f"flagship@{platform_class}"] = {
                 "value": value, "platform_class": platform_class,
                 "commit": _git_commit(),
                 "when": time.strftime("%Y-%m-%d %H:%MZ", time.gmtime())}
@@ -488,7 +506,7 @@ def parent_main():
         value, info = _run_child(name, min(metric_timeout, left), env)
         if value is not None:
             board.extra[name] = value
-            cache[name] = {
+            cache[f"{name}@{want_platform}"] = {
                 "value": value, "platform_class": want_platform,
                 "commit": _git_commit(),
                 "when": time.strftime("%Y-%m-%d %H:%MZ", time.gmtime())}
