@@ -154,6 +154,40 @@ def _shear_row(read_chunk, sj, oy_f, r: int, *, RB: int, A: int, C: int,
                              jnp.zeros((A, C), jnp.float32))
 
 
+def _shear_rows4(read_chunk, sj, oy_f, *, RB: int, A: int, C: int,
+                 cfirst: bool, n_chunks=None):
+    """Extract all four sheared rows (r = 0..3) in ONE chunk scan.
+
+    Identical per-row accumulation order to four _shear_row calls (so the
+    result is bit-identical), but each chunk is read from VMEM and its row
+    iota built ONCE instead of four times — the chunk loads were ~40% of the
+    shear scan's data movement (round-4 VPU-bound finding, PERF.md)."""
+    tgt0 = sj - oy_f - 1.0  # target row for r = 0; r adds +r
+    if n_chunks is None:
+        n_chunks = RB // _SHEAR_CHUNK
+    shape = (C, A) if cfirst else (A, C)
+    init = tuple(jnp.zeros(shape, jnp.float32) for _ in range(4))
+
+    def chunk_body(ci, shs):
+        base = ci * _SHEAR_CHUNK
+        rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
+              .astype(jnp.float32) + base.astype(jnp.float32))
+        rel = rr - tgt0                                    # [chunk, A]
+        wchunk = read_chunk(base)            # [chunk, C, A] | [chunk, A, C]
+        outs = []
+        for r in range(4):
+            sel = (rel == float(r)).astype(jnp.float32)
+            if cfirst:
+                outs.append(shs[r] + jnp.sum(sel[:, None, :] * wchunk,
+                                             axis=0))
+            else:
+                outs.append(shs[r] + jnp.sum(sel[:, :, None] * wchunk,
+                                             axis=0))
+        return tuple(outs)
+
+    return jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
+
 _DN_CFIRST = (((1,), (1,)), ((), ()))  # [W, A] x [C, A] -> [W, C]
 
 
@@ -229,9 +263,10 @@ def _accumulate_rows(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
     acc_dy = jnp.zeros((W, C), jnp.float32)
     acc_dxy = jnp.zeros((W, C), jnp.float32) if dxy_ref is not None else None
 
+    shs = _shear_rows4(read_chunk, sj, oy_f, RB=RB, A=A, C=C,
+                       cfirst=cfirst, n_chunks=n_chunks)
     for r in range(4):
-        sh = _shear_row(read_chunk, sj, oy_f, r, RB=RB, A=A, C=C,
-                        cfirst=cfirst, n_chunks=n_chunks)
+        sh = shs[r]
         w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy, m, r)
 
         def contract(wmat):
@@ -453,9 +488,10 @@ def _accumulate_values_blocked(coef_ref, sat_ref, b, v, *, W: int, A: int,
                 return sat_ref[0, pl.ds(oy_b + base, _SHEAR_CHUNK),
                                col0:col0 + CBW]
 
+        shs = _shear_rows4(read_chunk, sj, oy_bf, RB=A, A=CBW, C=C,
+                           cfirst=cfirst, n_chunks=nck_b)
         for r in range(4):
-            sh = _shear_row(read_chunk, sj, oy_bf, r, RB=A, A=CBW, C=C,
-                            cfirst=cfirst, n_chunks=nck_b)
+            sh = shs[r]
             w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy, m, r)
 
             def contract(wmat):
@@ -481,9 +517,10 @@ def _accumulate_values(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
     acc_o = jnp.zeros((W, C), jnp.float32)
     acc_dx = jnp.zeros((W, C), jnp.float32)
     acc_dy = jnp.zeros((W, C), jnp.float32)
+    shs = _shear_rows4(read_chunk, sj, oy_f, RB=RB, A=A, C=C,
+                       cfirst=cfirst, n_chunks=n_chunks)
     for r in range(4):
-        sh = _shear_row(read_chunk, sj, oy_f, r, RB=RB, A=A, C=C,
-                        cfirst=cfirst, n_chunks=n_chunks)
+        sh = shs[r]
         w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
 
         def contract(wmat):
@@ -1173,9 +1210,10 @@ def _kernel_projline_blocked(coef_ref, map_ref, out_ref, dx_ref, dy_ref,
             acc_dx = jnp.zeros((W, C), jnp.float32)
             acc_dy = jnp.zeros((W, C), jnp.float32)
             acc_dxy = jnp.zeros((W, C), jnp.float32) if with_dxy else None
+            shs = _shear_rows4(read_chunk, sj, oy_f, RB=AY, A=CBW, C=C,
+                               cfirst=cfirst, n_chunks=nck_b)
             for r in range(4):
-                sh = _shear_row(read_chunk, sj, oy_f, r, RB=AY, A=CBW, C=C,
-                                cfirst=cfirst, n_chunks=nck_b)
+                sh = shs[r]
                 w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy,
                                                           m, r)
 

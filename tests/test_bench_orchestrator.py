@@ -111,5 +111,5 @@ def test_healthy_cpu_run_prints_flagship_then_final(tmp_path):
     assert lines[-1]["value"] > 0
     assert "FAILED" not in lines[-1]["metric"]
     saved = json.loads(cache.read_text())
-    assert saved["flagship"]["platform_class"] == "cpu"
-    assert saved["flagship"]["value"] == lines[-1]["value"]
+    assert saved["flagship@cpu"]["platform_class"] == "cpu"
+    assert saved["flagship@cpu"]["value"] == lines[-1]["value"]
