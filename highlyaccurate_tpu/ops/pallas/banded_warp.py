@@ -689,6 +689,7 @@ def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_ref,
         g_dy = gdy_ref[0, 0]
 
         dn_t = (((0,), (0,)), ((), ()))
+        Gs = []
         for r in range(4):
             w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
             if cfirst:
@@ -706,28 +707,42 @@ def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_ref,
                                            preferred_element_type=jnp.float32)
                      + jax.lax.dot_general(w_dy, g_dy, dimension_numbers=dn_t,
                                            preferred_element_type=jnp.float32))
-            # un-shear: ABSOLUTE map row (sj + r - 1) at column j gets G[:, j]
-            tgt = sj + (r - 1.0)
+            Gs.append(G)
+        # un-shear: ABSOLUTE map row (sj + r - 1) at column j gets Gs[r][:, j]
+        _unshear_scatter4(grad_ref, Gs, sj, c0, nck, A=A, CB=CB,
+                          cfirst=cfirst)
 
-            def chunk_body(ci, _):
-                base = (c0 + ci) * _SHEAR_CHUNK
 
-                @pl.when(base < A)
-                def _acc():
-                    rr = (jax.lax.broadcasted_iota(
-                        jnp.int32, (_SHEAR_CHUNK, CB), 0)
-                        .astype(jnp.float32) + base.astype(jnp.float32))
-                    sel = (rr == tgt).astype(jnp.float32)      # [chunk, CB]
-                    sl = pl.ds(base, _SHEAR_CHUNK)
-                    if cfirst:
-                        grad_ref[0, sl] = (grad_ref[0, sl]
-                                           + sel[:, None, :] * G[None])
-                    else:
-                        grad_ref[0, sl] = (grad_ref[0, sl]
-                                           + sel[:, :, None] * G[None])
-                return 0
+def _unshear_scatter4(grad_ref, Gs, sj, c0, nck, *, A: int, CB: int,
+                      cfirst: bool):
+    """Accumulate all four bilinear rows' G matrices into the VMEM-resident
+    gradient block in ONE chunk scan.
 
-            jax.lax.fori_loop(0, nck, chunk_body, 0)
+    The transpose of _shear_rows4: for column j, row r's contribution lands
+    on absolute map row sj[j] + r - 1, so the four rows have DISJOINT row
+    support per column — summing their one-hot scatters before the single
+    read-modify-write of grad_ref is exact, and the accumulator traffic +
+    row iota drop 4x (the same VPU finding that bought the forward ~20%,
+    PERF.md round 4)."""
+    def chunk_body(ci, _):
+        base = (c0 + ci) * _SHEAR_CHUNK
+
+        @pl.when(base < A)
+        def _acc():
+            rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, CB), 0)
+                  .astype(jnp.float32) + base.astype(jnp.float32))
+            drow = rr - sj                                     # [chunk, CB]
+            sl = pl.ds(base, _SHEAR_CHUNK)
+            if cfirst:
+                upd = sum((drow == float(r - 1)).astype(jnp.float32)
+                          [:, None, :] * Gs[r][None] for r in range(4))
+            else:
+                upd = sum((drow == float(r - 1)).astype(jnp.float32)
+                          [:, :, None] * Gs[r][None] for r in range(4))
+            grad_ref[0, sl] = grad_ref[0, sl] + upd
+        return 0
+
+    jax.lax.fori_loop(0, nck, chunk_body, 0)
 
 
 def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
@@ -1405,6 +1420,7 @@ def _bwd_kernel_projline(coef_ref, go_ref, gdx_ref, gdy_ref, grad_ref,
         g_dy = gdy_ref[0, 0]
 
         dn_t = (((0,), (0,)), ((), ()))
+        Gs = []
         for r in range(4):
             w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
             if cfirst:
@@ -1422,27 +1438,9 @@ def _bwd_kernel_projline(coef_ref, go_ref, gdx_ref, gdy_ref, grad_ref,
                                            preferred_element_type=jnp.float32)
                      + jax.lax.dot_general(w_dy, g_dy, dimension_numbers=dn_t,
                                            preferred_element_type=jnp.float32))
-            tgt = sj + (r - 1.0)
-
-            def chunk_body(ci, _):
-                base = (c0 + ci) * _SHEAR_CHUNK
-
-                @pl.when(base < AY)
-                def _acc():
-                    rr = (jax.lax.broadcasted_iota(
-                        jnp.int32, (_SHEAR_CHUNK, CB), 0)
-                        .astype(jnp.float32) + base.astype(jnp.float32))
-                    sel = (rr == tgt).astype(jnp.float32)      # [chunk, CB]
-                    sl = pl.ds(base, _SHEAR_CHUNK)
-                    if cfirst:
-                        grad_ref[0, sl] = (grad_ref[0, sl]
-                                           + sel[:, None, :] * G[None])
-                    else:
-                        grad_ref[0, sl] = (grad_ref[0, sl]
-                                           + sel[:, :, None] * G[None])
-                return 0
-
-            jax.lax.fori_loop(0, nck, chunk_body, 0)
+            Gs.append(G)
+        _unshear_scatter4(grad_ref, Gs, sj, c0, nck, A=AY, CB=CB,
+                          cfirst=cfirst)
 
 
 def _bwd_col_blocks_rect(AY: int, AX: int, C: int, cfirst: bool,
