@@ -36,6 +36,7 @@ from highlyaccurate_tpu.ops.grid_sample import grid_sample, grid_sample_derivs
 from highlyaccurate_tpu.solver.updates import (LMConfig, lm_information,
                                                lm_update,
                                                lm_update_implicit_pixel,
+                                               lm_update_pixel_moments,
                                                pose_covariance)
 from highlyaccurate_tpu.utils import geo
 
@@ -155,6 +156,48 @@ class LMG2SP(nn.Module):
             cfg.rotation_range, cfg.shift_range_lat, cfg.shift_range_lon)
         return tr(out), tr(dx), tr(dy), duv
 
+    def _project_grd_banded_pixmom(self, grd_feat, sat_line, pose, camera_k,
+                                   A: int):
+        """Fused pixel-moments projective-line projection (G2SP EVAL fast
+        path, round-4 lever): ONE kernel pass emits the five per-pixel
+        channel moments of the residual against ``sat_line`` ([B, j', i, C]
+        satellite rows pre-transposed to kernel line order), so the
+        [B, A, A, C]x3 sampled fields never exist in HBM
+        (ops/pallas/banded_warp.py:make_projline_pixmom).  Returns
+        (pm [B, i, j', 16], duv [B, i, j', 2, 3]) for
+        ``lm_update_pixel_moments`` — numerics identical to the
+        _project_grd_banded + lm_update_implicit_pixel pair up to fp32
+        contraction order."""
+        from highlyaccurate_tpu.models.lm_s2gp import _BANDED_CACHE
+        from highlyaccurate_tpu.ops.pallas.banded_warp import (
+            make_projline_pixmom, pack_projline_coefs)
+        cfg = self.cfg
+        Hg, Wg, C = grd_feat.shape[1:]
+        j0 = self._col_start[A]
+        XYZ1 = jnp.asarray(self._xyz1[A][:, j0:])         # [A, A-j0, 4]
+        P = geom.g2sp_P(pose, camera_k, Hg, Wg, cfg.grd_h, cfg.grd_w,
+                        cfg.rotation_range, cfg.shift_range_lat,
+                        cfg.shift_range_lon)
+        X0 = XYZ1[0]
+        dX = XYZ1[1] - XYZ1[0]
+        h0 = jnp.einsum("bik,jk->bji", P, X0)             # [B, A-j0(j), 3]
+        dh = jnp.einsum("bik,jk->bji", P, dX)
+        coefs = pack_projline_coefs(h0, dh, Hg, Wg, Hg, A)
+
+        key_ = ("pixmom", Hg, Wg, C, A, j0)
+        sampler = _BANDED_CACHE.get(key_)
+        if sampler is None:
+            sampler = make_projline_pixmom(
+                AY=Hg, AX=Wg, C=C, V=A - j0, W=A,
+                interpret=jax.default_backend() != "tpu")
+            _BANDED_CACHE[key_] = sampler
+        pm = sampler(grd_feat, sat_line, coefs)           # [B, j', i, 16]
+
+        _, duv, _ = geom.g2sp_uv_jac(
+            pose, XYZ1, camera_k, Hg, Wg, cfg.grd_h, cfg.grd_w,
+            cfg.rotation_range, cfg.shift_range_lat, cfg.shift_range_lon)
+        return jnp.transpose(pm, (0, 2, 1, 3)), duv
+
     def _make_level_round(self, sat_feats, grd_feats, grd_confs, camera_k,
                           mode: str, collect_aux: bool):
         """Build the per-(level) solver round over precomputed feature
@@ -184,6 +227,14 @@ class LMG2SP(nn.Module):
                   and bool(cfg.banded_bf16_map) and not collect_aux
                   and (jax.default_backend() == "tpu"
                        or cfg.use_banded_warp >= 2))
+        # eval fused pixel-moments path: satellite target rows in kernel
+        # line order, transposed ONCE per level (outside the iteration scan)
+        fused = banded and mode != "train" and bool(cfg.use_fused_moments)
+        sat_lines = None
+        if fused:
+            sat_lines = [
+                jnp.transpose(f[:, :, self._col_start[f.shape[1]]:],
+                              (0, 2, 1, 3)) for f in sat_feats]
 
         def level_round(p, lvl):
             A = sat_feats[lvl].shape[1]
@@ -191,6 +242,12 @@ class LMG2SP(nn.Module):
             from highlyaccurate_tpu.ops.pallas.banded_warp import \
                 projline_supported
             if banded and projline_supported(Hg, Wg, Cg):
+                if fused:
+                    pm, duv = self._project_grd_banded_pixmom(
+                        grd_feats[lvl], sat_lines[lvl], p, camera_k, A)
+                    new_p = lm_update_pixel_moments(p, pm, duv,
+                                                    self.damping, lm_cfg)
+                    return new_p, None
                 j0 = self._col_start[A]
                 g_proj, dx, dy, duv = self._project_grd_banded(
                     grd_feats[lvl], p, camera_k, A, diff=(mode == "train"))

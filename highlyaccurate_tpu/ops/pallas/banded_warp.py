@@ -292,6 +292,9 @@ def _accumulate_rows(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
 # fused-moment vector layout (lane indices into the kernel's 16-lane output)
 MOM_IDX = dict(ss=0, gg=1, sxx=2, sxy=3, syy=4, dxs=5, dys=6, dxg=7, dyg=8)
 _MOM_LANES = 16
+# per-pixel channel moments of the G2SP unnormalized residual r = out - tgt
+# (lm_update_pixel_moments lanes; see make_projline_pixmom)
+PIXMOM_IDX = dict(sxx=0, sxy=1, syy=2, rx=3, ry=4)
 
 
 def _moments_from_rows(acc_o, acc_dx, acc_dy, grd, mrow, *, W: int):
@@ -1139,6 +1142,35 @@ def _kernel_projline_blocked(coef_ref, map_ref, out_ref, dx_ref, dy_ref,
     dxy_ref = rest[0] if with_dxy else None
     b = pl.program_id(0)
     v = pl.program_id(1)
+    out_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+    dx_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+    dy_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+    if with_dxy:
+        dxy_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+
+    def writer(acc_o, acc_dx, acc_dy, acc_dxy):
+        out_ref[0, 0] += acc_o
+        dx_ref[0, 0] += acc_dx
+        dy_ref[0, 0] += acc_dy
+        if with_dxy:
+            dxy_ref[0, 0] += acc_dxy
+
+    _projline_blocked_scan(coef_ref, map_ref, b, v, writer, W=W, AY=AY,
+                           AX=AX, C=C, CBW=CBW, cfirst=cfirst,
+                           with_dxy=with_dxy)
+
+
+def _projline_blocked_scan(coef_ref, map_ref, b, v, writer, *, W: int,
+                           AY: int, AX: int, C: int, CBW: int, cfirst: bool,
+                           with_dxy: bool):
+    """Shared column-blocked projective-line accumulation.
+
+    Computes each hit block's (value, d/dx, d/dy[, d2/dxdy]) contribution
+    ([W, C] registers) and hands it to ``writer(acc_o, acc_dx, acc_dy,
+    acc_dxy)`` under the block's pl.when — the forward kernel accumulates
+    into its VMEM-resident output blocks, the fused pixel-moments kernel
+    into VMEM scratch (registers cannot cross pl.when, so skipped blocks
+    cost only the window math)."""
     nx0 = _cread_pl(coef_ref, b, v, 0)
     dnx = _cread_pl(coef_ref, b, v, 1)
     ny0 = _cread_pl(coef_ref, b, v, 2)
@@ -1166,12 +1198,6 @@ def _kernel_projline_blocked(coef_ref, map_ref, out_ref, dx_ref, dy_ref,
     quirk = ((x0f < AX - 1) & (y0f < AY - 1)).astype(jnp.float32)
     m = mask.astype(jnp.float32) * quirk
     x0b = x0f[:, None]
-
-    out_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
-    dx_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
-    dy_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
-    if with_dxy:
-        dxy_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
 
     max_ck = AY // _SHEAR_CHUNK
     for jb in range(AX // CBW):
@@ -1245,11 +1271,7 @@ def _kernel_projline_blocked(coef_ref, map_ref, out_ref, dx_ref, dy_ref,
                 acc_dy = acc_dy + contract(w_dy)
                 if with_dxy:
                     acc_dxy = acc_dxy + contract(w_dxy)
-            out_ref[0, 0] += acc_o
-            dx_ref[0, 0] += acc_dx
-            dy_ref[0, 0] += acc_dy
-            if with_dxy:
-                dxy_ref[0, 0] += acc_dxy
+            writer(acc_o, acc_dx, acc_dy, acc_dxy)
 
 
 def pack_projline_coefs(h0, dh, AY: int, AX: int, RB: int, W: int):
@@ -1611,3 +1633,152 @@ def make_projline_sampler(AY: int, AX: int, C: int, V: int, W: int,
         return sample(img.astype(jnp.float32), coefs.astype(jnp.float32))
 
     return sample_pub
+
+
+def _pixmom_from_accs(acc_o, acc_dx, acc_dy, tgt, *, W: int):
+    """The five per-pixel channel moments of the G2SP residual.
+
+    acc_o/acc_dx/acc_dy: [W, C] sampled value + screen derivatives;
+    tgt: [W, C] target (satellite) feature row.  Returns [W, _MOM_LANES]
+    f32 in PIXMOM_IDX lane order (sxx, sxy, syy, rx, ry; rest zero) —
+    everything ``lm_update_pixel_moments`` needs, with the [W, C]x3 kernel
+    outputs never reaching HBM.  Out-of-view pixels carry zero dx/dy, so
+    every lane is implicitly masked (same as lm_update_implicit_pixel)."""
+    r = acc_o - tgt.astype(jnp.float32)
+    cols = [
+        jnp.sum(acc_dx * acc_dx, -1, keepdims=True),   # sxx
+        jnp.sum(acc_dx * acc_dy, -1, keepdims=True),   # sxy
+        jnp.sum(acc_dy * acc_dy, -1, keepdims=True),   # syy
+        jnp.sum(acc_dx * r, -1, keepdims=True),        # rx
+        jnp.sum(acc_dy * r, -1, keepdims=True),        # ry
+    ]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W, _MOM_LANES), 1)
+    P = jnp.zeros((W, _MOM_LANES), jnp.float32)
+    for i, c in enumerate(cols):
+        P = P + c * (lane == i).astype(jnp.float32)
+    return P
+
+
+def _kernel_projline_pixmom_fullmap(coef_ref, map_ref, tgt_ref, pm_ref,
+                                    *, RB: int, W: int, AY: int, AX: int,
+                                    C: int, cfirst: bool):
+    """Full-map fused pixel-moments projective-line forward (eval-only)."""
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+    oy_f = _cread_pl(coef_ref, b, v, 7)
+    oy = oy_f.astype(jnp.int32)
+    wx, dwx, rel, fy, sj, m, _ = _weights_projline(coef_ref, b, v, W=W,
+                                                   AY=AY, AX=AX)
+    nck = _cread_pl(coef_ref, b, v, 8).astype(jnp.int32)
+
+    def read_chunk(base):
+        return map_ref[0, pl.ds(oy + base, _SHEAR_CHUNK)]
+
+    acc = _accumulate_values(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
+                             RB=RB, W=W, A=AX, C=C, cfirst=cfirst,
+                             n_chunks=nck)
+    pm_ref[0, 0] = _pixmom_from_accs(*acc, tgt_ref[0, 0], W=W)
+
+
+def _kernel_projline_pixmom_blocked(coef_ref, map_ref, tgt_ref, pm_ref,
+                                    scr_o, scr_dx, scr_dy, *, W: int,
+                                    AY: int, AX: int, C: int, CBW: int,
+                                    cfirst: bool):
+    """Column-blocked fused pixel-moments projective-line forward.
+
+    Identical block scan to _kernel_projline_blocked (x-span block skip +
+    per-block y-windows), but the (value, d/dx, d/dy) accumulate into VMEM
+    scratch and only the [W, 16] moment lanes are written — the [W, C]x3
+    outputs and the separate lm_update contraction pass never touch HBM."""
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+    scr_o[...] = jnp.zeros((W, C), jnp.float32)
+    scr_dx[...] = jnp.zeros((W, C), jnp.float32)
+    scr_dy[...] = jnp.zeros((W, C), jnp.float32)
+
+    def writer(acc_o, acc_dx, acc_dy, _):
+        scr_o[...] += acc_o
+        scr_dx[...] += acc_dx
+        scr_dy[...] += acc_dy
+
+    _projline_blocked_scan(coef_ref, map_ref, b, v, writer, W=W, AY=AY,
+                           AX=AX, C=C, CBW=CBW, cfirst=cfirst,
+                           with_dxy=False)
+    pm_ref[0, 0] = _pixmom_from_accs(scr_o[...], scr_dx[...], scr_dy[...],
+                                     tgt_ref[0, 0], W=W)
+
+
+def _raw_projline_pixmom(AY: int, AX: int, C: int, V: int, W: int,
+                         cfirst: bool, interpret: bool, blocked: bool):
+    """fn(img_kernel_layout bf16, tgt [B, V, W, C], coefs_flat)
+    -> pm [B, V, W, _MOM_LANES] f32 (PIXMOM_IDX lanes)."""
+    RB = AY
+    map_shape = (AY, C, AX) if cfirst else (AY, AX, C)
+    CBW = 128
+    use_blocked = blocked and AX % CBW == 0
+    if use_blocked:
+        kernel = functools.partial(_kernel_projline_pixmom_blocked, W=W,
+                                   AY=AY, AX=AX, C=C, CBW=CBW, cfirst=cfirst)
+        scratch = [pltpu.VMEM((W, C), jnp.float32)] * 3
+    else:
+        kernel = functools.partial(_kernel_projline_pixmom_fullmap, RB=RB,
+                                   W=W, AY=AY, AX=AX, C=C, cfirst=cfirst)
+        scratch = []
+
+    def build(B: int):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, V),
+            in_specs=[
+                pl.BlockSpec((1,) + map_shape, lambda b, v, c: (b, 0, 0, 0),
+                             pipeline_mode=pl.Buffered(buffer_count=1),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, W, C), lambda b, v, c: (b, v, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, W, _MOM_LANES),
+                                   lambda b, v, c: (b, v, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, V, W, _MOM_LANES),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )
+
+    def fwd(img_k, tgt, coefs_flat):
+        return build(img_k.shape[0])(coefs_flat, img_k, tgt)
+
+    return fwd
+
+
+def make_projline_pixmom(AY: int, AX: int, C: int, V: int, W: int,
+                         interpret: bool = False, blocked: bool = True):
+    """Build fn(img [B, AY, AX, C], tgt [B, V, W, C], coefs
+    [B, V, _NCOEF_PL]) -> pm [B, V, W, 16] (PIXMOM_IDX lanes).
+
+    Fused pixel-moments variant of make_projline_sampler (G2SP EVAL fast
+    path): the same projective-line bilinear sampling, but the per-pixel
+    channel contractions of ``lm_update_implicit_pixel``
+    (solver/updates.py:441 — sxx/sxy/syy and dx.r/dy.r with
+    r = out - tgt) happen inside the kernel, so the [B, V, W, C]x3
+    (out, dx, dy) fields never exist in HBM and the separate moments pass
+    disappears.  Feed the result to ``lm_update_pixel_moments``.
+    Eval-only: non-differentiable (training keeps the differentiable
+    sampler and its custom VJP)."""
+    assert AY % _SHEAR_CHUNK == 0
+    cfirst = (C % 128 != 0) and (AX % 128 == 0)
+    assert AY * AX * C * 2 <= _FULLMAP_VMEM_BUDGET, "map too large for VMEM"
+    raw = _raw_projline_pixmom(AY, AX, C, V, W, cfirst, interpret, blocked)
+
+    def pixmom(img, tgt, coefs):
+        img = img.astype(jnp.bfloat16)
+        if cfirst:
+            img = jnp.transpose(img, (0, 1, 3, 2))
+        coefs = coefs.astype(jnp.float32).reshape(coefs.shape[0], -1)
+        return raw(img, tgt, coefs)
+
+    return pixmom

@@ -479,6 +479,43 @@ def lm_update_implicit_pixel(pose, out, dx, dy, target, duv, damping_param,
     return _solve_and_reinit(pose, hess, g, damping_param, cfg, None)
 
 
+def lm_update_pixel_moments(pose, pm, duv, damping_param, cfg: LMConfig):
+    """G2SP LM update from the fused pixel-moments kernel output.
+
+    Mathematically identical to ``lm_update_implicit_pixel`` — the kernel
+    (ops/pallas/banded_warp.py:make_projline_pixmom) pre-contracts the five
+    per-pixel channel moments (sxx, sxy, syy, dx.r, dy.r with
+    r = out - target) over C, so the [B,H,W,C]x3 sampled fields never exist
+    in HBM.  Same G2SP semantics (reference models_kitti.py:333-379: raw
+    per-DoF damping, no normalization, no re-init).  Eval-only (the kernel
+    is non-differentiable).
+
+    Args:
+      pm: [B, H, W, 16] moment lanes in PIXMOM_IDX order.
+      duv: [B, H, W, 2, 3] per-pixel d(uv)/d(pose), axes matching the
+        kernel's (x, y) derivative order.
+    """
+    from highlyaccurate_tpu.ops.pallas.banded_warp import PIXMOM_IDX
+    assert not cfg.using_weight, "pixel-implicit path carries no conf weight"
+    f32 = jnp.float32
+    pm = pm.astype(f32)
+    sxx = pm[..., PIXMOM_IDX["sxx"]]   # [B, H, W]
+    sxy = pm[..., PIXMOM_IDX["sxy"]]
+    syy = pm[..., PIXMOM_IDX["syy"]]
+    rx = pm[..., PIXMOM_IDX["rx"]]
+    ry = pm[..., PIXMOM_IDX["ry"]]
+
+    Du = duv[..., 0, :].astype(f32)   # [B, H, W, 3]
+    Dv = duv[..., 1, :].astype(f32)
+    hess = _pixel_hessian(Du, Dv, sxx, sxy, syy)
+    g = (jnp.einsum("bhwp,bhw->bp", Du, rx)
+         + jnp.einsum("bhwp,bhw->bp", Dv, ry))
+    act = jnp.array(cfg.active_dims)
+    hess = hess[:, act[:, None], act[None, :]]
+    g = g[:, act]
+    return _solve_and_reinit(pose, hess, g, damping_param, cfg, None)
+
+
 def _diag_embed(x):
     """[..., n] -> [..., n, n] diagonal matrices."""
     n = x.shape[-1]

@@ -366,6 +366,76 @@ def _projlines(Bp, AY, AX, Vp, Wp, seed):
     return jnp.asarray(h0), jnp.asarray(dh)
 
 
+@pytest.mark.parametrize("Cp,AX", [(8, 48), (8, 256), (128, 256)],
+                         ids=["fullmap", "cfirst-blk", "cl-blk"])
+def test_projline_pixmom_parity(Cp, AX):
+    """Fused pixel-moments projline kernel vs the plain sampler + the jnp
+    channel contractions of lm_update_implicit_pixel (interpret mode,
+    full-map and both blocked layouts).  The [W,C]x3 fields never exist for
+    the fused path, so this pins the in-kernel contraction itself."""
+    from highlyaccurate_tpu.ops.pallas.banded_warp import (
+        PIXMOM_IDX, make_projline_pixmom, make_projline_sampler,
+        pack_projline_coefs)
+    Bp, AY, Vp, Wp = 2, 16, 6, 12
+    rng = np.random.RandomState(81)
+    img = jnp.asarray(rng.rand(Bp, AY, AX, Cp).astype(np.float32))
+    tgt = jnp.asarray(rng.rand(Bp, Vp, Wp, Cp).astype(np.float32))
+    h0, dh = _projlines(Bp, AY, AX, Vp, Wp, seed=82)
+    coefs = pack_projline_coefs(h0, dh, AY, AX, AY, Wp)
+
+    pix = make_projline_pixmom(AY=AY, AX=AX, C=Cp, V=Vp, W=Wp,
+                               interpret=True)
+    pm = np.asarray(pix(img, tgt, coefs))              # [B, V, W, 16]
+
+    smp = make_projline_sampler(AY=AY, AX=AX, C=Cp, V=Vp, W=Wp,
+                                interpret=True)
+    out, dx, dy = (np.asarray(a) for a in smp(img, coefs))
+    r = out - np.asarray(tgt)
+    want = {
+        "sxx": np.sum(dx * dx, -1), "sxy": np.sum(dx * dy, -1),
+        "syy": np.sum(dy * dy, -1), "rx": np.sum(dx * r, -1),
+        "ry": np.sum(dy * r, -1),
+    }
+    for name, idx in PIXMOM_IDX.items():
+        np.testing.assert_allclose(pm[..., idx], want[name],
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+    # unused lanes stay zero
+    assert not pm[..., len(PIXMOM_IDX):].any()
+
+
+def test_g2sp_fused_moments_eval_parity():
+    """LMG2SP eval with the fused pixel-moments path (use_fused_moments=1)
+    matches the plain banded path (=0) on full trajectories — interpret-mode
+    kernels (use_banded_warp=2), tiny geometry."""
+    import dataclasses
+
+    from highlyaccurate_tpu.config import Config
+    from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
+
+    cfg0 = Config(level=-1, N_iters=2, grd_h=32, grd_w=128, sat_size=64,
+                  use_banded_warp=2, use_fused_moments=0)
+    cfg1 = dataclasses.replace(cfg0, use_fused_moments=1)
+    rng = np.random.RandomState(91)
+    B = 2
+    sat = jnp.asarray(rng.rand(B, 64, 64, 3).astype(np.float32))
+    grd = jnp.asarray(rng.rand(B, 32, 128, 3).astype(np.float32))
+    k = jnp.asarray(np.broadcast_to(
+        np.array([[72.87, 0.0, 62.03], [0.0, 60.34, 15.63],
+                  [0.0, 0.0, 1.0]], np.float32), (B, 3, 3)).copy())
+
+    outs = []
+    for cfg in (cfg0, cfg1):
+        model = LMG2SP(cfg=cfg)
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "lm": jax.random.PRNGKey(1)},
+                       sat, grd, k, mode="trajectory")
+        outs.append(model.apply(v, sat, grd, k, mode="trajectory",
+                                rngs={"lm": jax.random.PRNGKey(2)}))
+    for name, a, b in zip(("lat", "lon", "theta"), outs[0], outs[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 def test_projline_diff_primal_matches_eval():
     """The differentiable projline sampler's primal equals the eval-only
     kernel bit-for-bit (same inputs, interpret mode)."""
