@@ -100,9 +100,15 @@ class Config:
     #   duv without materializing the [B,V,W,C,3] Jacobian (banded LM only)
     use_fused_moments: int = 1  # eval-only: banded kernel emits the 9 LM
     #   contraction moments in-register ([B,V,3,16]) instead of [B,V,W,C]
-    #   out/dx/dy HBM arrays (implicit-LM banded eval only).  Also gates the
-    #   G2SP projline analogue (per-pixel [B,V,W,16] moment lanes +
-    #   lm_update_pixel_moments, make_projline_pixmom)
+    #   out/dx/dy HBM arrays (implicit-LM banded eval only; S2GP + Ford)
+    g2sp_pixel_moments: int = 0  # G2SP projline analogue (per-pixel
+    #   [B,V,W,16] moment lanes + lm_update_pixel_moments,
+    #   make_projline_pixmom).  Default OFF: measured 27% SLOWER than the
+    #   plain projline kernel + XLA contraction on TPU v5e (77.8 vs 106.6
+    #   fps eval b8 bf16, scripts/r4_pixmom_probe.py) — the in-kernel
+    #   per-pixel contractions add more VPU work per program than the
+    #   [B,A,A,C]x3 HBM round-trip they remove.  Kept as a tested
+    #   alternative (numerics identical).
     banded_bf16_map: int = 1  # sample the satellite map in bfloat16 inside
     #   the banded kernel (fp32 weights/accumulation).  Halves the map's VMEM
     #   footprint, which lets the finest level ride DMA-free in VMEM instead

@@ -229,7 +229,7 @@ class LMG2SP(nn.Module):
                        or cfg.use_banded_warp >= 2))
         # eval fused pixel-moments path: satellite target rows in kernel
         # line order, transposed ONCE per level (outside the iteration scan)
-        fused = banded and mode != "train" and bool(cfg.use_fused_moments)
+        fused = banded and mode != "train" and bool(cfg.g2sp_pixel_moments)
         sat_lines = None
         if fused:
             sat_lines = [

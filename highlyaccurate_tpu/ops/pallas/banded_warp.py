@@ -109,15 +109,27 @@ def _weights(coef_ref, b, v, *, W: int, A: int, col0=None, ncols=None):
     return wx, dwx, rel, fy, sj, m, oy_f
 
 
-def _row_weight_mats(wx, dwx, rel, fy, m, r: int):
-    """The 4 banded weight matrices for sheared row r (value, d/dx, d/dy,
-    d2/dxdy), each [W, A].  ``wx``/``dwx`` already carry the mask."""
-    del m
-    is_r0 = (rel == float(r)).astype(jnp.float32)
-    is_r1 = (rel == float(r - 1)).astype(jnp.float32)
-    gy = (1.0 - fy)[:, None] * is_r0 + fy[:, None] * is_r1
-    dgy = -is_r0 + is_r1
-    return (wx * gy, dwx * gy, wx * dgy, dwx * dgy)
+def _row_weight_mats4(wx, dwx, rel, fy, *, with_dxy: bool = True):
+    """The 4 banded weight matrices (value, d/dx, d/dy, d2/dxdy), each
+    [W, ncols], for ALL four sheared rows r = 0..3 in one pass.
+
+    Rows r and r+1 share the one-hot ``(rel == r)``: building the five
+    distinct comparisons once cuts the [W, ncols] compare count from 8 to
+    5, and ``with_dxy=False`` skips the d2/dxdy product entirely (the
+    backward and eval-moment paths discard it).  The per-row arithmetic is
+    identical to the unfused form, so results are bit-equal.
+    ``wx``/``dwx`` already carry the mask."""
+    h = [(rel == float(k)).astype(jnp.float32) for k in range(-1, 4)]
+    a = (1.0 - fy)[:, None]
+    b = fy[:, None]
+    mats = []
+    for r in range(4):
+        is_r0, is_r1 = h[r + 1], h[r]
+        gy = a * is_r0 + b * is_r1
+        dgy = -is_r0 + is_r1
+        mats.append((wx * gy, dwx * gy, wx * dgy,
+                     dwx * dgy if with_dxy else None))
+    return mats
 
 
 def _shear_row(read_chunk, sj, oy_f, r: int, *, RB: int, A: int, C: int,
@@ -265,9 +277,10 @@ def _accumulate_rows(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
 
     shs = _shear_rows4(read_chunk, sj, oy_f, RB=RB, A=A, C=C,
                        cfirst=cfirst, n_chunks=n_chunks)
+    mats = _row_weight_mats4(wx, dwx, rel, fy, with_dxy=dxy_ref is not None)
     for r in range(4):
         sh = shs[r]
-        w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy, m, r)
+        w_o, w_dx, w_dy, w_dxy = mats[r]
 
         def contract(wmat):
             if cfirst:
@@ -493,9 +506,11 @@ def _accumulate_values_blocked(coef_ref, sat_ref, b, v, *, W: int, A: int,
 
         shs = _shear_rows4(read_chunk, sj, oy_bf, RB=A, A=CBW, C=C,
                            cfirst=cfirst, n_chunks=nck_b)
+        mats = _row_weight_mats4(wx, dwx, rel, fy,
+                                 with_dxy=acc_dxy is not None)
         for r in range(4):
             sh = shs[r]
-            w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy, m, r)
+            w_o, w_dx, w_dy, w_dxy = mats[r]
 
             def contract(wmat):
                 if cfirst:
@@ -522,9 +537,10 @@ def _accumulate_values(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
     acc_dy = jnp.zeros((W, C), jnp.float32)
     shs = _shear_rows4(read_chunk, sj, oy_f, RB=RB, A=A, C=C,
                        cfirst=cfirst, n_chunks=n_chunks)
+    mats = _row_weight_mats4(wx, dwx, rel, fy, with_dxy=False)
     for r in range(4):
         sh = shs[r]
-        w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
+        w_o, w_dx, w_dy, _ = mats[r]
 
         def contract(wmat):
             if cfirst:
@@ -693,8 +709,9 @@ def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_ref,
 
         dn_t = (((0,), (0,)), ((), ()))
         Gs = []
+        mats = _row_weight_mats4(wx, dwx, rel, fy, with_dxy=False)
         for r in range(4):
-            w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
+            w_o, w_dx, w_dy, _ = mats[r]
             if cfirst:
                 # G [C, CB] to match the [A, C, CB] block layout
                 G = (jax.lax.dot_general(g_o, w_o, dimension_numbers=dn_t,
@@ -1253,10 +1270,10 @@ def _projline_blocked_scan(coef_ref, map_ref, b, v, writer, *, W: int,
             acc_dxy = jnp.zeros((W, C), jnp.float32) if with_dxy else None
             shs = _shear_rows4(read_chunk, sj, oy_f, RB=AY, A=CBW, C=C,
                                cfirst=cfirst, n_chunks=nck_b)
+            mats = _row_weight_mats4(wx, dwx, rel, fy, with_dxy=with_dxy)
             for r in range(4):
                 sh = shs[r]
-                w_o, w_dx, w_dy, w_dxy = _row_weight_mats(wx, dwx, rel, fy,
-                                                          m, r)
+                w_o, w_dx, w_dy, w_dxy = mats[r]
 
                 def contract(wmat):
                     if cfirst:
@@ -1443,8 +1460,9 @@ def _bwd_kernel_projline(coef_ref, go_ref, gdx_ref, gdy_ref, grad_ref,
 
         dn_t = (((0,), (0,)), ((), ()))
         Gs = []
+        mats = _row_weight_mats4(wx, dwx, rel, fy, with_dxy=False)
         for r in range(4):
-            w_o, w_dx, w_dy, _ = _row_weight_mats(wx, dwx, rel, fy, m, r)
+            w_o, w_dx, w_dy, _ = mats[r]
             if cfirst:
                 # G [C, CB] to match the [AY, C, CB] block layout
                 G = (jax.lax.dot_general(g_o, w_o, dimension_numbers=dn_t,

@@ -40,10 +40,14 @@ def main():
     g2sp = dataclasses.replace(cfg, direction="G2SP")
     g2sp_f32 = dataclasses.replace(g2sp, compute_dtype="float32")
     runs = [
+        # measured 2026-08-19: pixmom1 77.8 vs pixmom0 106.6 fps -> the
+        # pixmom path REGRESSES G2SP eval 27%; default is now
+        # g2sp_pixel_moments=0 (config.py)
         ("g2sp_eval_bf16_pixmom1", lambda: _bench_eval_fps(
-            LMG2SP, g2sp, batch, n, extra_init=(k8,))),
+            LMG2SP, dataclasses.replace(g2sp, g2sp_pixel_moments=1),
+            batch, n, extra_init=(k8,))),
         ("g2sp_eval_bf16_pixmom0", lambda: _bench_eval_fps(
-            LMG2SP, dataclasses.replace(g2sp, use_fused_moments=0),
+            LMG2SP, dataclasses.replace(g2sp, g2sp_pixel_moments=0),
             batch, n, extra_init=(k8,))),
         ("g2sp_eval_fp32_pixmom1", lambda: _bench_eval_fps(
             LMG2SP, g2sp_f32, batch, n, extra_init=(k8,))),

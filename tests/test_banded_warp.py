@@ -404,17 +404,17 @@ def test_projline_pixmom_parity(Cp, AX):
 
 
 def test_g2sp_fused_moments_eval_parity():
-    """LMG2SP eval with the fused pixel-moments path (use_fused_moments=1)
-    matches the plain banded path (=0) on full trajectories — interpret-mode
-    kernels (use_banded_warp=2), tiny geometry."""
+    """LMG2SP eval with the fused pixel-moments path (g2sp_pixel_moments=1)
+    matches the plain banded path (=0, the default) on full trajectories —
+    interpret-mode kernels (use_banded_warp=2), tiny geometry."""
     import dataclasses
 
     from highlyaccurate_tpu.config import Config
     from highlyaccurate_tpu.models.lm_g2sp import LMG2SP
 
     cfg0 = Config(level=-1, N_iters=2, grd_h=32, grd_w=128, sat_size=64,
-                  use_banded_warp=2, use_fused_moments=0)
-    cfg1 = dataclasses.replace(cfg0, use_fused_moments=1)
+                  use_banded_warp=2, g2sp_pixel_moments=0)
+    cfg1 = dataclasses.replace(cfg0, g2sp_pixel_moments=1)
     rng = np.random.RandomState(91)
     B = 2
     sat = jnp.asarray(rng.rand(B, 64, 64, 3).astype(np.float32))
