@@ -498,10 +498,23 @@ def parent_main():
               "ford_train_fps", "batch1_latency_ms",
               "tracking_warm2_b1_latency_ms"]
              if only is None else [m for m in only.split(",") if m])
+    def _extra_fallback(name, why):
+        """A failed/skipped extra serves its last cached same-platform
+        measurement (labeled with provenance under extra._cached) rather
+        than an opaque error — the scoreboard stays complete across
+        compile-helper stalls (the r3 failure mode)."""
+        c = cache.get(f"{name}@{want_platform}")
+        if c:
+            board.extra[name] = c["value"]
+            board.extra.setdefault("_cached", {})[name] = (
+                f"{c['when']} @ {c['commit']} (live run: {why})")
+        else:
+            board.extra[name] = f"error: {why}"
+
     for name in names:
         left = total_s - (time.monotonic() - t_start)
         if left < 60:
-            board.extra[name] = "skipped: total budget exhausted"
+            _extra_fallback(name, "skipped: total budget exhausted")
             continue
         value, info = _run_child(name, min(metric_timeout, left), env)
         if value is not None:
@@ -511,7 +524,7 @@ def parent_main():
                 "commit": _git_commit(),
                 "when": time.strftime("%Y-%m-%d %H:%MZ", time.gmtime())}
         else:
-            board.extra[name] = f"error: {info}"
+            _extra_fallback(name, info)
             print(f"bench: {name} failed ({info})", file=sys.stderr)
     _save_cache(cache)
     watchdog.cancel()

@@ -95,6 +95,32 @@ def test_tpu_cache_never_serves_a_cpu_run(tmp_path):
     assert "FAILED" in last["metric"]
 
 
+def test_hung_extra_with_cache_serves_cached_value(tmp_path):
+    """An extra whose child hangs (stuck compile helper) must fall back to
+    its last cached same-platform value, labeled under extra._cached —
+    not report an opaque error while a measured number exists."""
+    cache = tmp_path / "cache.json"
+    cache.write_text(json.dumps({
+        "flagship@cpu": {"value": 11.0, "platform_class": "cpu",
+                         "commit": "deadbee", "when": "2026-08-19 00:00Z"},
+        "train_fps@cpu": {"value": 5.5, "platform_class": "cpu",
+                          "commit": "deadbee", "when": "2026-08-19 00:00Z"},
+    }))
+    proc, lines = _run({
+        "_BENCH_FAKE_HANG": "flagship,train_fps",
+        "_BENCH_FLAGSHIP_TIMEOUT_S": "4",
+        "_BENCH_METRIC_TIMEOUT_S": "4",
+        "_BENCH_FLUSH_S": "3",
+        "_BENCH_ONLY": "train_fps",
+        "_BENCH_CACHE_PATH": str(cache),
+    }, timeout=120)
+    last = lines[-1]
+    _assert_contract(last)
+    assert last["extra"]["train_fps"] == 5.5
+    assert "deadbee" in last["extra"]["_cached"]["train_fps"]
+    assert "timeout" in last["extra"]["_cached"]["train_fps"]
+
+
 @pytest.mark.slow
 def test_healthy_cpu_run_prints_flagship_then_final(tmp_path):
     """Full healthy path: flagship child really compiles + measures the CPU
