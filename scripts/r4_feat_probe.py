@@ -132,6 +132,11 @@ def main():
         return timeit(name, lambda c: f(p, x, c), n=n, flops=flops)
 
     conv_probe("conv0_3to64_512", 512, 512, 3, 64)
+    # input-channel padding experiment: conv0 measured 24% MXU (round-4
+    # early-conv study).  If Cin=4/8 beats Cin=3, zero-padding the RGB
+    # input (kernel rows zero) is a numerics-identical lever.
+    conv_probe("conv0pad_4to64_512", 512, 512, 4, 64)
+    conv_probe("conv0pad_8to64_512", 512, 512, 8, 64)
     conv_probe("conv2_64to64_512", 512, 512, 64, 64)
     conv_probe("conv5_64to128_256", 256, 256, 64, 128)
     conv_probe("conv7_128to128_256", 256, 256, 128, 128)
