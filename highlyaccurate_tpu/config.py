@@ -109,6 +109,13 @@ class Config:
     #   per-pixel contractions add more VPU work per program than the
     #   [B,A,A,C]x3 HBM round-trip they remove.  Kept as a tested
     #   alternative (numerics identical).
+    pad_input_channels: int = 0  # zero-pad the RGB input to this channel
+    #   count before the first conv (0 = off).  Numerics identical: the
+    #   padded input channels are zero, so the extra kernel rows (zero-
+    #   padded on .pth import, dead at init) contribute nothing and receive
+    #   zero gradient.  Lever for the layout-bound Cin=3 first conv
+    #   (measured 24% MXU, PERF.md round-4 early-conv study); adopt only if
+    #   scripts/r4_feat_probe.py measures a win.
     banded_bf16_map: int = 1  # sample the satellite map in bfloat16 inside
     #   the banded kernel (fp32 weights/accumulation).  Halves the map's VMEM
     #   footprint, which lets the finest level ride DMA-free in VMEM instead

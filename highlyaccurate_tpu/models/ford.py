@@ -44,8 +44,10 @@ class LMS2GPFord(nn.Module):
     def setup(self):
         cfg = self.cfg
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.SatFeatureNet = VGGUnet(level=cfg.level, dtype=dt)
+        self.SatFeatureNet = VGGUnet(level=cfg.level, dtype=dt,
+                                     pad_cin=cfg.pad_input_channels)
         self.GrdFeatureNet = VGGUnet(level=cfg.level, dtype=dt,
+                                     pad_cin=cfg.pad_input_channels,
                                      estimate_depth=bool(cfg.estimate_depth))
         self.damping = self.param("damping", nn.initializers.zeros, (1, 3))
         if cfg.Optimizer == "NN":

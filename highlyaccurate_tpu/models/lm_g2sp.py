@@ -49,8 +49,10 @@ class LMG2SP(nn.Module):
     def setup(self):
         cfg = self.cfg
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.SatFeatureNet = VGGUnet(level=cfg.level, dtype=dt)
+        self.SatFeatureNet = VGGUnet(level=cfg.level, dtype=dt,
+                                     pad_cin=cfg.pad_input_channels)
         self.GrdFeatureNet = VGGUnet(level=cfg.level, dtype=dt,
+                                     pad_cin=cfg.pad_input_channels,
                                      g2s_rearrange=(cfg.proj == "nn"))
         # raw damping parameter init at cfg.damping (models_kitti.py:41)
         self.damping = self.param(

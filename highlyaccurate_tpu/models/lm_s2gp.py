@@ -203,8 +203,10 @@ class LMS2GP(nn.Module):
     def setup(self):
         cfg = self.cfg
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.SatFeatureNet = VGGUnet(level=cfg.level, dtype=dt)
-        self.GrdFeatureNet = VGGUnet(level=cfg.level, dtype=dt)
+        self.SatFeatureNet = VGGUnet(level=cfg.level, dtype=dt,
+                                     pad_cin=cfg.pad_input_channels)
+        self.GrdFeatureNet = VGGUnet(level=cfg.level, dtype=dt,
+                                     pad_cin=cfg.pad_input_channels)
         # damping parameter (reference models_kitti.py:615-620)
         shape = (1, 3) if cfg.rotation_range > 0 else ()
         self.damping = self.param("damping", nn.initializers.zeros, shape)

@@ -119,10 +119,15 @@ class VGGUnet(nn.Module):
     estimate_depth: bool = False
     g2s_rearrange: bool = False  # VGGUnet_G2S re-layout (VGG.py:276-345)
     dtype: Any = jnp.float32
+    pad_cin: int = 0  # zero-pad the input to this channel count before the
+    #   first conv (see Config.pad_input_channels) — numerics identical
 
     @nn.compact
     def __call__(self, x) -> Tuple[List[jnp.ndarray], ...]:
         x = x.astype(self.dtype)
+        if self.pad_cin > x.shape[-1]:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0),
+                            (0, self.pad_cin - x.shape[-1])))
         conv = lambda c, name: nn.Conv(c, (3, 3), padding=1, use_bias=True,
                                        dtype=self.dtype, name=name)
         pool = lambda t: nn.max_pool(t, (2, 2), strides=(2, 2))
@@ -212,11 +217,15 @@ def _oihw_to_hwio(w):
 
 
 def torch_branch_to_flax(state_dict: dict, prefix: str = "",
-                         estimate_depth: bool = False) -> dict:
+                         estimate_depth: bool = False,
+                         pad_cin: int = 0) -> dict:
     """Convert one VGGUnet branch of a reference ``state_dict`` to flax params.
 
     ``prefix`` like ``"SatFeatureNet."``; tensors may be torch.Tensor or numpy.
     Layout: conv kernels OIHW -> HWIO. Returns a flax params dict for VGGUnet.
+    ``pad_cin``: zero-pad conv0's input-channel dim to match a model built
+    with ``pad_cin`` input padding (numerics identical — padded input
+    channels are zero).
     """
     import numpy as np
 
@@ -230,7 +239,12 @@ def torch_branch_to_flax(state_dict: dict, prefix: str = "",
 
     p: dict = {}
     for tname, fname in _ENC_MAP.items():
-        p[fname] = {"kernel": _oihw_to_hwio(get(f"{tname}.weight")),
+        k = _oihw_to_hwio(get(f"{tname}.weight"))
+        if fname == "conv0" and pad_cin > k.shape[2]:
+            k = np.concatenate(
+                [k, np.zeros(k.shape[:2] + (pad_cin - k.shape[2],)
+                             + k.shape[3:], k.dtype)], axis=2)
+        p[fname] = {"kernel": k,
                     "bias": np.asarray(get(f"{tname}.bias"))}
     for tname, fname in _DEC_MAP.items():
         p[fname] = {

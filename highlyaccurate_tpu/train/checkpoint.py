@@ -191,9 +191,11 @@ def import_pth(path: str, cfg: Config) -> dict:
     # models_ford.py:36-37: SatFeatureNet = VGGUnet(level),
     # GrdFeatureNet = VGGUnet(level, estimate_depth))
     params["SatFeatureNet"] = torch_branch_to_flax(
-        sd, "SatFeatureNet.", estimate_depth=False)
+        sd, "SatFeatureNet.", estimate_depth=False,
+        pad_cin=cfg.pad_input_channels)
     params["GrdFeatureNet"] = torch_branch_to_flax(
-        sd, "GrdFeatureNet.", estimate_depth=bool(cfg.estimate_depth))
+        sd, "GrdFeatureNet.", estimate_depth=bool(cfg.estimate_depth),
+        pad_cin=cfg.pad_input_channels)
     if "damping" in sd:
         params["damping"] = np.asarray(sd["damping"].detach().cpu().numpy())
     if any(k.startswith("NNrefine.") for k in sd):
@@ -260,10 +262,17 @@ def apply_vgg16_init(params: dict, src) -> dict:
         sub = dict(params[branch])
         for conv, kb in enc.items():
             like = sub[conv]
-            assert like["kernel"].shape == kb["kernel"].shape, (
-                f"{branch}.{conv}: {like['kernel'].shape} vs "
-                f"{kb['kernel'].shape}")
-            sub[conv] = {"kernel": kb["kernel"].astype(np.float32),
+            k = kb["kernel"]
+            if conv == "conv0" and like["kernel"].shape[2] > k.shape[2]:
+                # model built with pad_input_channels: zero rows for the
+                # zero-padded input channels (numerics identical)
+                k = np.concatenate(
+                    [k, np.zeros(k.shape[:2]
+                                 + (like["kernel"].shape[2] - k.shape[2],)
+                                 + k.shape[3:], k.dtype)], axis=2)
+            assert like["kernel"].shape == k.shape, (
+                f"{branch}.{conv}: {like['kernel'].shape} vs {k.shape}")
+            sub[conv] = {"kernel": k.astype(np.float32),
                          "bias": kb["bias"].astype(np.float32)}
         params[branch] = sub
     return params

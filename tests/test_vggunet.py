@@ -142,3 +142,50 @@ def test_torch_branch_to_flax_structure():
     feats, confs = net.apply({"params": p}, jnp.asarray(
         np.random.RandomState(2).rand(1, 32, 64, 3).astype(np.float32)))
     assert np.isfinite(np.asarray(feats[0])).all()
+
+
+def test_pad_cin_numerics_identical():
+    """Zero-padding the input channels (Config.pad_input_channels) must not
+    change any output: padded input channels are zero, so zero-padded conv0
+    kernel rows contribute nothing."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 32, 64, 3).astype(np.float32))
+
+    base = VGGUnet(level=3)
+    p0 = base.init(jax.random.PRNGKey(0), x)["params"]
+    feats0, confs0 = base.apply({"params": p0}, x)
+
+    # pad conv0's kernel input dim 3 -> 8 with zero rows
+    k = np.asarray(p0["conv0"]["kernel"])
+    kpad = np.concatenate(
+        [k, np.zeros(k.shape[:2] + (5,) + k.shape[3:], k.dtype)], axis=2)
+    p8 = dict(p0)
+    p8["conv0"] = {"kernel": jnp.asarray(kpad), "bias": p0["conv0"]["bias"]}
+
+    padded = VGGUnet(level=3, pad_cin=8)
+    feats8, confs8 = padded.apply({"params": p8}, x)
+    for a, b in zip(list(feats0) + list(confs0), list(feats8) + list(confs8)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # importer path: pad_cin widens only conv0's kernel, with zero rows
+    sd = {"N.conv0.weight": np.transpose(k, (3, 2, 0, 1)),
+          "N.conv0.bias": np.asarray(p0["conv0"]["bias"])}
+    enc = {"conv2": (64, 64), "conv5": (128, 64), "conv7": (128, 128),
+           "conv10": (256, 128), "conv12": (256, 256), "conv14": (256, 256)}
+    for kk, (o, i) in enc.items():
+        sd[f"N.{kk}.weight"] = rng.randn(o, i, 3, 3).astype(np.float32)
+        sd[f"N.{kk}.bias"] = rng.randn(o).astype(np.float32)
+    for kk, (a, b_, c) in {"conv_dec1": (384, 128, 128),
+                           "conv_dec2": (192, 64, 64),
+                           "conv_dec3": (128, 32, 16)}.items():
+        sd[f"N.{kk}.1.weight"] = rng.randn(b_, a, 3, 3).astype(np.float32)
+        sd[f"N.{kk}.3.weight"] = rng.randn(c, b_, 3, 3).astype(np.float32)
+    for kk, c in {"conf0": 256, "conf1": 128, "conf2": 64,
+                  "conf3": 16}.items():
+        sd[f"N.{kk}.1.weight"] = rng.randn(1, c, 3, 3).astype(np.float32)
+    imp = torch_branch_to_flax(sd, prefix="N.", pad_cin=8)
+    assert imp["conv0"]["kernel"].shape == (3, 3, 8, 64)
+    np.testing.assert_array_equal(np.asarray(imp["conv0"]["kernel"])[:, :, 3:],
+                                  0.0)
+    np.testing.assert_allclose(np.asarray(imp["conv0"]["kernel"])[:, :, :3], k,
+                               rtol=1e-6)
