@@ -431,17 +431,33 @@ def parent_main():
     cpu_fallback = False
     if not explicit_cpu:
         # probe the accelerator in a killable subprocess (the tunnel has
-        # hung for hours at a stretch with jax.devices() never returning)
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, numpy as np, jax.numpy as jnp;"
-                 "print(np.asarray(jnp.ones((64,64)) @ jnp.ones((64,64)))"
-                 "[0,0])"],
-                timeout=probe_timeout, capture_output=True, env=env)
-            ok = proc.returncode == 0
-        except subprocess.TimeoutExpired:
-            ok = False
+        # hung for hours at a stretch with jax.devices() never returning).
+        # Two attempts with a pause: a probe launched right as another JAX
+        # process releases the TPU can deadlock on the relay even while the
+        # tunnel is healthy (observed 2026-08-19 — a passing external probe
+        # followed seconds later by a hung bench probe put a full seeding
+        # run into CPU-only mode).
+        ok = False
+        for attempt in range(2):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, numpy as np, jax.numpy as jnp;"
+                     "print(np.asarray(jnp.ones((64,64)) @ jnp.ones((64,64)))"
+                     "[0,0])"],
+                    timeout=probe_timeout, capture_output=True, env=env)
+                ok = proc.returncode == 0
+                why = ("" if ok else
+                       f"rc={proc.returncode} stderr tail: "
+                       + proc.stderr.decode(errors="replace")[-300:])
+            except subprocess.TimeoutExpired:
+                why = f"hung >{probe_timeout}s"
+            if ok:
+                break
+            print(f"bench: accelerator probe attempt {attempt + 1} failed "
+                  f"({why})", file=sys.stderr)
+            if attempt == 0:
+                time.sleep(30)
         if not ok:
             print("bench: accelerator probe failed/hung — running CPU-only",
                   file=sys.stderr)
