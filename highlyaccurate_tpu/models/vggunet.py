@@ -97,6 +97,29 @@ class _DepthHead(nn.Module):
         return jnp.tanh(x)
 
 
+def max_pool_2x2(x):
+    """2x2 stride-2 max pool via reshape+max (NHWC, even H and W).
+
+    Bit-identical to ``nn.max_pool(x, (2, 2), strides=(2, 2))`` — the max is
+    taken over the same disjoint 2x2 windows — but lowers to a reshape+reduce
+    instead of ``lax.reduce_window``, which the round-4 TPU probe measured at
+    11.2 ms standalone for the [32, 512, 512, 64] pool (scripts/
+    r4_feat_probe.py) — and whose backward is a select_and_scatter, far
+    costlier on TPU than the elementwise selects this form differentiates
+    to. All reference pool sites have even H, W
+    (/root/reference/VGG.py:121-141 pools 512/256/128-sized maps).
+
+    Backward note: on an EXACT tie inside a 2x2 window, reduce_window's
+    gradient routes to one window element while ``jnp.maximum`` splits it
+    evenly — both are valid subgradients, and ties are measure-zero on the
+    continuous conv outputs this pools.
+    """
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return jnp.maximum(jnp.maximum(x[:, :, 0, :, 0], x[:, :, 0, :, 1]),
+                       jnp.maximum(x[:, :, 1, :, 0], x[:, :, 1, :, 1]))
+
+
 def _upsample_nearest(x, target_hw):
     B, H, W, C = x.shape
     th, tw = target_hw
@@ -130,7 +153,7 @@ class VGGUnet(nn.Module):
                             (0, self.pad_cin - x.shape[-1])))
         conv = lambda c, name: nn.Conv(c, (3, 3), padding=1, use_bias=True,
                                        dtype=self.dtype, name=name)
-        pool = lambda t: nn.max_pool(t, (2, 2), strides=(2, 2))
+        pool = max_pool_2x2
 
         # encoder: VGG16 block 1-3 (VGG.py:121-141)
         x2 = conv(64, "conv2")(nn.relu(conv(64, "conv0")(x)))

@@ -189,3 +189,21 @@ def test_pad_cin_numerics_identical():
                                   0.0)
     np.testing.assert_allclose(np.asarray(imp["conv0"]["kernel"])[:, :, :3], k,
                                rtol=1e-6)
+
+
+def test_max_pool_2x2_matches_reduce_window():
+    """Reshape-max pool is bit-identical to flax nn.max_pool (2x2, stride 2)."""
+    import flax.linen as nn
+    from highlyaccurate_tpu.models.vggunet import max_pool_2x2
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 16, 24, 7)
+                    .astype(np.float32))
+    want = nn.max_pool(x, (2, 2), strides=(2, 2))
+    got = max_pool_2x2(x)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # gradients agree away from exact ties (randn input: no ties)
+    g_want = jax.grad(lambda t: jnp.sum(
+        nn.max_pool(t, (2, 2), strides=(2, 2)) ** 2))(x)
+    g_got = jax.grad(lambda t: jnp.sum(max_pool_2x2(t) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               atol=1e-6)
