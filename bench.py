@@ -539,6 +539,7 @@ def parent_main():
                 "value": value, "platform_class": want_platform,
                 "commit": _git_commit(),
                 "when": time.strftime("%Y-%m-%d %H:%MZ", time.gmtime())}
+            _save_cache(cache)  # per-metric: a kill mid-extras loses nothing
         else:
             _extra_fallback(name, info)
             print(f"bench: {name} failed ({info})", file=sys.stderr)
