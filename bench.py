@@ -37,9 +37,21 @@ orchestrator therefore NEVER imports jax in the parent:
     its commit + timestamp) or a loudly-labeled zero;
   * a global budget skips (not hangs on) remaining extras.
 
-Env knobs (seconds): _BENCH_PROBE_TIMEOUT (120), _BENCH_FLUSH_S (420),
-_BENCH_FLAGSHIP_TIMEOUT_S (2400), _BENCH_METRIC_TIMEOUT_S (900),
-_BENCH_TOTAL_S (7200).  _BENCH_ONLY="name1,name2" restricts extras.
+Tunnel-down semantics (round-5, VERDICT r4 #1): if the accelerator probe
+fails but ``.bench_cache.json`` holds a measured ``flagship@tpu``, the
+HEADLINE is that cached TPU number, labeled ``[CACHED TPU measurement from
+<commit> @ <when>; tunnel down at snapshot — ...]``; cached ``@tpu`` extras
+are served under their own names (provenance in ``extra._cached``) and the
+live CPU smoke results are demoted to ``extra.cpu_smoke_*``.  A CPU-labeled
+headline therefore appears only when NO TPU measurement has ever been
+cached.  If the probe passes but a child process itself falls back to CPU
+(axon plugin init failure), the result is loudly labeled and never cached
+under a tpu key.
+
+Env knobs (seconds): _BENCH_PROBE_TIMEOUT (120), _BENCH_PROBE_RETRY_PAUSE
+(30), _BENCH_FLUSH_S (420), _BENCH_FLAGSHIP_TIMEOUT_S (2400),
+_BENCH_METRIC_TIMEOUT_S (900), _BENCH_TOTAL_S (7200).
+_BENCH_ONLY="name1,name2" restricts extras.
 """
 
 import json
@@ -384,7 +396,11 @@ def _run_child(metric, timeout_s, env):
 
 
 class Scoreboard:
-    """Thread-safe current-best results + JSON line printer."""
+    """Thread-safe current-best results + JSON line printer.
+
+    All flagship mutations go through ``set_flagship`` / ``flush_fallback``
+    so the watchdog thread and the main thread can never interleave a
+    half-updated line (ADVICE r4: _flush raced the live-result path)."""
 
     def __init__(self, cpu_fallback: bool, on_cpu: bool):
         self._lock = threading.Lock()
@@ -396,23 +412,41 @@ class Scoreboard:
                      if on_cpu else
                      "batch 32, level 3, N_iters 5, bf16 features")
 
+    def _line_locked(self, tag=""):
+        if self.flagship is None:
+            value, suffix = 0.0, (" [FAILED: flagship did not complete "
+                                  "and no cached measurement exists]")
+        else:
+            value, suffix = self.flagship
+        if self.cpu_fallback:
+            suffix += " [CPU FALLBACK — TPU tunnel down, NOT a TPU number]"
+        return json.dumps({
+            "metric": "KITTI LM_S2GP end-to-end inference frames/sec/chip"
+                      f" ({self.desc})" + suffix + tag,
+            "value": round(float(value), 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(float(value) / REF_GPU_BATCH1_FPS, 2),
+            "extra": dict(self.extra),
+        })
+
     def line(self, tag=""):
         with self._lock:
+            return self._line_locked(tag)
+
+    def set_flagship(self, value, suffix=""):
+        """Set the flagship result and print a complete line, atomically."""
+        with self._lock:
+            self.flagship = (value, suffix)
+            print(self._line_locked(), flush=True)
+
+    def flush_fallback(self, fallback_fn):
+        """If no flagship landed yet, install ``fallback_fn()``; then print
+        a complete line.  Set + print happen under one lock acquisition so a
+        concurrent live result can't interleave (compare-and-set)."""
+        with self._lock:
             if self.flagship is None:
-                value, suffix = 0.0, (" [FAILED: flagship did not complete "
-                                      "and no cached measurement exists]")
-            else:
-                value, suffix = self.flagship
-            if self.cpu_fallback:
-                suffix += " [CPU FALLBACK — TPU tunnel down, NOT a TPU number]"
-            return json.dumps({
-                "metric": "KITTI LM_S2GP end-to-end inference frames/sec/chip"
-                          f" ({self.desc})" + suffix + tag,
-                "value": round(float(value), 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(float(value) / REF_GPU_BATCH1_FPS, 2),
-                "extra": dict(self.extra),
-            })
+                self.flagship = fallback_fn()
+            print(self._line_locked(), flush=True)
 
     def emit(self, tag=""):
         print(self.line(tag), flush=True)
@@ -457,7 +491,7 @@ def parent_main():
             print(f"bench: accelerator probe attempt {attempt + 1} failed "
                   f"({why})", file=sys.stderr)
             if attempt == 0:
-                time.sleep(30)
+                time.sleep(_env_s("_BENCH_PROBE_RETRY_PAUSE", 30))
         if not ok:
             print("bench: accelerator probe failed/hung — running CPU-only",
                   file=sys.stderr)
@@ -465,47 +499,23 @@ def parent_main():
             env["JAX_PLATFORMS"] = "cpu"
             env.pop("PYTHONPATH", None)  # strip the axon plugin
 
-    board = Scoreboard(cpu_fallback, on_cpu=cpu_fallback or explicit_cpu)
     cache = _load_cache()
+    # Tunnel-down mode (VERDICT r4 #1): when the probe fails but a measured
+    # TPU flagship exists in the cache, the HEADLINE is that cached TPU
+    # number (with provenance) — not a batch-2 CPU smoke figure 5x below the
+    # real one.  Live CPU smoke runs still execute, demoted to
+    # extra.cpu_smoke_*, and every cached @tpu extra is served with
+    # provenance under extra._cached.
+    cached_tpu_mode = cpu_fallback and "flagship@tpu" in cache
     want_platform = "cpu" if (cpu_fallback or explicit_cpu) else "tpu"
+    # platform the child process is EXPECTED to report; a mismatch means the
+    # child silently fell back (ADVICE r4: probe passed but the axon plugin
+    # failed inside the child) — never cache or headline such a value as TPU
+    child_platform = want_platform
 
-    # watchdog: guarantee a parseable line by flush_s even if the flagship
-    # child hangs on a stuck remote compile helper
-    def _flush():
-        if board.flagship is None:
-            c = cache.get(f"flagship@{want_platform}")
-            if c:
-                board.flagship = (
-                    c["value"],
-                    f" [CACHED {c['when']} @ {c['commit']} — live flagship "
-                    "run did not finish before the watchdog deadline]")
-            elif want_platform == "tpu" and cache.get("flagship@cpu"):
-                c = cache["flagship@cpu"]
-                board.flagship = (
-                    c["value"],
-                    f" [CACHED CPU-smoke {c['when']} @ {c['commit']} — "
-                    "live TPU flagship hung and no TPU cache exists; "
-                    "NOT a TPU number]")
-        board.emit()
-
-    watchdog = threading.Timer(flush_s, _flush)
-    watchdog.daemon = True
-    watchdog.start()
-
-    value, info = _run_child("flagship", flagship_timeout, env)
-    if value is not None:
-        board.flagship = (value, "")
-        platform_class = "cpu" if info == "cpu" else "tpu"
-        if platform_class == want_platform:
-            cache[f"flagship@{platform_class}"] = {
-                "value": value, "platform_class": platform_class,
-                "commit": _git_commit(),
-                "when": time.strftime("%Y-%m-%d %H:%MZ", time.gmtime())}
-            _save_cache(cache)
-        board.emit()  # the moment the flagship program finishes
-    else:
-        print(f"bench: flagship child failed ({info})", file=sys.stderr)
-        _flush()  # cached fallback now; don't wait for the timer
+    board = Scoreboard(cpu_fallback and not cached_tpu_mode,
+                       on_cpu=(cpu_fallback or explicit_cpu)
+                       and not cached_tpu_mode)
 
     only = os.environ.get("_BENCH_ONLY")  # "" selects NO extras (tests)
     names = (["bf16_b8_eval_fps", "fp32_eval_fps", "train_fps",
@@ -514,6 +524,82 @@ def parent_main():
               "ford_train_fps", "batch1_latency_ms",
               "tracking_warm2_b1_latency_ms"]
              if only is None else [m for m in only.split(",") if m])
+
+    if cached_tpu_mode:
+        c = cache["flagship@tpu"]
+        # serve every cached @tpu extra up front so even a first emitted
+        # line carries the full TPU scoreboard
+        for name in names:
+            ce = cache.get(f"{name}@tpu")
+            if ce:
+                board.extra[name] = ce["value"]
+                board.extra.setdefault("_cached", {})[name] = (
+                    f"{ce['when']} @ {ce['commit']} "
+                    "(TPU tunnel down at snapshot)")
+        board.set_flagship(
+            c["value"],
+            f" [CACHED TPU measurement from {c['commit']} @ {c['when']}; "
+            "tunnel down at snapshot — live CPU smoke numbers under "
+            "extra.cpu_smoke_*]")
+
+    def _flagship_fallback():
+        """Watchdog/failure fallback value (runs under the board lock)."""
+        c = cache.get(f"flagship@{want_platform}")
+        if c:
+            return (c["value"],
+                    f" [CACHED {c['when']} @ {c['commit']} — live flagship "
+                    "run did not finish before the watchdog deadline]")
+        if want_platform == "tpu" and cache.get("flagship@cpu"):
+            c = cache["flagship@cpu"]
+            return (c["value"],
+                    f" [CACHED CPU-smoke {c['when']} @ {c['commit']} — "
+                    "live TPU flagship hung and no TPU cache exists; "
+                    "NOT a TPU number]")
+        return None  # -> FAILED label
+
+    def _flush():
+        board.flush_fallback(lambda: _flagship_fallback())
+
+    # watchdog: guarantee a parseable line by flush_s even if the flagship
+    # child hangs on a stuck remote compile helper
+    watchdog = threading.Timer(flush_s, _flush)
+    watchdog.daemon = True
+    watchdog.start()
+
+    def _stamp(value):
+        return {"value": value, "platform_class": want_platform,
+                "commit": _git_commit(),
+                "when": time.strftime("%Y-%m-%d %H:%MZ", time.gmtime())}
+
+    value, info = _run_child("flagship", flagship_timeout, env)
+    if value is not None:
+        platform_class = "cpu" if info == "cpu" else "tpu"
+        if cached_tpu_mode:
+            # headline already holds the cached TPU number; the live CPU
+            # smoke is an extra (and refreshes the @cpu cache)
+            board.extra["cpu_smoke_flagship"] = value
+            if platform_class == "cpu":
+                cache["flagship@cpu"] = _stamp(value)
+                _save_cache(cache)
+            board.emit()
+        elif platform_class != child_platform:
+            # ADVICE r4: probe passed but the child itself fell back to CPU
+            # — label loudly, do NOT cache under the tpu key
+            print(f"bench: flagship child reported platform "
+                  f"'{platform_class}' but '{child_platform}' was expected "
+                  "— NOT caching", file=sys.stderr)
+            board.set_flagship(
+                value, f" [CHILD FELL BACK TO {platform_class.upper()} — "
+                f"probe passed but the child ran on {platform_class}; "
+                "NOT a TPU number]")
+        else:
+            cache[f"flagship@{platform_class}"] = _stamp(value)
+            _save_cache(cache)
+            board.set_flagship(value)  # the moment the program finishes
+    else:
+        print(f"bench: flagship child failed ({info})", file=sys.stderr)
+        _flush()  # cached fallback now; don't wait for the timer
+
     def _extra_fallback(name, why):
         """A failed/skipped extra serves its last cached same-platform
         measurement (labeled with provenance under extra._cached) rather
@@ -530,16 +616,31 @@ def parent_main():
     for name in names:
         left = total_s - (time.monotonic() - t_start)
         if left < 60:
+            if cached_tpu_mode:
+                continue  # cached @tpu value (if any) is already served
             _extra_fallback(name, "skipped: total budget exhausted")
             continue
         value, info = _run_child(name, min(metric_timeout, left), env)
         if value is not None:
-            board.extra[name] = value
-            cache[f"{name}@{want_platform}"] = {
-                "value": value, "platform_class": want_platform,
-                "commit": _git_commit(),
-                "when": time.strftime("%Y-%m-%d %H:%MZ", time.gmtime())}
-            _save_cache(cache)  # per-metric: a kill mid-extras loses nothing
+            platform_class = "cpu" if info == "cpu" else "tpu"
+            if cached_tpu_mode:
+                board.extra[f"cpu_smoke_{name}"] = value
+                if platform_class == "cpu":
+                    cache[f"{name}@cpu"] = _stamp(value)
+                    _save_cache(cache)
+            elif platform_class != child_platform:
+                print(f"bench: {name} child reported platform "
+                      f"'{platform_class}' but '{child_platform}' was "
+                      "expected — NOT caching", file=sys.stderr)
+                board.extra[f"cpu_smoke_{name}"] = value
+                _extra_fallback(name, f"child fell back to {platform_class}")
+            else:
+                board.extra[name] = value
+                cache[f"{name}@{want_platform}"] = _stamp(value)
+                _save_cache(cache)  # per-metric: a kill loses nothing
+        elif cached_tpu_mode:
+            board.extra[f"cpu_smoke_{name}"] = f"error: {info}"
+            print(f"bench: {name} failed ({info})", file=sys.stderr)
         else:
             _extra_fallback(name, info)
             print(f"bench: {name} failed ({info})", file=sys.stderr)

@@ -121,6 +121,82 @@ def test_hung_extra_with_cache_serves_cached_value(tmp_path):
     assert "timeout" in last["extra"]["_cached"]["train_fps"]
 
 
+def _run_tunnel_down(env_extra, timeout=120):
+    """Run bench with the accelerator probe FORCED to fail (0.2s timeout
+    kills the probe subprocess before python even starts), exercising the
+    cpu_fallback path without JAX_PLATFORMS=cpu."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update({
+        "_BENCH_PROBE_TIMEOUT": "0.2",
+        "_BENCH_PROBE_RETRY_PAUSE": "0",
+    })
+    env.update(env_extra)
+    proc = subprocess.run([sys.executable, BENCH], env=env,
+                          capture_output=True, text=True, timeout=timeout)
+    lines = [json.loads(ln) for ln in proc.stdout.splitlines()
+             if ln.startswith("{")]
+    return proc, lines
+
+
+def test_tunnel_down_headlines_cached_tpu_flagship(tmp_path):
+    """VERDICT r4 #1: with the tunnel down and a measured TPU flagship in
+    the cache, the headline must be the cached TPU number (with provenance)
+    — never a CPU smoke figure — and cached @tpu extras must be served."""
+    cache = tmp_path / "cache.json"
+    cache.write_text(json.dumps({
+        "flagship@tpu": {"value": 160.75, "platform_class": "tpu",
+                         "commit": "21af9b2", "when": "2026-08-19 21:39Z"},
+        "train_fps@tpu": {"value": 36.29, "platform_class": "tpu",
+                          "commit": "0ee3387", "when": "2026-08-19 22:02Z"},
+    }))
+    # the live CPU smoke children hang -> only cached values can appear
+    proc, lines = _run_tunnel_down({
+        "_BENCH_FAKE_HANG": "flagship,train_fps",
+        "_BENCH_FLAGSHIP_TIMEOUT_S": "4",
+        "_BENCH_METRIC_TIMEOUT_S": "4",
+        "_BENCH_FLUSH_S": "3",
+        "_BENCH_ONLY": "train_fps",
+        "_BENCH_CACHE_PATH": str(cache),
+    })
+    assert lines, f"no parseable line; stderr:\n{proc.stderr}"
+    for d in lines:
+        _assert_contract(d)
+    last = lines[-1]
+    assert last["value"] == 160.75
+    assert "CACHED TPU measurement" in last["metric"]
+    assert "21af9b2" in last["metric"]
+    assert "NOT a TPU number" not in last["metric"]
+    # the TPU-config description, not the CPU smoke one
+    assert "batch 32" in last["metric"]
+    assert last["extra"]["train_fps"] == 36.29
+    assert "0ee3387" in last["extra"]["_cached"]["train_fps"]
+    # live CPU smoke failures land under cpu_smoke_*, not the real slots
+    assert "error" in str(last["extra"].get("cpu_smoke_train_fps", "error"))
+
+
+def test_tunnel_down_without_tpu_cache_keeps_cpu_fallback_label(tmp_path):
+    """No TPU measurement ever cached -> the old loud CPU-fallback labeling
+    must survive (a CPU number must never masquerade as TPU)."""
+    cache = tmp_path / "cache.json"
+    cache.write_text(json.dumps({
+        "flagship@cpu": {"value": 32.63, "platform_class": "cpu",
+                         "commit": "9544830", "when": "2026-08-19 19:18Z"},
+    }))
+    proc, lines = _run_tunnel_down({
+        "_BENCH_FAKE_HANG": "flagship",
+        "_BENCH_FLAGSHIP_TIMEOUT_S": "4",
+        "_BENCH_FLUSH_S": "3",
+        "_BENCH_ONLY": "",
+        "_BENCH_CACHE_PATH": str(cache),
+    })
+    assert lines, f"no parseable line; stderr:\n{proc.stderr}"
+    last = lines[-1]
+    _assert_contract(last)
+    assert last["value"] == 32.63
+    assert "NOT a TPU number" in last["metric"]
+
+
 @pytest.mark.slow
 def test_healthy_cpu_run_prints_flagship_then_final(tmp_path):
     """Full healthy path: flagship child really compiles + measures the CPU
