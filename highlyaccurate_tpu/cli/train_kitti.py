@@ -105,10 +105,14 @@ def parse_args(argv=None):
                         "sampler — see PERF.md recall study)")
     p.add_argument("--pose_hypotheses", type=int, default=1,
                    help="multi-start LM hypotheses at eval (new capability)")
-    p.add_argument("--g2sp_restrict_grid", type=int, default=1,
+    p.add_argument("--g2sp_restrict_grid", type=int, default=None,
                    help="G2SP: drop satellite columns that can never be in "
                         "view (zero-J; numerically identical for poses "
-                        "within 1.5x the ranges). 0 = full A x A grid")
+                        "within 1.5x the ranges). 0 = full A x A grid. "
+                        "Default 1, except when evaluating --import_pth "
+                        "checkpoints (0: the column bound assumes the "
+                        "default KITTI camera_k — strict reference numerics "
+                        "must not depend on it)")
     p.add_argument("--seed", type=int, default=2022)
     p.add_argument("--grd_h", type=int, default=256)
     p.add_argument("--grd_w", type=int, default=1024)

@@ -253,4 +253,11 @@ def config_from_args(args) -> Config:
     if kw.get("compute_dtype", "x") is None:
         kw["compute_dtype"] = ("bfloat16" if getattr(args, "test", 0)
                                and not faithful else "float32")
+    # ADVICE r4: the G2SP column restriction derives its bound from the
+    # DEFAULT camera K (1.1x FOV slack, 1.5x pose-range margin) — a drive
+    # with calibration outside that slack would silently deviate on the
+    # path that claims strict reference numerics.  Unset resolves to the
+    # full grid on the faithful --import_pth eval route.
+    if kw.get("g2sp_restrict_grid", 1) is None:
+        kw["g2sp_restrict_grid"] = 0 if faithful else 1
     return Config(**kw)

@@ -132,40 +132,6 @@ def _row_weight_mats4(wx, dwx, rel, fy, *, with_dxy: bool = True):
     return mats
 
 
-def _shear_row(read_chunk, sj, oy_f, r: int, *, RB: int, A: int, C: int,
-               cfirst: bool, n_chunks=None):
-    """Extract sheared row r from the VMEM window: [A, C] (or [C, A]).
-
-    ``read_chunk(base)`` returns window rows [base, base+_SHEAR_CHUNK).
-    ``n_chunks`` (traced scalar) bounds the scan to the chunks that can
-    contain in-bounds target rows (packed per row in the coef lane 6);
-    rows beyond it only ever match masked-out columns."""
-    tgt = sj - oy_f + (r - 1.0)
-    if n_chunks is None:
-        n_chunks = RB // _SHEAR_CHUNK
-
-    if cfirst:
-        def chunk_body(ci, sh):
-            base = ci * _SHEAR_CHUNK
-            rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
-                  .astype(jnp.float32) + base.astype(jnp.float32))
-            sel = (rr == tgt).astype(jnp.float32)
-            wchunk = read_chunk(base)                      # [chunk, C, A]
-            return sh + jnp.sum(sel[:, None, :] * wchunk, axis=0)
-        return jax.lax.fori_loop(0, n_chunks, chunk_body,
-                                 jnp.zeros((C, A), jnp.float32))
-
-    def chunk_body(ci, sh):
-        base = ci * _SHEAR_CHUNK
-        rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
-              .astype(jnp.float32) + base.astype(jnp.float32))
-        sel = (rr == tgt).astype(jnp.float32)
-        wchunk = read_chunk(base)                          # [chunk, A, C]
-        return sh + jnp.sum(sel[:, :, None] * wchunk, axis=0)
-    return jax.lax.fori_loop(0, n_chunks, chunk_body,
-                             jnp.zeros((A, C), jnp.float32))
-
-
 def _shear_rows4(read_chunk, sj, oy_f, *, RB: int, A: int, C: int,
                  cfirst: bool, n_chunks=None):
     """Extract all four sheared rows (r = 0..3) in ONE chunk scan.
@@ -1031,7 +997,7 @@ def pack_row_coefs(uv0, uv1, A: int, RB: int, W: int):
     ax = jnp.where(valid, ax, 1e9)
 
     # lane 6: shear-scan chunk count — only chunks that can contain in-bounds
-    # target rows (tgt <= ymax - oy + 3; see _shear_row).  At the solver's
+    # target rows (tgt <= ymax - oy + 3; see _shear_rows4).  At the solver's
     # typical |heading| <= 10 deg the span is ~A/5, so the dynamic bound cuts
     # the scan ~2-3x vs the static RB window.
     n_chunks = jnp.clip(jnp.ceil((ymax - oy + 4.0) / _SHEAR_CHUNK),

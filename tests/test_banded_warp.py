@@ -542,3 +542,57 @@ def test_projline_diff_grad_under_remat():
     for name, a, b in zip(("img", "h0", "dh"), g_plain, g_remat):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=0, err_msg=name)
+
+
+def _shear_row_oracle(read_chunk, sj, oy_f, r, *, RB, A, C, cfirst,
+                      n_chunks=None):
+    """Single-row shear extraction — the pre-round-4 production
+    implementation, kept HERE as the oracle for _shear_rows4 (ADVICE r4:
+    the unused in-module copy could silently drift from the fused kernel
+    it documents).  Must stay bit-identical to _shear_rows4's per-row
+    accumulation: same chunk loop, same iota match, same add order."""
+    from highlyaccurate_tpu.ops.pallas.banded_warp import _SHEAR_CHUNK
+    tgt = sj - oy_f + (r - 1.0)
+    if n_chunks is None:
+        n_chunks = RB // _SHEAR_CHUNK
+
+    def chunk_body(ci, sh):
+        base = ci * _SHEAR_CHUNK
+        rr = (jax.lax.broadcasted_iota(jnp.int32, (_SHEAR_CHUNK, A), 0)
+              .astype(jnp.float32) + base.astype(jnp.float32))
+        sel = (rr == tgt).astype(jnp.float32)
+        wchunk = read_chunk(base)
+        if cfirst:                                     # [chunk, C, A]
+            return sh + jnp.sum(sel[:, None, :] * wchunk, axis=0)
+        return sh + jnp.sum(sel[:, :, None] * wchunk, axis=0)
+
+    shape = (C, A) if cfirst else (A, C)
+    return jax.lax.fori_loop(0, n_chunks, chunk_body,
+                             jnp.zeros(shape, jnp.float32))
+
+
+@pytest.mark.parametrize("cfirst", [False, True])
+def test_shear_rows4_bit_identical_to_single_row_oracle(cfirst):
+    """The fused 4-row chunk scan must be BIT-identical to four single-row
+    extractions (the fusion's stated contract, banded_warp.py)."""
+    from highlyaccurate_tpu.ops.pallas.banded_warp import (
+        _SHEAR_CHUNK, _shear_rows4)
+    RBt, At, Ct = 4 * _SHEAR_CHUNK, 16, 8
+    rng = np.random.RandomState(5)
+    win = jnp.asarray(rng.randn(
+        RBt, *((Ct, At) if cfirst else (At, Ct))).astype(np.float32))
+    # fractional targets: rows land between chunks, some out of window
+    sj = jnp.asarray(np.floor(rng.uniform(-2, RBt + 2, (At,)))
+                     .astype(np.float32))
+    oy_f = jnp.float32(3.0)
+
+    def read_chunk(base):
+        return jax.lax.dynamic_slice_in_dim(win, base, _SHEAR_CHUNK, 0)
+
+    fused = jax.jit(lambda: _shear_rows4(
+        read_chunk, sj, oy_f, RB=RBt, A=At, C=Ct, cfirst=cfirst))()
+    for r in range(4):
+        single = jax.jit(lambda r=r: _shear_row_oracle(
+            read_chunk, sj, oy_f, r, RB=RBt, A=At, C=Ct, cfirst=cfirst))()
+        np.testing.assert_array_equal(np.asarray(fused[r]),
+                                      np.asarray(single), err_msg=f"r={r}")

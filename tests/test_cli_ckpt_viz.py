@@ -335,3 +335,31 @@ def test_kitti_cli_keep_optimizer_state_resume(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "resumed optimizer state" in out
     assert os.path.isdir(os.path.join(save_path, "model_1_full"))
+
+
+def test_faithful_eval_resolves_full_grid_and_gather(tmp_path):
+    """--test --import_pth (strict reference numerics) must resolve unset
+    use_banded_warp -> 0, compute_dtype -> float32, AND (ADVICE r4)
+    g2sp_restrict_grid -> 0: the column-restriction bound assumes the
+    default KITTI camera K, which the faithful path must not depend on."""
+    from highlyaccurate_tpu.cli import train_kitti as cli
+    from highlyaccurate_tpu.config import config_from_args
+
+    pth = tmp_path / "model.pth"
+    pth.write_bytes(b"x")
+    args = cli.parse_args(["--test", "1", "--import_pth", str(pth)])
+    cfg = config_from_args(args)
+    assert cfg.use_banded_warp == 0
+    assert cfg.compute_dtype == "float32"
+    assert cfg.g2sp_restrict_grid == 0
+
+    # non-faithful eval keeps the restriction (and the banded kernel)
+    args = cli.parse_args(["--test", "1"])
+    cfg = config_from_args(args)
+    assert cfg.use_banded_warp == 1
+    assert cfg.g2sp_restrict_grid == 1
+
+    # explicit flags always win
+    args = cli.parse_args(["--test", "1", "--import_pth", str(pth),
+                           "--g2sp_restrict_grid", "1"])
+    assert config_from_args(args).g2sp_restrict_grid == 1
