@@ -65,7 +65,15 @@ class EvalResults:
                 np.sum((angle_diff[:, 0] < a) & (diff_shifts[:, 0] < t)) / N * 100)
             m[f"lat{t}m_angle{a}deg_init"] = float(
                 np.sum((init_angle[:, 0] < a) & (np.abs(gt_shifts[:, 0]) < t)) / N * 100)
-        # best-model criterion (reference train_kitti.py:162)
+        # Best-model criterion.  DELIBERATE FIX vs the reference: its
+        # train_kitti.py:162 broadcasts [N] (dist) & [N, 1] (angle) into an
+        # [N, N] pair count — result == count(d<1)*count(a<1)/N*100, which
+        # scales with N and can exceed 100 (verified by executing the
+        # reference block: tests/test_losses_metrics.py
+        # test_recall_table_matches_reference_metric_block).  We use the
+        # per-sample joint recall — the quantity the reference's own
+        # printed joint table computes (train_kitti.py:148-152).  Both are
+        # monotone in the same direction, so model selection is compatible.
         m["rank_result"] = float(
             np.sum((distance < THRESHOLDS_M[0])
                    & (angle_diff[:, 0] < THRESHOLDS_DEG[0])) / N * 100)

@@ -1,5 +1,7 @@
 """Loss library and eval-metric protocol tests."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -157,3 +159,113 @@ def test_acceptance_diff_script(tmp_path):
     ours.write_text(block(80.4, 0) + block(79.0, 1))
     assert main([str(ours), str(ref)]) == 1            # -1.0 pt: FAIL
     assert main([str(ours), str(ref), "--tol", "1.5"]) == 0
+
+
+def test_recall_table_matches_reference_metric_block(tmp_path):
+    """Executes the reference's OWN metric code (train_kitti.py:77-162 —
+    batch concat, denormalize, angle wrap, recall thresholds, results-file
+    writer) on a recorded pose set and asserts our chain produces an
+    identical recall table and a byte-identical Test1_results.txt body
+    (VERDICT r4 #3: the last unverified link before the acceptance run).
+
+    The reference block is EXECUTED from the mounted tree, not copied:
+    the exact source lines are extracted at test time and exec'd with the
+    pose lists a real eval loop would have accumulated
+    (train_kitti.py:53-69: shifts=stack([lat,lon]), gt=cat([v,u]))."""
+    import types
+
+    import pytest
+    torch = pytest.importorskip("torch")
+    ref_path = "/root/reference/train_kitti.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference tree not mounted")
+    src = open(ref_path).read().splitlines()
+    start = next(i for i, l in enumerate(src)
+                 if l.strip().startswith("pred_shifts = np.concatenate"))
+    end = next(i for i, l in enumerate(src)
+               if l.strip().startswith("result = np.sum"))
+    import textwrap
+    block = textwrap.dedent("\n".join(src[start:end + 1]))
+
+    # pose set accumulated exactly as the reference eval loop does,
+    # including a ragged final batch
+    rng = np.random.RandomState(11)
+    args = types.SimpleNamespace(shift_range_lat=20.0, shift_range_lon=20.0,
+                                 rotation_range=10.0)
+    pred_shifts, pred_headings, gt_shifts, gt_headings = [], [], [], []
+    flat = {"lat": [], "lon": [], "th": [], "gu": [], "gv": [], "gh": []}
+    for bs in [4, 4, 4, 3]:
+        lat, lon, th = (torch.tensor(rng.uniform(-1, 1, (bs,)))
+                        for _ in range(3))
+        gu, gv, gh = (torch.tensor(rng.uniform(-1, 1, (bs, 1)))
+                      for _ in range(3))
+        # reference accumulation (train_kitti.py:53-69)
+        shifts = torch.stack([lat, lon], dim=-1)
+        headings = th.unsqueeze(dim=-1)
+        gt_shift = torch.cat([gv, gu], dim=-1)
+        pred_shifts.append(shifts.data.cpu().numpy())
+        pred_headings.append(headings.data.cpu().numpy())
+        gt_shifts.append(gt_shift.data.cpu().numpy())
+        gt_headings.append(gh.data.cpu().numpy())
+        for k, v in zip(("lat", "lon", "th"), (lat, lon, th)):
+            flat[k].append(v.numpy())
+        for k, v in zip(("gu", "gv", "gh"), (gu, gv, gh)):
+            flat[k].append(v.numpy()[:, 0])
+    flat = {k: np.concatenate(v) for k, v in flat.items()}
+
+    import scipy.io as scio
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    ns = dict(np=np, os=os, scio=scio, args=args, epoch=3, duration=0.125,
+              save_path=str(ref_dir), pred_shifts=pred_shifts,
+              pred_headings=pred_headings, gt_shifts=gt_shifts,
+              gt_headings=gt_headings)
+    exec(compile(block, ref_path, "exec"), ns)
+
+    # our chain: denormalize -> EvalResults -> writer (cli/train_kitti.py
+    # evaluate(): gt columns (v, u) feed (lat, lon), matching the
+    # reference's cat([gt_shift_v, gt_shift_u]))
+    ps, ph = denormalize(flat["lat"], flat["lon"], flat["th"],
+                         args.shift_range_lat, args.shift_range_lon,
+                         args.rotation_range)
+    gs, gh_ = denormalize(flat["gv"], flat["gu"], flat["gh"],
+                          args.shift_range_lat, args.shift_range_lon,
+                          args.rotation_range)
+    res = EvalResults(pred_shifts=ps, pred_headings=ph, gt_shifts=gs,
+                      gt_headings=gh_, time_per_image=0.125)
+    m = res.compute()
+    ours_dir = tmp_path / "ours"
+    ours_dir.mkdir()
+    res.write(str(ours_dir), "Test1", epoch=3)
+
+    # the denormalized arrays themselves must match bit-for-bit
+    np.testing.assert_array_equal(ps, ns["pred_shifts"])
+    np.testing.assert_array_equal(gs, ns["gt_shifts"])
+    np.testing.assert_array_equal(ph, ns["pred_headings"])
+    np.testing.assert_array_equal(gh_, ns["gt_headings"])
+
+    # the reference's results file and ours must be BYTE-identical
+    ref_txt = (ref_dir / "Test1_results.txt").read_bytes()
+    our_txt = (ours_dir / "Test1_results.txt").read_bytes()
+    assert ref_txt == our_txt
+
+    # .mat payloads identical
+    ref_mat = scio.loadmat(str(ref_dir / "Test1_results.mat"))
+    our_mat = scio.loadmat(str(ours_dir / "Test1_results.mat"))
+    for k in ("gt_shifts", "gt_headings", "pred_shifts", "pred_headings"):
+        np.testing.assert_array_equal(ref_mat[k], our_mat[k])
+
+    # Best-model criterion: the reference's `result` broadcasts [N] (dist)
+    # against [N, 1] (angle) -> an [N, N] PAIR count, train_kitti.py:162 —
+    # result == count(dist<1) * count(angle<1) / N * 100, which scales
+    # with N and can exceed 100.  Verify that reading of their code, and
+    # that our rank_result is the per-sample joint recall (the quantity
+    # the reference's own printed joint-recall table uses, :148-152).
+    distance = np.sqrt(np.sum((ps - gs) ** 2, axis=1))
+    ang = np.remainder(np.abs(ph - gh_), 360)
+    ang = np.where(ang > 180, 360 - ang, ang)
+    N = distance.shape[0]
+    assert ns["result"] == pytest.approx(
+        np.sum(distance < 1) * np.sum(ang < 1) / N * 100)
+    assert m["rank_result"] == pytest.approx(
+        np.sum((distance < 1) & (ang[:, 0] < 1)) / N * 100)
