@@ -141,13 +141,13 @@ class LMG2SP(nn.Module):
         dh = jnp.einsum("bik,jk->bji", P, dX)
         coefs = pack_projline_coefs(h0, dh, Hg, Wg, Hg, A)
 
-        key_ = ("projline", Hg, Wg, C, A, j0, diff)
+        key_ = ("projline", Hg, Wg, C, A, j0, diff, cfg.banded_u_chunk)
         sampler = _BANDED_CACHE.get(key_)
         if sampler is None:
             sampler = make_projline_sampler(
                 AY=Hg, AX=Wg, C=C, V=A - j0, W=A,
                 interpret=jax.default_backend() != "tpu",
-                differentiable=diff)
+                differentiable=diff, u_chunk=cfg.banded_u_chunk)
             _BANDED_CACHE[key_] = sampler
         out, dx, dy = sampler(grd_feat, coefs)            # [B, j', i, C]
         tr = lambda t: jnp.transpose(t, (0, 2, 1, 3))     # -> [B, i, j', C]

@@ -1257,6 +1257,163 @@ def _projline_blocked_scan(coef_ref, map_ref, b, v, writer, *, W: int,
             writer(acc_o, acc_dx, acc_dy, acc_dxy)
 
 
+def _kernel_projline_blocked_uwin(coef_ref, map_ref, out_ref, dx_ref,
+                                  dy_ref, *rest, W: int, AY: int, AX: int,
+                                  C: int, CBW: int, UC: int, cfirst: bool,
+                                  with_dxy: bool = False):
+    """Column-blocked projective-line forward with per-(line, block) dynamic
+    u-windows (round-5 lever; VERDICT r4 #4's named successor to the static
+    grid restriction).
+
+    The blocked kernel builds [W, CBW] weights and issues its banded matmuls
+    over ALL W samples per hit block, yet only samples whose x(u) lands in
+    the block's column range have nonzero weights there — a span of roughly
+    CBW/|dx/du| rows.  The round-5 isolation probe (scripts/r5_train_probe.py)
+    measured these kernels VPU-build-bound with the matmuls fully hidden
+    under the build, so per-sample work is THE remaining schedule lever.
+
+    Per block: the live sample window [umin, umax] comes from a masked
+    min/max over the per-line x(u) (robust for the projective divide — no
+    Mobius edge cases), gets UC-aligned, and a dynamic-trip fori_loop
+    rebuilds weights + issues the matmuls on [UC, CBW] row chunks,
+    accumulating straight into the output refs at pl.ds row offsets.
+    Excluded rows have exactly-zero weights for the block, so outputs are
+    BIT-IDENTICAL to _kernel_projline_blocked (parity-tested)."""
+    dxy_ref = rest[0] if with_dxy else None
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+    out_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+    dx_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+    dy_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+    if with_dxy:
+        dxy_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+
+    nx0 = _cread_pl(coef_ref, b, v, 0)
+    dnx = _cread_pl(coef_ref, b, v, 1)
+    ny0 = _cread_pl(coef_ref, b, v, 2)
+    dny = _cread_pl(coef_ref, b, v, 3)
+    d0 = _cread_pl(coef_ref, b, v, 4)
+    dd = _cread_pl(coef_ref, b, v, 5)
+    slope = _cread_pl(coef_ref, b, v, 6)
+    xref = _cread_pl(coef_ref, b, v, 9)
+    yref = _cread_pl(coef_ref, b, v, 10)
+
+    # full-line x(u)/validity once, for the per-block window min/max only
+    u = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0].astype(jnp.float32)
+    den = d0 + dd * u
+    infront = den > 1e-6
+    deni = 1.0 / jnp.where(infront, den, 1.0)
+    x = (nx0 + dnx * u) * deni
+    y = (ny0 + dny * u) * deni
+    valid = ((x >= 0) & (x <= AX - 1) & (y >= 0) & (y <= AY - 1) & infront
+             & (jnp.floor(x) < AX - 1) & (jnp.floor(y) < AY - 1))
+
+    max_ck = AY // _SHEAR_CHUNK
+    for jb in range(AX // CBW):
+        col0 = jb * CBW
+        # columns j in [col0, col0+CBW) are hit by samples with
+        # x0f in [col0-1, col0+CBW-1] -> x in [col0-1, col0+CBW)
+        hitb = valid & (x >= col0 - 1) & (x < col0 + CBW)
+        umin = jnp.min(jnp.where(hitb, u, jnp.float32(W)))
+        umax = jnp.max(jnp.where(hitb, u, -1.0))
+
+        @pl.when(umax >= umin)
+        def _block(col0=col0, umin=umin, umax=umax):
+            u0 = (umin.astype(jnp.int32) // UC) * UC
+            n_uch = (umax.astype(jnp.int32) - u0) // UC + 1
+            # y-window of the line segment over this block's x-range
+            xa = jnp.float32(col0 - 1)
+            xb_ = jnp.float32(col0 + CBW)
+            ya = yref + (xa - xref) * slope
+            yb = yref + (xb_ - xref) * slope
+            ymin_b = jnp.minimum(ya, yb)
+            ymax_b = jnp.clip(jnp.maximum(ya, yb), 0.0, AY - 1.0)
+            oy_i = jnp.clip(((jnp.floor(ymin_b) - 1.0).astype(jnp.int32)
+                             // _SHEAR_CHUNK) * _SHEAR_CHUNK,
+                            0, AY - _SHEAR_CHUNK)
+            avail = (AY - oy_i) // _SHEAR_CHUNK
+            nck_b = jnp.ceil((ymax_b + 4.0 - oy_i.astype(jnp.float32))
+                             / _SHEAR_CHUNK).astype(jnp.int32)
+            nck_b = jnp.minimum(jnp.clip(nck_b, 1, max_ck), avail)
+            jcols = (jax.lax.broadcasted_iota(jnp.int32, (1, CBW), 1)
+                     .astype(jnp.float32) + jnp.float32(col0))
+            yj = yref + (jcols - xref) * slope
+            sj = jnp.floor(yj)
+            oy_f = oy_i.astype(jnp.float32)
+
+            if cfirst:
+                def read_chunk(base):
+                    return map_ref[0, pl.ds(oy_i + base, _SHEAR_CHUNK), :,
+                                   col0:col0 + CBW]
+            else:
+                def read_chunk(base):
+                    return map_ref[0, pl.ds(oy_i + base, _SHEAR_CHUNK),
+                                   col0:col0 + CBW]
+
+            shs = _shear_rows4(read_chunk, sj, oy_f, RB=AY, A=CBW, C=C,
+                               cfirst=cfirst, n_chunks=nck_b)
+
+            def chunk_body(k, _):
+                ub = u0 + k * UC
+                uu = (jax.lax.broadcasted_iota(jnp.int32, (UC, 1), 0)[:, 0]
+                      .astype(jnp.float32) + ub.astype(jnp.float32))
+                denc = d0 + dd * uu
+                infc = denc > 1e-6
+                denic = 1.0 / jnp.where(infc, denc, 1.0)
+                xc = (nx0 + dnx * uu) * denic
+                yc = (ny0 + dny * uu) * denic
+                x0f = jnp.floor(xc)
+                y0f = jnp.floor(yc)
+                fxc = xc - x0f
+                fyc = yc - y0f
+                mc = (((xc >= 0) & (xc <= AX - 1) & (yc >= 0)
+                       & (yc <= AY - 1) & infc).astype(jnp.float32)
+                      * ((x0f < AX - 1) & (y0f < AY - 1)).astype(jnp.float32))
+                j = (jax.lax.broadcasted_iota(jnp.int32, (UC, CBW), 1)
+                     .astype(jnp.float32) + jnp.float32(col0))
+                x0b = x0f[:, None]
+                hit0 = (j == x0b).astype(jnp.float32)
+                hit1 = (j == (x0b + 1.0)).astype(jnp.float32)
+                mb = mc[:, None]
+                wx = ((1.0 - fxc)[:, None] * hit0
+                      + fxc[:, None] * hit1) * mb
+                dwx = (hit1 - hit0) * mb
+                rel = y0f[:, None] - sj + 1.0
+                mats = _row_weight_mats4(wx, dwx, rel, fyc,
+                                         with_dxy=with_dxy)
+                acc_o = jnp.zeros((UC, C), jnp.float32)
+                acc_dx = jnp.zeros((UC, C), jnp.float32)
+                acc_dy = jnp.zeros((UC, C), jnp.float32)
+                acc_dxy = (jnp.zeros((UC, C), jnp.float32) if with_dxy
+                           else None)
+                for r in range(4):
+                    sh = shs[r]
+                    w_o, w_dx, w_dy, w_dxy = mats[r]
+
+                    def contract(wmat):
+                        if cfirst:
+                            return jax.lax.dot_general(
+                                wmat, sh, dimension_numbers=_DN_CFIRST,
+                                preferred_element_type=jnp.float32)
+                        return jnp.dot(wmat, sh,
+                                       preferred_element_type=jnp.float32)
+
+                    acc_o = acc_o + contract(w_o)
+                    acc_dx = acc_dx + contract(w_dx)
+                    acc_dy = acc_dy + contract(w_dy)
+                    if with_dxy:
+                        acc_dxy = acc_dxy + contract(w_dxy)
+                sl = pl.ds(ub, UC)
+                out_ref[0, 0, sl] += acc_o
+                dx_ref[0, 0, sl] += acc_dx
+                dy_ref[0, 0, sl] += acc_dy
+                if with_dxy:
+                    dxy_ref[0, 0, sl] += acc_dxy
+                return 0
+
+            jax.lax.fori_loop(0, n_uch, chunk_body, 0)
+
+
 def pack_projline_coefs(h0, dh, AY: int, AX: int, RB: int, W: int):
     """Per-row projective-line coefficients.
 
@@ -1336,13 +1493,22 @@ def projline_supported(AY: int, AX: int, C: int) -> bool:
 
 def _raw_projline_forward(AY: int, AX: int, C: int, V: int, W: int,
                           cfirst: bool, interpret: bool, blocked: bool,
-                          with_dxy: bool):
-    """fn(img_kernel_layout bf16, coefs_flat) -> (out, dx, dy[, dxy])."""
+                          with_dxy: bool, u_chunk: int = 0):
+    """fn(img_kernel_layout bf16, coefs_flat) -> (out, dx, dy[, dxy]).
+
+    ``u_chunk`` > 0 selects the dynamic u-window kernel (bit-identical
+    outputs, per-block sample windows in UC=u_chunk row chunks); it must
+    divide W and be a multiple of 8."""
     RB = AY  # window = whole height; the dynamic chunk bound does the work
     map_shape = (AY, C, AX) if cfirst else (AY, AX, C)
     CBW = 128
     n_out = 4 if with_dxy else 3
-    if blocked and AX % CBW == 0:
+    if blocked and AX % CBW == 0 and u_chunk and W % u_chunk == 0 \
+            and u_chunk % 8 == 0:
+        kernel = functools.partial(_kernel_projline_blocked_uwin, W=W,
+                                   AY=AY, AX=AX, C=C, CBW=CBW, UC=u_chunk,
+                                   cfirst=cfirst, with_dxy=with_dxy)
+    elif blocked and AX % CBW == 0:
         kernel = functools.partial(_kernel_projline_blocked, W=W, AY=AY,
                                    AX=AX, C=C, CBW=CBW, cfirst=cfirst,
                                    with_dxy=with_dxy)
@@ -1512,7 +1678,7 @@ def _raw_projline_backward(AY: int, AX: int, C: int, V: int, W: int,
 
 def make_projline_sampler(AY: int, AX: int, C: int, V: int, W: int,
                           interpret: bool = False, blocked: bool = True,
-                          differentiable: bool = False):
+                          differentiable: bool = False, u_chunk: int = 0):
     """Build fn(img [B, AY, AX, C], coefs [B, V, _NCOEF_PL])
       -> (out, dx, dy) [B, V, W, C].
 
@@ -1543,7 +1709,8 @@ def make_projline_sampler(AY: int, AX: int, C: int, V: int, W: int,
         return img
 
     raw_eval = _raw_projline_forward(AY, AX, C, V, W, cfirst, interpret,
-                                     blocked, with_dxy=False)
+                                     blocked, with_dxy=False,
+                                     u_chunk=u_chunk)
 
     if not differentiable:
         def sample(img, coefs):
@@ -1552,7 +1719,8 @@ def make_projline_sampler(AY: int, AX: int, C: int, V: int, W: int,
         return sample
 
     raw_fwd = _raw_projline_forward(AY, AX, C, V, W, cfirst, interpret,
-                                    blocked, with_dxy=True)
+                                    blocked, with_dxy=True,
+                                    u_chunk=u_chunk)
     raw_bwd = _raw_projline_backward(AY, AX, C, V, W, cfirst, interpret)
 
     @jax.custom_vjp

@@ -102,8 +102,10 @@ def run_isolation(tag, B, V, W, NC, C, NBLK):
         ayv = cread(coef_ref, b, v, 2)
         byv = cread(coef_ref, b, v, 3)
         slv = cread(coef_ref, b, v, 4)
+        u0f = (u0.astype(jnp.float32) if hasattr(u0, "astype")
+               else jnp.float32(u0))
         u = (jax.lax.broadcasted_iota(jnp.int32, (W_rows, 1), 0)[:, 0]
-             .astype(jnp.float32) + jnp.float32(u0))
+             .astype(jnp.float32) + u0f)
         x = axv + bxv * u
         y = ayv + byv * u
         x0f = jnp.floor(x)
@@ -134,6 +136,10 @@ def run_isolation(tag, B, V, W, NC, C, NBLK):
             acc_dx = jnp.zeros((W, C), jnp.float32)
             acc_dy = jnp.zeros((W, C), jnp.float32)
             if variant == "uwin":
+                # per-block u-window ceiling sim: each block builds weights
+                # and matmuls over W/NBLK sample rows only, writing its row
+                # span straight through the output ref (dynamic_update_slice
+                # on register arrays does not lower on TPU; ref stores do)
                 WB = W // NBLK
                 for jb in range(NBLK):
                     wx, dwx, rel, fy = weights_block(
@@ -154,12 +160,46 @@ def run_isolation(tag, B, V, W, NC, C, NBLK):
                         pdy = pdy + jnp.dot(
                             mats[r][2], s,
                             preferred_element_type=jnp.float32)
-                    acc_o = jax.lax.dynamic_update_slice(
-                        acc_o, po, (jb * WB, 0))
-                    acc_dx = jax.lax.dynamic_update_slice(
-                        acc_dx, pdx, (jb * WB, 0))
-                    acc_dy = jax.lax.dynamic_update_slice(
-                        acc_dy, pdy, (jb * WB, 0))
+                    sl = slice(jb * WB, (jb + 1) * WB)
+                    o_ref[0, 0, sl] = po
+                    dx_ref[0, 0, sl] = pdx
+                    dy_ref[0, 0, sl] = pdy
+                return
+            elif variant == "udyn":
+                # dynamic-offset u-window: the block's sample window start is
+                # the (8-aligned) preimage of its first column under the
+                # line's affine x(u) — the shape the REAL kernel needs
+                # (pose-dependent offsets, pl.ds ref stores)
+                WB = W // NBLK
+                axv = cread(coef_ref, b, v, 0)
+                bxv = cread(coef_ref, b, v, 1)
+                for jb in range(NBLK):
+                    u0f = (jnp.float32(jb * NC) - axv) / bxv
+                    u0 = jnp.clip((jnp.floor(u0f).astype(jnp.int32) // 8) * 8,
+                                  0, W - WB)
+                    wx, dwx, rel, fy = weights_block(
+                        coef_ref, b, v, jb * NC, W_rows=WB, u0=u0)
+                    mats = _row_weight_mats4(wx, dwx, rel, fy,
+                                             with_dxy=False)
+                    po = jnp.zeros((WB, C), jnp.float32)
+                    pdx = jnp.zeros((WB, C), jnp.float32)
+                    pdy = jnp.zeros((WB, C), jnp.float32)
+                    for r in range(4):
+                        s = sh_ref[jb, r]
+                        po = po + jnp.dot(
+                            mats[r][0], s,
+                            preferred_element_type=jnp.float32)
+                        pdx = pdx + jnp.dot(
+                            mats[r][1], s,
+                            preferred_element_type=jnp.float32)
+                        pdy = pdy + jnp.dot(
+                            mats[r][2], s,
+                            preferred_element_type=jnp.float32)
+                    sl = pl.ds(u0, WB)
+                    o_ref[0, 0, sl] = po
+                    dx_ref[0, 0, sl] = pdx
+                    dy_ref[0, 0, sl] = pdy
+                return
             else:
                 for jb in range(NBLK):
                     wx, dwx, rel, fy = weights_block(coef_ref, b, v,
@@ -211,7 +251,7 @@ def run_isolation(tag, B, V, W, NC, C, NBLK):
 
     import jax
 
-    for variant in ("build", "mm12", "mm3", "mm1", "uwin"):
+    for variant in ("build", "mm12", "mm3", "mm1", "uwin", "udyn"):
         try:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,

@@ -349,6 +349,63 @@ def test_projline_blocked_matches_fullmap(Cp):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("Cp", [8, 128], ids=["cfirst", "chanlast"])
+def test_projline_uwin_bit_identical(Cp):
+    """Dynamic u-window blocked projline kernel (banded_u_chunk, round-5
+    lever) vs the plain blocked kernel: outputs must be BIT-IDENTICAL —
+    samples excluded from a block's window have exactly-zero weights there,
+    so the accumulated sums are the same floats.  Covers partial maps,
+    out-of-bounds lines, and block-boundary crossings (same geometry pool
+    as the blocked-vs-fullmap test), plus gradient equality through the
+    differentiable variant."""
+    import jax
+
+    from highlyaccurate_tpu.ops.pallas.banded_warp import (
+        make_projline_sampler, pack_projline_coefs)
+    Bp, AY, AX, Vp, Wp = 2, 16, 256, 6, 16
+    rng = np.random.RandomState(47)
+    img = jnp.asarray(rng.rand(Bp, AY, AX, Cp).astype(np.float32))
+
+    x0 = rng.uniform(-10, AX - 30, (Bp, Vp))
+    y0 = rng.uniform(1, AY - 3, (Bp, Vp))
+    sl = rng.uniform(-0.5, 0.5, (Bp, Vp))
+    step = rng.uniform(2.0, 24.0, (Bp, Vp))
+    d0 = rng.uniform(0.8, 1.6, (Bp, Vp))
+    dd = rng.uniform(-0.02, 0.02, (Bp, Vp))
+    h0 = np.stack([x0 * d0, y0 * d0, d0], -1).astype(np.float32)
+    h1x = (x0 + step * (Wp - 1)) * (d0 + dd * (Wp - 1))
+    h1y = (y0 + sl * step * (Wp - 1)) * (d0 + dd * (Wp - 1))
+    h1 = np.stack([h1x, h1y, d0 + dd * (Wp - 1)], -1).astype(np.float32)
+    dh = (h1 - h0) / (Wp - 1)
+    coefs = pack_projline_coefs(jnp.asarray(h0), jnp.asarray(dh),
+                                AY, AX, AY, Wp)
+
+    base = make_projline_sampler(AY=AY, AX=AX, C=Cp, V=Vp, W=Wp,
+                                 interpret=True)
+    uwin = make_projline_sampler(AY=AY, AX=AX, C=Cp, V=Vp, W=Wp,
+                                 interpret=True, u_chunk=8)
+    for a, b, name in zip(base(img, coefs), uwin(img, coefs),
+                          ("out", "dx", "dy")):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+    base_d = make_projline_sampler(AY=AY, AX=AX, C=Cp, V=Vp, W=Wp,
+                                   interpret=True, differentiable=True)
+    uwin_d = make_projline_sampler(AY=AY, AX=AX, C=Cp, V=Vp, W=Wp,
+                                   interpret=True, differentiable=True,
+                                   u_chunk=8)
+
+    def loss(f, img, coefs):
+        o, dx, dy = f(img, coefs)
+        return jnp.sum(o ** 2) + jnp.sum(dx * dy)
+
+    gb = jax.grad(lambda i, c: loss(base_d, i, c), argnums=(0, 1))(
+        img, coefs)
+    gu = jax.grad(lambda i, c: loss(uwin_d, i, c), argnums=(0, 1))(
+        img, coefs)
+    for a, b, name in zip(gb, gu, ("dimg", "dcoefs")):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
 def _projlines(Bp, AY, AX, Vp, Wp, seed):
     """Random projective lines (h0, dh) with gentle slope and den > 0."""
     rng = np.random.RandomState(seed)
