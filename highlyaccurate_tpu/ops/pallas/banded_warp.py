@@ -494,6 +494,186 @@ def _accumulate_values_blocked(coef_ref, sat_ref, b, v, *, W: int, A: int,
     return acc_o, acc_dx, acc_dy, acc_dxy
 
 
+def _accumulate_values_blocked_uwin(coef_ref, sat_ref, b, v, emit, *,
+                                    W: int, A: int, C: int, CBW: int,
+                                    UC: int, cfirst: bool, with_dxy: bool):
+    """Column-blocked affine accumulation with per-(row, block) dynamic
+    u-windows (round-5 lever; the S2GP port of the projline u-window).
+
+    Real S2GP geometry (scripts/r5_s2gp_window_stats.py): ground-row lines
+    cross every column block with partial sample windows — the UC-aligned
+    live window covers only 0.63-0.82 of the W samples a hit block builds
+    weights for, and the r5 isolation probe showed these kernels are
+    VPU-build-bound with the matmuls hidden under the build.  Per block:
+    masked min/max over the line's x(u) gives [umin, umax]; a dynamic-trip
+    fori_loop rebuilds weights + issues the matmuls on [UC, CBW] row chunks
+    and hands each chunk to ``emit(row_slice, acc_o, acc_dx, acc_dy,
+    acc_dxy)`` (the fwd kernel RMWs its output refs, the moments kernel its
+    VMEM scratch).  Excluded rows have exactly-zero block weights, so the
+    accumulated per-row sums are bit-identical to
+    _accumulate_values_blocked."""
+    ax = _cread(coef_ref, b, v, 0)
+    bx = _cread(coef_ref, b, v, 1)
+    ay = _cread(coef_ref, b, v, 2)
+    by = _cread(coef_ref, b, v, 3)
+    slope = _cread(coef_ref, b, v, 4)
+
+    u = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0].astype(jnp.float32)
+    x = ax + bx * u
+    y = ay + by * u
+    valid = ((x >= 0) & (x <= A - 1) & (y >= 0) & (y <= A - 1)
+             & (jnp.floor(x) < A - 1) & (jnp.floor(y) < A - 1))
+
+    max_ck = A // _SHEAR_CHUNK
+    for jb in range(A // CBW):
+        col0 = jb * CBW
+        hitb = valid & (x >= col0 - 1) & (x < col0 + CBW)
+        umin = jnp.min(jnp.where(hitb, u, jnp.float32(W)))
+        umax = jnp.max(jnp.where(hitb, u, -1.0))
+
+        @pl.when(umax >= umin)
+        def _block(col0=col0, umin=umin, umax=umax):
+            u0 = (umin.astype(jnp.int32) // UC) * UC
+            n_uch = (umax.astype(jnp.int32) - u0) // UC + 1
+            # per-block y-window (same formula as the base blocked kernel)
+            xa = jnp.float32(col0 - 1)
+            xb_ = jnp.float32(col0 + CBW)
+            ya = ay + (xa - ax) * slope
+            yb = ay + (xb_ - ax) * slope
+            ymin_b = jnp.minimum(ya, yb)
+            ymax_b = jnp.clip(jnp.maximum(ya, yb), 0.0, A - 1.0)
+            oy_b = jnp.clip(((jnp.floor(ymin_b) - 1.0).astype(jnp.int32)
+                             // _SHEAR_CHUNK) * _SHEAR_CHUNK,
+                            0, A - _SHEAR_CHUNK)
+            avail = (A - oy_b) // _SHEAR_CHUNK
+            nck_b = jnp.ceil((ymax_b + 4.0 - oy_b.astype(jnp.float32))
+                             / _SHEAR_CHUNK).astype(jnp.int32)
+            nck_b = jnp.minimum(jnp.clip(nck_b, 1, max_ck), avail)
+            jcols = (jax.lax.broadcasted_iota(jnp.int32, (1, CBW), 1)
+                     .astype(jnp.float32) + jnp.float32(col0))
+            yj = ay + (jcols - ax) * slope
+            sj = jnp.floor(yj)
+            oy_bf = oy_b.astype(jnp.float32)
+
+            if cfirst:
+                def read_chunk(base, oy_b=oy_b, col0=col0):
+                    return sat_ref[0, pl.ds(oy_b + base, _SHEAR_CHUNK), :,
+                                   col0:col0 + CBW]
+            else:
+                def read_chunk(base, oy_b=oy_b, col0=col0):
+                    return sat_ref[0, pl.ds(oy_b + base, _SHEAR_CHUNK),
+                                   col0:col0 + CBW]
+
+            shs = _shear_rows4(read_chunk, sj, oy_bf, RB=A, A=CBW, C=C,
+                               cfirst=cfirst, n_chunks=nck_b)
+
+            def chunk_body(k, _):
+                ub = u0 + k * UC
+                uu = (jax.lax.broadcasted_iota(jnp.int32, (UC, 1), 0)[:, 0]
+                      .astype(jnp.float32) + ub.astype(jnp.float32))
+                xc = ax + bx * uu
+                yc = ay + by * uu
+                x0f = jnp.floor(xc)
+                y0f = jnp.floor(yc)
+                fxc = xc - x0f
+                fyc = yc - y0f
+                mc = (((xc >= 0) & (xc <= A - 1) & (yc >= 0)
+                       & (yc <= A - 1)).astype(jnp.float32)
+                      * ((x0f < A - 1) & (y0f < A - 1)).astype(jnp.float32))
+                j = (jax.lax.broadcasted_iota(jnp.int32, (UC, CBW), 1)
+                     .astype(jnp.float32) + jnp.float32(col0))
+                x0b = x0f[:, None]
+                hit0 = (j == x0b).astype(jnp.float32)
+                hit1 = (j == (x0b + 1.0)).astype(jnp.float32)
+                mb = mc[:, None]
+                wx = ((1.0 - fxc)[:, None] * hit0
+                      + fxc[:, None] * hit1) * mb
+                dwx = (hit1 - hit0) * mb
+                rel = y0f[:, None] - sj + 1.0
+                mats = _row_weight_mats4(wx, dwx, rel, fyc,
+                                         with_dxy=with_dxy)
+                acc_o = jnp.zeros((UC, C), jnp.float32)
+                acc_dx = jnp.zeros((UC, C), jnp.float32)
+                acc_dy = jnp.zeros((UC, C), jnp.float32)
+                acc_dxy = (jnp.zeros((UC, C), jnp.float32) if with_dxy
+                           else None)
+                for r in range(4):
+                    sh = shs[r]
+                    w_o, w_dx, w_dy, w_dxy = mats[r]
+
+                    def contract(wmat):
+                        if cfirst:
+                            return jax.lax.dot_general(
+                                wmat, sh, dimension_numbers=_DN_CFIRST,
+                                preferred_element_type=jnp.float32)
+                        return jnp.dot(wmat, sh,
+                                       preferred_element_type=jnp.float32)
+
+                    acc_o = acc_o + contract(w_o)
+                    acc_dx = acc_dx + contract(w_dx)
+                    acc_dy = acc_dy + contract(w_dy)
+                    if with_dxy:
+                        acc_dxy = acc_dxy + contract(w_dxy)
+                emit(pl.ds(ub, UC), acc_o, acc_dx, acc_dy, acc_dxy)
+                return 0
+
+            jax.lax.fori_loop(0, n_uch, chunk_body, 0)
+
+
+def _kernel_fullmap_blocked_uwin(coef_ref, sat_ref, out_ref, dx_ref, dy_ref,
+                                 *rest, W: int, A: int, C: int, CBW: int,
+                                 UC: int, cfirst: bool,
+                                 with_dxy: bool = True):
+    """u-windowed variant of _kernel_fullmap_blocked (bit-identical)."""
+    dxy_ref = rest[0] if with_dxy else None
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+    out_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+    dx_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+    dy_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+    if with_dxy:
+        dxy_ref[0, 0] = jnp.zeros((W, C), jnp.float32)
+
+    def emit(sl, acc_o, acc_dx, acc_dy, acc_dxy):
+        out_ref[0, 0, sl] += acc_o
+        dx_ref[0, 0, sl] += acc_dx
+        dy_ref[0, 0, sl] += acc_dy
+        if with_dxy:
+            dxy_ref[0, 0, sl] += acc_dxy
+
+    _accumulate_values_blocked_uwin(coef_ref, sat_ref, b, v, emit, W=W,
+                                    A=A, C=C, CBW=CBW, UC=UC, cfirst=cfirst,
+                                    with_dxy=with_dxy)
+
+
+def _kernel_moments_fullmap_blocked_uwin(coef_ref, sat_ref, grd_ref,
+                                         mask_ref, mom_ref, scr_o, scr_dx,
+                                         scr_dy, *, W: int, A: int, C: int,
+                                         CBW: int, UC: int, cfirst: bool):
+    """u-windowed variant of _kernel_moments_fullmap_blocked: the chunked
+    (value, d/dx, d/dy) land in VMEM scratch (register accumulators cannot
+    take dynamic-offset updates), then the moment rows contract once.
+    Per-row sums accumulate in the same block order as the base kernel, so
+    the moments are bit-identical."""
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+    scr_o[...] = jnp.zeros((W, C), jnp.float32)
+    scr_dx[...] = jnp.zeros((W, C), jnp.float32)
+    scr_dy[...] = jnp.zeros((W, C), jnp.float32)
+
+    def emit(sl, acc_o, acc_dx, acc_dy, _):
+        scr_o[sl] += acc_o
+        scr_dx[sl] += acc_dx
+        scr_dy[sl] += acc_dy
+
+    _accumulate_values_blocked_uwin(coef_ref, sat_ref, b, v, emit, W=W,
+                                    A=A, C=C, CBW=CBW, UC=UC, cfirst=cfirst,
+                                    with_dxy=False)
+    mrow = mask_ref[pl.ds(v, 1)][0]
+    mom_ref[0, 0] = _moments_from_rows(scr_o[...], scr_dx[...], scr_dy[...],
+                                       grd_ref[0, 0], mrow, W=W)
+
+
 def _accumulate_values(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
                        *, RB: int, W: int, A: int, C: int, cfirst: bool,
                        n_chunks=None):
@@ -522,7 +702,8 @@ def _accumulate_values(read_chunk, oy_f, wx, dwx, rel, fy, sj, m,
 
 
 def make_banded_moments(A: int, C: int, V: int, W: int, RB: int,
-                        interpret: bool = False, bf16_map: bool = False):
+                        interpret: bool = False, bf16_map: bool = False,
+                        u_chunk: int = 0):
     """Build the fused-moment eval sampler.
 
     fn(sat [B,A,A,C] (kernel-x-major, i.e. already axis-swapped like
@@ -557,7 +738,14 @@ def make_banded_moments(A: int, C: int, V: int, W: int, RB: int,
                                 memory_space=pltpu.VMEM)
         if full_map:
             CBW = 128 if cfirst else 32
-            if A % CBW == 0:
+            mom_scratch = []
+            if (A % CBW == 0 and u_chunk and W % u_chunk == 0
+                    and u_chunk % 8 == 0):
+                kernel = functools.partial(
+                    _kernel_moments_fullmap_blocked_uwin, W=W, A=A, C=C,
+                    CBW=CBW, UC=u_chunk, cfirst=cfirst)
+                mom_scratch = [pltpu.VMEM((W, C), jnp.float32)] * 3
+            elif A % CBW == 0:
                 kernel = functools.partial(
                     _kernel_moments_fullmap_blocked, W=W, A=A, C=C, CBW=CBW,
                     cfirst=cfirst)
@@ -572,6 +760,7 @@ def make_banded_moments(A: int, C: int, V: int, W: int, RB: int,
                     pipeline_mode=pl.Buffered(buffer_count=1),
                     memory_space=pltpu.VMEM), grd_spec, mask_spec],
                 out_specs=mom_spec,
+                scratch_shapes=mom_scratch,
             )
         else:
             kernel = functools.partial(_kernel_moments, RB=RB, W=W, A=A, C=C,
@@ -699,6 +888,129 @@ def _bwd_kernel(coef_ref, go_ref, gdx_ref, gdy_ref, grad_ref,
                           cfirst=cfirst)
 
 
+def _bwd_kernel_uwin(coef_ref, go_ref, gdx_ref, gdy_ref, grad_ref,
+                     *, W: int, A: int, C: int, CB: int, UC: int,
+                     cfirst: bool):
+    """u-windowed variant of _bwd_kernel: the transposed weight x cotangent
+    contractions run over [UC]-row chunks of the block's live sample window
+    instead of all W rows (cotangent rows read at pl.ds offsets; the G
+    accumulators carry through the fori_loop).  NOTE: chunking splits the
+    W-contraction, so G is the same sum REASSOCIATED — gradients match the
+    base kernel to fp32 round-off (~1e-6 rel), not bit-exactly (the forward
+    u-window variants ARE bit-exact; parity-tested accordingly)."""
+    b = pl.program_id(0)
+    cb = pl.program_id(1)
+    v = pl.program_id(2)
+
+    @pl.when(v == 0)
+    def _zero():
+        grad_ref[...] = jnp.zeros_like(grad_ref)
+
+    col0 = cb * CB
+    ax = _cread(coef_ref, b, v, 0)
+    bx = _cread(coef_ref, b, v, 1)
+    ay = _cread(coef_ref, b, v, 2)
+    by = _cread(coef_ref, b, v, 3)
+    slope = _cread(coef_ref, b, v, 4)
+
+    u = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0].astype(jnp.float32)
+    x = ax + bx * u
+    y = ay + by * u
+    valid = ((x >= 0) & (x <= A - 1) & (y >= 0) & (y <= A - 1)
+             & (jnp.floor(x) < A - 1) & (jnp.floor(y) < A - 1))
+    hitb = valid & (x >= col0 - 1) & (x < col0 + CB)
+    umin = jnp.min(jnp.where(hitb, u, jnp.float32(W)))
+    umax = jnp.max(jnp.where(hitb, u, -1.0))
+
+    @pl.when(umax >= umin)
+    def _body():
+        u0 = (umin.astype(jnp.int32) // UC) * UC
+        n_uch = (umax.astype(jnp.int32) - u0) // UC + 1
+        # per-block y-window for the unshear scan (same as _bwd_kernel)
+        xe = ax + bx * jnp.float32(W - 1)
+        xlo = jnp.minimum(ax, xe)
+        xhi = jnp.maximum(ax, xe)
+        xa2 = jnp.maximum(jnp.float32(col0 - 1), xlo - 1.0)
+        xb2 = jnp.minimum(jnp.float32(col0 + CB), xhi + 1.0)
+        ya2 = ay + (xa2 - ax) * slope
+        yb2 = ay + (xb2 - ax) * slope
+        ymin_b = jnp.minimum(ya2, yb2)
+        ymax_b = jnp.clip(jnp.maximum(ya2, yb2), 0.0, A - 1.0)
+        oy_b = jnp.clip(((jnp.floor(ymin_b) - 1.0).astype(jnp.int32)
+                         // _SHEAR_CHUNK) * _SHEAR_CHUNK,
+                        0, max(A - _SHEAR_CHUNK, 0))
+        avail = (A - oy_b) // _SHEAR_CHUNK
+        nck = jnp.ceil((ymax_b + 4.0 - oy_b.astype(jnp.float32))
+                       / _SHEAR_CHUNK).astype(jnp.int32)
+        nck = jnp.minimum(jnp.clip(nck, 1, A // _SHEAR_CHUNK), avail)
+        c0 = oy_b // _SHEAR_CHUNK
+        jcols = (jax.lax.broadcasted_iota(jnp.int32, (1, CB), 1)
+                 .astype(jnp.float32) + jnp.float32(col0))
+        yj = ay + (jcols - ax) * slope
+        sj = jnp.floor(yj)
+
+        dn_t = (((0,), (0,)), ((), ()))
+        gshape = (C, CB) if cfirst else (CB, C)
+        init = tuple(jnp.zeros(gshape, jnp.float32) for _ in range(4))
+
+        def chunk_body(k, Gs):
+            ub = u0 + k * UC
+            uu = (jax.lax.broadcasted_iota(jnp.int32, (UC, 1), 0)[:, 0]
+                  .astype(jnp.float32) + ub.astype(jnp.float32))
+            xc = ax + bx * uu
+            yc = ay + by * uu
+            x0f = jnp.floor(xc)
+            y0f = jnp.floor(yc)
+            fxc = xc - x0f
+            fyc = yc - y0f
+            mc = (((xc >= 0) & (xc <= A - 1) & (yc >= 0)
+                   & (yc <= A - 1)).astype(jnp.float32)
+                  * ((x0f < A - 1) & (y0f < A - 1)).astype(jnp.float32))
+            j = (jax.lax.broadcasted_iota(jnp.int32, (UC, CB), 1)
+                 .astype(jnp.float32) + jnp.float32(col0))
+            x0b = x0f[:, None]
+            hit0 = (j == x0b).astype(jnp.float32)
+            hit1 = (j == (x0b + 1.0)).astype(jnp.float32)
+            mb = mc[:, None]
+            wx = ((1.0 - fxc)[:, None] * hit0 + fxc[:, None] * hit1) * mb
+            dwx = (hit1 - hit0) * mb
+            rel = y0f[:, None] - sj + 1.0
+            sl = pl.ds(ub, UC)
+            g_o = go_ref[0, 0, sl]
+            g_dx = gdx_ref[0, 0, sl]
+            g_dy = gdy_ref[0, 0, sl]
+            mats = _row_weight_mats4(wx, dwx, rel, fyc, with_dxy=False)
+            out = []
+            for r in range(4):
+                w_o, w_dx, w_dy, _ = mats[r]
+                if cfirst:
+                    G = (jax.lax.dot_general(
+                            g_o, w_o, dimension_numbers=dn_t,
+                            preferred_element_type=jnp.float32)
+                         + jax.lax.dot_general(
+                            g_dx, w_dx, dimension_numbers=dn_t,
+                            preferred_element_type=jnp.float32)
+                         + jax.lax.dot_general(
+                            g_dy, w_dy, dimension_numbers=dn_t,
+                            preferred_element_type=jnp.float32))
+                else:
+                    G = (jax.lax.dot_general(
+                            w_o, g_o, dimension_numbers=dn_t,
+                            preferred_element_type=jnp.float32)
+                         + jax.lax.dot_general(
+                            w_dx, g_dx, dimension_numbers=dn_t,
+                            preferred_element_type=jnp.float32)
+                         + jax.lax.dot_general(
+                            w_dy, g_dy, dimension_numbers=dn_t,
+                            preferred_element_type=jnp.float32))
+                out.append(Gs[r] + G)
+            return tuple(out)
+
+        Gs = jax.lax.fori_loop(0, n_uch, chunk_body, init)
+        _unshear_scatter4(grad_ref, list(Gs), sj, c0, nck, A=A, CB=CB,
+                          cfirst=cfirst)
+
+
 def _unshear_scatter4(grad_ref, Gs, sj, c0, nck, *, A: int, CB: int,
                       cfirst: bool):
     """Accumulate all four bilinear rows' G matrices into the VMEM-resident
@@ -733,12 +1045,15 @@ def _unshear_scatter4(grad_ref, Gs, sj, c0, nck, *, A: int, CB: int,
 
 def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
                  interpret: bool, full_map: bool = False,
-                 map_dtype=jnp.float32, with_dxy: bool = True):
+                 map_dtype=jnp.float32, with_dxy: bool = True,
+                 u_chunk: int = 0):
     """fn(sat_kernel_layout, coefs) -> (out, dx, dy[, dxy]) [B, V, W, C].
 
     full_map: whole level rides in VMEM as a blocked input (kept resident
     across the V row-programs by the Pallas pipeline) — no window DMA.
     with_dxy=False builds the eval-only kernel (no cross-derivative).
+    u_chunk > 0 selects the dynamic u-window blocked kernel (bit-identical;
+    must divide W and be a multiple of 8).
     """
     win_shape = (RB, C, A) if cfirst else (RB, A, C)
     sat_shape = (A, C, A) if cfirst else (A, A, C)
@@ -749,7 +1064,12 @@ def _raw_forward(A: int, C: int, V: int, W: int, RB: int, cfirst: bool,
                                 memory_space=pltpu.VMEM)
         if full_map:
             CBW = 128 if cfirst else 32
-            if A % CBW == 0:
+            if (A % CBW == 0 and u_chunk and W % u_chunk == 0
+                    and u_chunk % 8 == 0):
+                kernel = functools.partial(
+                    _kernel_fullmap_blocked_uwin, W=W, A=A, C=C, CBW=CBW,
+                    UC=u_chunk, cfirst=cfirst, with_dxy=with_dxy)
+            elif A % CBW == 0:
                 kernel = functools.partial(
                     _kernel_fullmap_blocked, W=W, A=A, C=C, CBW=CBW,
                     cfirst=cfirst, with_dxy=with_dxy)
@@ -825,14 +1145,19 @@ def _bwd_col_blocks(A: int, C: int, cfirst: bool,
 
 
 def _raw_backward(A: int, C: int, V: int, W: int, cfirst: bool,
-                  interpret: bool):
+                  interpret: bool, u_chunk: int = 0):
     """fn(coefs, g_o, g_dx, g_dy) -> grad_sat (kernel layout), accumulated
-    in VMEM-resident column blocks (see _bwd_kernel)."""
+    in VMEM-resident column blocks (see _bwd_kernel).  u_chunk > 0 selects
+    the dynamic u-window contraction (same sum reassociated — ~1e-6 rel)."""
     assert A % _SHEAR_CHUNK == 0
     CB = _bwd_col_blocks(A, C, cfirst)
     n_cb = A // CB
-    kernel = functools.partial(_bwd_kernel, W=W, A=A, C=C, CB=CB,
-                               cfirst=cfirst)
+    if u_chunk and W % u_chunk == 0 and u_chunk % 8 == 0:
+        kernel = functools.partial(_bwd_kernel_uwin, W=W, A=A, C=C, CB=CB,
+                                   UC=u_chunk, cfirst=cfirst)
+    else:
+        kernel = functools.partial(_bwd_kernel, W=W, A=A, C=C, CB=CB,
+                                   cfirst=cfirst)
     sat_shape = (A, C, A) if cfirst else (A, A, C)
     if cfirst:
         out_spec = pl.BlockSpec((1, A, C, CB),
@@ -877,7 +1202,8 @@ _FULLMAP_VMEM_BUDGET = 9 * 2 ** 20
 
 
 def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
-                        interpret: bool = False, bf16_map: bool = False):
+                        interpret: bool = False, bf16_map: bool = False,
+                        u_chunk: int = 0):
     """Build fn(sat [B,A,A,C], coefs [B,V,8]) -> (out, dx, dy) [B,V,W,C],
     differentiable w.r.t. both sat and coefs (custom VJP — the backward is
     scatter-free banded-transpose matmuls; see _bwd_kernel).
@@ -895,14 +1221,15 @@ def make_banded_sampler(A: int, C: int, V: int, W: int, RB: int,
     full_map = (A % _SHEAR_CHUNK == 0
                 and A * A * C * itemsize <= _FULLMAP_VMEM_BUDGET)
     raw_fwd = _raw_forward(A, C, V, W, RB, cfirst, interpret,
-                           full_map=full_map, map_dtype=map_dtype)
+                           full_map=full_map, map_dtype=map_dtype,
+                           u_chunk=u_chunk)
     # eval-only variant: the non-differentiated primal never needs the
     # cross-derivative (it only exists for the VJP's coef gradients) —
     # skips 4 of the 16 banded matmuls and one [B,V,W,C] HBM write
     raw_fwd_eval = _raw_forward(A, C, V, W, RB, cfirst, interpret,
                                 full_map=full_map, map_dtype=map_dtype,
-                                with_dxy=False)
-    raw_bwd = _raw_backward(A, C, V, W, cfirst, interpret)
+                                with_dxy=False, u_chunk=u_chunk)
+    raw_bwd = _raw_backward(A, C, V, W, cfirst, interpret, u_chunk=u_chunk)
 
     def _prep(sat):
         sat_k = sat.astype(jnp.float32)

@@ -254,6 +254,60 @@ def test_multiblock_backward_parity(monkeypatch):
                                    rtol=1e-4, atol=1e-4, err_msg=f"A={A2}")
 
 
+def test_s2gp_uwin_parity():
+    """Dynamic u-window S2GP kernels (banded_u_chunk) vs the base blocked
+    kernels.  Excluded rows have exactly-zero block weights, so on the MXU
+    the forward/moments are bit-identical (asserted on TPU by
+    scripts/r5_uwin_probe.py: sum-delta exactly 0); in INTERPRET mode
+    XLA:CPU picks different dot microkernels for different row counts, so
+    this CPU test allows fp32-ulp differences.  The backward chunks the
+    W-contraction (reassociated sum) — fp32 round-off everywhere.  A=64
+    with CBW=32 gives two column blocks (the multi-block regime the stats
+    script measured on real geometry)."""
+    from highlyaccurate_tpu.ops.pallas.banded_warp import (
+        make_banded_moments, make_banded_sampler)
+    A2, C2, V2, W2, RB2 = 64, 8, 6, 32, 32
+    rng = np.random.RandomState(11)
+    ax = rng.uniform(-4, A2 + 4, (B, V2))
+    ay = rng.uniform(0, A2 - 1, (B, V2))
+    bx = rng.uniform(0.5, 2.5, (B, V2)) * rng.choice([-1, 1], (B, V2))
+    by = bx * rng.uniform(-0.6, 0.6, (B, V2))
+    uv0 = jnp.asarray(np.stack([ax, ay], -1).astype(np.float32))
+    uv1 = jnp.asarray(np.stack([ax + bx, ay + by], -1).astype(np.float32))
+    sat = jnp.asarray(rng.rand(B, A2, A2, C2).astype(np.float32))
+
+    base = make_banded_sampler(A=A2, C=C2, V=V2, W=W2, RB=RB2,
+                               interpret=True)
+    uwin = make_banded_sampler(A=A2, C=C2, V=V2, W=W2, RB=RB2,
+                               interpret=True, u_chunk=8)
+    for a, b, name in zip(base(sat, uv0, uv1), uwin(sat, uv0, uv1),
+                          ("out", "dx", "dy")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+    def loss(f, sat, uv0, uv1):
+        o, dx, dy = f(sat, uv0, uv1)
+        return jnp.sum(o ** 2) + jnp.sum(dx * dy)
+
+    gb = jax.grad(lambda s, a, b: loss(base, s, a, b),
+                  argnums=(0, 1, 2))(sat, uv0, uv1)
+    gu = jax.grad(lambda s, a, b: loss(uwin, s, a, b),
+                  argnums=(0, 1, 2))(sat, uv0, uv1)
+    for a, b, name in zip(gb, gu, ("dsat", "duv0", "duv1")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+    grd = jnp.asarray(rng.rand(B, V2, W2, C2).astype(np.float32))
+    mask = jnp.asarray((rng.rand(V2, W2) > 0.1).astype(np.float32))
+    mbase = make_banded_moments(A=A2, C=C2, V=V2, W=W2, RB=RB2,
+                                interpret=True)
+    muwin = make_banded_moments(A=A2, C=C2, V=V2, W=W2, RB=RB2,
+                                interpret=True, u_chunk=8)
+    ma = np.asarray(mbase(sat, grd, mask, uv0, uv1))
+    mb = np.asarray(muwin(sat, grd, mask, uv0, uv1))
+    np.testing.assert_allclose(ma, mb, rtol=1e-5, atol=1e-5)
+
+
 def test_projline_sampler_parity():
     """Projective-line sampler (G2SP eval) vs grid_sample at the divided
     coordinates, rectangular map (interpret mode)."""
