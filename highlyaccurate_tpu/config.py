@@ -109,14 +109,20 @@ class Config:
     #   per-pixel contractions add more VPU work per program than the
     #   [B,A,A,C]x3 HBM round-trip they remove.  Kept as a tested
     #   alternative (numerics identical).
-    banded_u_chunk: int = 0  # per-(line, column-block) dynamic u-windows in
+    banded_u_chunk: int = -1  # per-(line, column-block) dynamic u-windows in
     #   the blocked Pallas kernels (round-5 lever): restrict the per-block
     #   weight build + banded matmuls to the UC-chunked sample window whose
     #   x(u) actually lands in the block, instead of all W samples.  Value =
-    #   chunk size UC (multiple of 8 dividing W; 0 = off).  Outputs are
-    #   BIT-IDENTICAL (excluded rows have exactly-zero block weights;
-    #   parity-tested in tests/test_banded_warp.py).  Adopt only with a
-    #   measured TPU win (scripts/r5_uwin_probe.py).
+    #   chunk size UC (multiple of 8 dividing W; 0 = off; -1 = AUTO, the
+    #   measured best per family — 128 for the S2GP/Ford banded kernels
+    #   (flagship b32 eval 158.0 -> 164.3 fps, ford_eval 135.1 -> 138.7 on
+    #   TPU v5e; train flat — scripts/r5_uwin_confirm.py), 0 for the G2SP
+    #   projline kernel (measured neutral on its real geometry at every
+    #   chunk size: the in-view wedge spans few column blocks and nearly
+    #   the whole window within a hit block — scripts/r5_uwin_probe.py)).
+    #   Outputs are BIT-IDENTICAL at any value (excluded rows have
+    #   exactly-zero block weights; parity-tested in
+    #   tests/test_banded_warp.py).
     pad_input_channels: int = 0  # zero-pad the RGB input to this channel
     #   count before the first conv (0 = off).  Numerics identical: the
     #   padded input channels are zero, so the extra kernel rows (zero-

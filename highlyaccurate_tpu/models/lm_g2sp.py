@@ -141,13 +141,16 @@ class LMG2SP(nn.Module):
         dh = jnp.einsum("bik,jk->bji", P, dX)
         coefs = pack_projline_coefs(h0, dh, Hg, Wg, Hg, A)
 
-        key_ = ("projline", Hg, Wg, C, A, j0, diff, cfg.banded_u_chunk)
+        # -1 = auto: 0 for the projline kernel — u-windows measured neutral
+        # on real G2SP geometry at every chunk size (PERF.md round 5)
+        u_chunk = 0 if cfg.banded_u_chunk < 0 else cfg.banded_u_chunk
+        key_ = ("projline", Hg, Wg, C, A, j0, diff, u_chunk)
         sampler = _BANDED_CACHE.get(key_)
         if sampler is None:
             sampler = make_projline_sampler(
                 AY=Hg, AX=Wg, C=C, V=A - j0, W=A,
                 interpret=jax.default_backend() != "tpu",
-                differentiable=diff, u_chunk=cfg.banded_u_chunk)
+                differentiable=diff, u_chunk=u_chunk)
             _BANDED_CACHE[key_] = sampler
         out, dx, dy = sampler(grd_feat, coefs)            # [B, j', i, C]
         tr = lambda t: jnp.transpose(t, (0, 2, 1, 3))     # -> [B, i, j', C]

@@ -90,14 +90,17 @@ def banded_project(cfg: Config, sat_feat, uv01, duv01, mask_vw,
                 or bool(cfg.banded_bf16_map))
     interp = jax.default_backend() != "tpu"
     sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))         # swap sat axes
+    # -1 = auto: 128 measured best for the S2GP/Ford banded kernels
+    # (scripts/r5_uwin_confirm.py; bit-identical at any value)
+    u_chunk = 128 if cfg.banded_u_chunk < 0 else cfg.banded_u_chunk
 
     if moments_grd is not None:
-        key_ = ("mom", A, C, V, Wg, RB, bf16_map, cfg.banded_u_chunk)
+        key_ = ("mom", A, C, V, Wg, RB, bf16_map, u_chunk)
         msampler = _BANDED_CACHE.get(key_)
         if msampler is None:
             msampler = make_banded_moments(
                 A=A, C=C, V=V, W=Wg, RB=RB, bf16_map=bf16_map,
-                interpret=interp, u_chunk=cfg.banded_u_chunk)
+                interpret=interp, u_chunk=u_chunk)
             _BANDED_CACHE[key_] = msampler
         M = msampler(sat_t, moments_grd, mask_vw,
                      uv01s[:, :, 0], uv01s[:, :, 1])
@@ -106,12 +109,12 @@ def banded_project(cfg: Config, sat_feat, uv01, duv01, mask_vw,
         dPs = (duv01[:, :, 1] - duv01[:, :, 0])[:, :, ::-1]
         return M, P0s, dPs
 
-    key_ = (A, C, V, Wg, RB, bf16_map, cfg.banded_u_chunk)
+    key_ = (A, C, V, Wg, RB, bf16_map, u_chunk)
     sampler = _BANDED_CACHE.get(key_)
     if sampler is None:
         sampler = make_banded_sampler(
             A=A, C=C, V=V, W=Wg, RB=RB, bf16_map=bf16_map,
-            interpret=interp, u_chunk=cfg.banded_u_chunk)
+            interpret=interp, u_chunk=u_chunk)
         _BANDED_CACHE[key_] = sampler
     out, dv_, du_ = sampler(sat_t, uv01s[:, :, 0], uv01s[:, :, 1])
     dx, dy = du_, dv_  # kernel x == our v; kernel y == our u
