@@ -114,9 +114,11 @@ class Config:
     #   weight build + banded matmuls to the UC-chunked sample window whose
     #   x(u) actually lands in the block, instead of all W samples.  Value =
     #   chunk size UC (multiple of 8 dividing W; 0 = off; -1 = AUTO, the
-    #   measured best per family — 128 for the S2GP/Ford banded kernels
-    #   (flagship b32 eval 158.0 -> 164.3 fps, ford_eval 135.1 -> 138.7 on
-    #   TPU v5e; train flat — scripts/r5_uwin_confirm.py), 0 for the G2SP
+    #   measured best per family and batch — 128 for the S2GP/Ford banded
+    #   kernels at batch >= 8 (flagship b32 eval 158.0 -> 167.2 fps,
+    #   ford_eval 135.1 -> 138.7 on TPU v5e — scripts/r5_uwin_confirm.py),
+    #   0 at small batch where the chunk overhead loses (+0.8-1.5 ms at
+    #   batch 1 — scripts/r5_b1_uwin_probe.py), and 0 for the G2SP
     #   projline kernel (measured neutral on its real geometry at every
     #   chunk size: the in-view wedge spans few column blocks and nearly
     #   the whole window within a hit block — scripts/r5_uwin_probe.py)).

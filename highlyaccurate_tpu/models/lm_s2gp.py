@@ -90,9 +90,15 @@ def banded_project(cfg: Config, sat_feat, uv01, duv01, mask_vw,
                 or bool(cfg.banded_bf16_map))
     interp = jax.default_backend() != "tpu"
     sat_t = jnp.transpose(sat_feat, (0, 2, 1, 3))         # swap sat axes
-    # -1 = auto: 128 measured best for the S2GP/Ford banded kernels
-    # (scripts/r5_uwin_confirm.py; bit-identical at any value)
-    u_chunk = 128 if cfg.banded_u_chunk < 0 else cfg.banded_u_chunk
+    # -1 = auto: 128 measured best for the S2GP/Ford banded kernels at
+    # batched shapes (scripts/r5_uwin_confirm.py), but the per-(line,
+    # block) chunk overhead LOSES at batch 1 where the kernels are
+    # launch/VPU-build bound (+0.8 ms batch-1 eval, +1.5 ms tracking —
+    # scripts/r5_b1_uwin_probe.py), so small batches keep the base
+    # schedule.  Bit-identical at any value.
+    B = sat_feat.shape[0]
+    u_chunk = ((128 if B >= 8 else 0) if cfg.banded_u_chunk < 0
+               else cfg.banded_u_chunk)
 
     if moments_grd is not None:
         key_ = ("mom", A, C, V, Wg, RB, bf16_map, u_chunk)
