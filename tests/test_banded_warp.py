@@ -707,3 +707,32 @@ def test_shear_rows4_bit_identical_to_single_row_oracle(cfirst):
             read_chunk, sj, oy_f, r, RB=RBt, A=At, C=Ct, cfirst=cfirst))()
         np.testing.assert_array_equal(np.asarray(fused[r]),
                                       np.asarray(single), err_msg=f"r={r}")
+
+
+def test_banded_u_chunk_auto_resolution_gate():
+    """banded_u_chunk=-1 resolves per batch: 128 at B>=8, 0 below
+    (scripts/r5_b1_uwin_probe.py measured the B=1 chunk-overhead loss).
+    Pinned via the sampler-cache keys banded_project creates."""
+    from highlyaccurate_tpu.config import Config
+    from highlyaccurate_tpu.models import lm_s2gp
+
+    cfg = Config(level=3, N_iters=1)
+    assert cfg.banded_u_chunk == -1  # auto is the default
+    rng = np.random.RandomState(0)
+    Wt = 16
+    mask = jnp.ones((V, Wt), jnp.float32)
+
+    def run(batch):
+        sat = jnp.asarray(rng.rand(batch, A, A, C).astype(np.float32))
+        uv0, uv1 = _lines()
+        uv01 = jnp.stack([uv0[:1, :, None, :].repeat(batch, 0).squeeze(2),
+                          uv1[:1, :, None, :].repeat(batch, 0).squeeze(2)],
+                         axis=2)                      # [batch, V, 2, 2]
+        lm_s2gp._BANDED_CACHE.clear()
+        lm_s2gp.banded_project(cfg, sat, uv01, None, mask, with_jac=False)
+        (key,) = lm_s2gp._BANDED_CACHE.keys()
+        return key[-1]  # resolved u_chunk is the last key element
+
+    assert run(1) == 0
+    assert run(8) == 128
+    lm_s2gp._BANDED_CACHE.clear()
